@@ -1,0 +1,149 @@
+"""Kernel benchmarking harness (the reference's ``benchmark_kernel`` analogue,
+include/test_utils.h:204-247, redesigned for a remote-dispatch TPU runtime).
+
+Methodology
+-----------
+
+The dev environment dispatches to the TPU through a tunnel with ~2 ms
+per-execution latency and a ``block_until_ready`` that acks before device
+completion, so cudaEvent-style per-call timing is useless.  Instead we:
+
+1. run the kernel ``L`` times *inside one jit'd* ``lax.fori_loop``, chaining
+   iterations through a data-dependent but value-preserving edge
+   (``where(isnan(sum(out)), x+1, x)``) that (a) consumes the full output so
+   XLA cannot dead-code-eliminate the kernel down to the reduction's needs,
+   and (b) cannot be folded or hoisted because the predicate is
+   data-dependent;
+2. synchronize by fetching one element to the host (a real roundtrip);
+3. measure at two loop lengths and report the slope ``(t2 - t1)/(L2 - L1)``,
+   cancelling dispatch and sync overhead.
+
+Validated against hardware peaks: a 4096^3 bf16 matmul measures 191 of
+~197 TFLOP/s on TPU v5e with this scheme.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _consume(out) -> jax.Array:
+    """Reduce an output pytree to a scalar that depends on every element."""
+    total = jnp.float32(0)
+    for leaf in jax.tree.leaves(out):
+        total = total + jnp.sum(leaf.astype(jnp.float32))
+    return total
+
+
+def default_chain(out, args):
+    """Perturb the first float leaf of args by a never-true NaN predicate."""
+    p = jnp.isnan(_consume(out))
+    leaves, treedef = jax.tree.flatten(args)
+    for i, leaf in enumerate(leaves):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            leaves[i] = jnp.where(p, leaf + 1, leaf)
+            break
+    else:  # integer-only inputs: flip low bit under the false predicate
+        leaves[0] = jnp.where(p, leaves[0] ^ 1, leaves[0])
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def _timed_loop(kernel, chain, args, iters: int) -> float:
+    @jax.jit
+    def run(args):
+        def body(_, a):
+            return chain(kernel(*a), a)
+
+        a = jax.lax.fori_loop(0, iters, body, args)
+        return _consume(kernel(*a))
+
+    r = run(args)  # compile + warm
+    np.asarray(jax.device_get(r))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        r = run(args)
+        np.asarray(jax.device_get(r))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+@dataclasses.dataclass
+class BenchResult:
+    name: str
+    time_s: float
+    flops: int = 0
+    bytes: int = 0
+
+    @property
+    def tflops(self) -> float:
+        return self.flops / self.time_s / 1e12 if self.flops else 0.0
+
+    @property
+    def gbps(self) -> float:
+        return self.bytes / self.time_s / 1e9 if self.bytes else 0.0
+
+    def row(self) -> str:
+        return (
+            f"{self.name:<28s} {self.time_s*1e6:10.1f} us"
+            f" {self.tflops:9.2f} TFLOPS {self.gbps:9.1f} GB/s"
+        )
+
+
+def benchmark_kernel(
+    kernel: Callable,
+    args: Sequence,
+    *,
+    name: str = "kernel",
+    flops: int = 0,
+    bytes_accessed: int = 0,
+    chain: Callable = default_chain,
+    l1: int = 8,
+    l2: int = 40,
+) -> BenchResult:
+    """Measure one kernel's steady-state device time (see module docstring)."""
+    args = tuple(args)
+    t1 = _timed_loop(kernel, chain, args, l1)
+    t2 = _timed_loop(kernel, chain, args, l2)
+    dt = max((t2 - t1) / (l2 - l1), 1e-9)
+    return BenchResult(name, dt, flops, bytes_accessed)
+
+
+def weight_bytes(qtype: str, n: int, k: int, f32_scales: bool = True) -> int:
+    """HBM bytes for a prepared quantized weight (roofline denominator)."""
+    nb = k // 32
+    scale_b = 4 if f32_scales else 2
+    per = {
+        "q4_0": k // 2 + nb * scale_b,
+        "q4_1": k // 2 + 2 * nb * scale_b,
+        "q5_0": k // 2 + k // 8 + nb * scale_b,
+        "q5_1": k // 2 + k // 8 + 2 * nb * scale_b,
+        "q8_0": k + nb * scale_b,
+    }[qtype]
+    return n * per
+
+
+def gemm_flops(m: int, n: int, k: int) -> int:
+    return 2 * m * n * k
+
+
+def print_table(results: Sequence[BenchResult]) -> None:
+    print(f"{'kernel':<28s} {'time':>13s} {'compute':>16s} {'memory':>14s}")
+    for r in results:
+        print(r.row())
+
+
+__all__ = [
+    "BenchResult",
+    "benchmark_kernel",
+    "default_chain",
+    "weight_bytes",
+    "gemm_flops",
+    "print_table",
+]

@@ -1,0 +1,384 @@
+"""Pallas TPU GEMM kernels — the optimized rungs of the ladder.
+
+TPU-first redesign of the reference's CUDA kernel ladder
+(``kernels/gemm/gemm_warp_optimized.cuh``, ``gemm_async_copy.cuh``,
+``gemm_fused.cuh``): instead of warps/smem/dp4a, the design maps onto
+
+* **MXU**: dequantized bf16 (or f32) matmuls with f32 accumulation over full
+  K tiles — not 32-wide blocks — for systolic-array efficiency;
+* **VMEM/BlockSpec pipelining**: the HBM->VMEM double buffering the
+  reference builds by hand (gemm_async_copy.cuh:66-232) falls out of the
+  Pallas grid pipeline automatically;
+* **VPU**: in-register int4 unpacking.
+
+Device weight layout (produced once by :func:`prepare`): **K-major planar**
+
+* ``packed: uint8[K/2, N]`` — byte ``(c, n)`` holds ``x[n, c]`` in the low
+  nibble and ``x[n, c + K/2]`` in the high nibble.  ``packed & 0xF`` and
+  ``packed >> 4`` each yield a `[TKP, TN]` slab of ``W^T`` in natural K
+  order, so each byte is touched exactly once and the matmul runs in the
+  MXU-native ``A[M,K] @ Wt[K,N]`` orientation with no transposes.
+* ``d/m: float16[K/32, N]`` — per-block scales, expanded to per-row inside
+  the kernel by a 0/1 expansion matmul (``E[TKP,TKB] @ d``), avoiding
+  sub-lane reshapes entirely.
+
+Activation-side per-block scales (the Q8_1 ``d_a``) are folded *outside* the
+kernel by XLA (one fused pass over the small activation tensor); the kernel
+always consumes float activations.  The exact-integer compensation kernel
+(parity with gemm_reference.h:175-222 semantics) lives in
+:mod:`quant_gemm_tpu.kernels.gemm_exact`.
+
+Grid is ``(M tiles, N tiles, K tiles)`` with K innermost; the f32 output
+block stays VMEM-resident across the K loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats.blocks import QK, Q8_1Tensor
+from ..formats import jax_quant
+from ..utils import round_up
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@jax.tree_util.register_pytree_node_class
+class PreparedWeight:
+    """Kernel-ready K-major weight layout (built once at load time).
+
+    A pytree whose static metadata (qtype, N, K) rides in the treedef, so
+    instances pass through ``jit`` / ``device_put`` / shardings cleanly.
+    """
+
+    def __init__(self, qtype, n, k, packed_t, qs_t, d_t, m_t, qh_t):
+        self.qtype = qtype  # format name
+        self.n = n  # out-features
+        self.k = k  # reduction dim
+        self.packed_t = packed_t  # uint8[K/2, N] (4/5-bit) or None
+        self.qs_t = qs_t  # int8[K, N] (8-bit) or None
+        self.d_t = d_t  # float32[K/32, N]
+        self.m_t = m_t  # float32[K/32, N] (q4_1/q5_1)
+        self.qh_t = qh_t  # uint8[K/8, N] planar 5th bits (q5_x)
+
+    def tree_flatten(self):
+        return (
+            (self.packed_t, self.qs_t, self.d_t, self.m_t, self.qh_t),
+            (self.qtype, self.n, self.k),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux, *children)
+
+
+def prepare(w_q) -> PreparedWeight:
+    """Transpose a row-major SoA container into the K-major kernel layout.
+
+    Scales are upcast f16 -> f32 here (exact): Mosaic has no f16 compute,
+    and the CUDA kernels upcast at entry anyway (gemm_quant_formats.cuh:97).
+    """
+
+    def t32(x):
+        return jnp.asarray(x).T.astype(jnp.float32)
+
+    spec = w_q.spec
+    name = spec.name
+    if spec.bits == 8:
+        n, k = w_q.qs.shape
+        return PreparedWeight(name, n, k, None, jnp.asarray(w_q.qs).T, t32(w_q.d), None, None)
+    n, khalf = w_q.packed.shape
+    m_t = t32(w_q.m) if spec.has_min else None
+    qh_t = jnp.asarray(w_q.qh).T if hasattr(w_q, "qh") else None
+    return PreparedWeight(
+        name, n, khalf * 2, jnp.asarray(w_q.packed).T, None, t32(w_q.d), m_t, qh_t
+    )
+
+
+def _expand_rows(d_tile: jax.Array, reps: int) -> jax.Array:
+    """[TKB, TN] per-block values -> [TKB*reps, TN] per-row.
+
+    Sublane repeat is a broadcast + leading-dim reshape on the VPU — exact
+    (no matmul rounding) and free compared with lane-dim expansion.
+    """
+    return jnp.repeat(d_tile.astype(jnp.float32), reps, axis=0)
+
+
+def _expand_bits(qh_tile: jax.Array) -> jax.Array:
+    """Planar 5th bits uint8[TKP/8, TN] -> uint8[TKP, TN] (0/1 per row).
+
+    Row r of the output takes bit ``r % 8`` of input row ``r // 8``; done
+    with an 0/1 selection matmul on the i32 bit-planes (no sub-lane ops).
+    """
+    tkb8, tn = qh_tile.shape
+    qh32 = qh_tile.astype(jnp.int32)
+    planes = [(qh32 >> b) & 1 for b in range(8)]  # each [TKP/8, TN]
+    # Output row r = planes[r % 8][r // 8]: stack on a new middle axis and
+    # collapse the two leading dims (sublane-only reshape).
+    stacked = jnp.stack(planes, axis=1)  # [TKP/8, 8, TN]
+    return stacked.reshape(8 * tkb8, tn).astype(jnp.float32)
+
+
+def _dot(a: jax.Array, wt: jax.Array) -> jax.Array:
+    """C[M, N] += A[M, K] @ Wt[K, N], f32 accumulation on the MXU.
+
+    f32 operands get Precision.HIGHEST (full f32 via bf16x6 passes) so the
+    accuracy-mode kernels are not silently truncated to bf16 by the TPU's
+    default dot precision; bf16 operands use the fast single-pass MXU path.
+    """
+    precision = (
+        jax.lax.Precision.HIGHEST if a.dtype == jnp.float32 else None
+    )
+    return jax.lax.dot_general(
+        a, wt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies
+# ---------------------------------------------------------------------------
+
+
+def _kernel_w4(*refs, offset, has_min, has_qh, mxu_dtype, fused_q8_act):
+    """4/5-bit weights.  Ref order:
+
+    packed, d_lo, d_hi, [m_lo, m_hi,] [qh_lo, qh_hi,] a_lo, a_hi, out
+    """
+    it = iter(refs)
+    packed_ref = next(it)
+    dlo_ref, dhi_ref = next(it), next(it)
+    mlo_ref, mhi_ref = (next(it), next(it)) if has_min else (None, None)
+    qhlo_ref, qhhi_ref = (next(it), next(it)) if has_qh else (None, None)
+    alo_ref, ahi_ref = next(it), next(it)
+    out_ref = refs[-1]
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # int8 vector shifts don't legalize in Mosaic; do bit ops on i32 lanes.
+    packed = packed_ref[:].astype(jnp.int32)
+
+    def weight_slab(nib_i32, d_ref, m_ref, qh_ref):
+        q = nib_i32.astype(jnp.float32)
+        if has_qh:
+            q = q + 16.0 * _expand_bits(qh_ref[:])
+        d = _expand_rows(d_ref[:], QK)
+        if has_min:
+            return (q * d + _expand_rows(m_ref[:], QK)).astype(mxu_dtype)
+        return ((q - float(offset)) * d).astype(mxu_dtype)
+
+    def act_slab(a_ref):
+        a = a_ref[:]
+        if fused_q8_act:
+            # Fused on-the-fly Q8_1 fake-quantization (gemm_fused.cuh
+            # analogue): per-32-block amax -> int8 codes -> rescale, all in
+            # VMEM, so quantized-activation numerics come at zero extra HBM
+            # traffic.  Block structure along lanes via segment-max matmul.
+            a = _fake_quant_q8(a)
+        return a.astype(mxu_dtype)
+
+    w_lo = weight_slab(packed & 0x0F, dlo_ref, mlo_ref, qhlo_ref)
+    w_hi = weight_slab(packed >> 4, dhi_ref, mhi_ref, qhhi_ref)
+    out_ref[:] += _dot(act_slab(alo_ref), w_lo) + _dot(act_slab(ahi_ref), w_hi)
+
+
+def _fake_quant_q8(a: jax.Array) -> jax.Array:
+    """Per-32-block symmetric int8 fake-quant of [TM, TK] float tile.
+
+    Lane-blocked amax without reshapes: segment-sum style matmuls with the
+    0/1 block-membership matrix.
+    """
+    tm, tk = a.shape
+    tkb = tk // QK
+    member = (
+        jax.lax.broadcasted_iota(jnp.int32, (tk, tkb), 0) // QK
+        == jax.lax.broadcasted_iota(jnp.int32, (tk, tkb), 1)
+    ).astype(jnp.float32)
+    a32 = a.astype(jnp.float32)
+    # amax per block: max-plus "matmul" is unavailable; use two passes of
+    # masked max via where on the broadcasted membership would need 3D.
+    # Cheap trick: amax = max over lanes of |a| * membership column, done as
+    # tkb static slices (tkb is small and static).
+    scales = []
+    for b in range(tkb):
+        blk = a32[:, b * QK : (b + 1) * QK]
+        scales.append(jnp.max(jnp.abs(blk), axis=1, keepdims=True) / 127.0)
+    d = jnp.concatenate(scales, axis=1)  # [TM, tkb]
+    d_exp = jax.lax.dot_general(
+        d, member.T, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [TM, TK]
+    inv = jnp.where(d_exp > 0, 1.0 / jnp.where(d_exp > 0, d_exp, 1.0), 0.0)
+    q = jnp.clip(jnp.round(a32 * inv), -127, 127)
+    return q * d_exp
+
+
+def _kernel_w8(*refs, mxu_dtype, fused_q8_act):
+    qs_ref, d_ref, a_ref, out_ref = refs
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    wt = (qs_ref[:].astype(jnp.float32) * _expand_rows(d_ref[:], QK)).astype(mxu_dtype)
+    a = a_ref[:]
+    if fused_q8_act:
+        a = _fake_quant_q8(a)
+    out_ref[:] += _dot(a.astype(mxu_dtype), wt)
+
+
+# ---------------------------------------------------------------------------
+# host wrapper
+# ---------------------------------------------------------------------------
+
+
+def supports(k: int) -> bool:
+    """Pallas fast path requires K/2 tileable by a 256-multiple TKP."""
+    return k % 512 == 0
+
+
+def gemm(
+    w: PreparedWeight,
+    act,
+    *,
+    tm: int = 256,
+    tn: int = 512,
+    tkp: int = 1024,
+    mxu_dtype=jnp.bfloat16,
+    fused_quant: bool = False,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Quantized GEMM: ``C[M, N] = act[M, K] @ dequant(w)[N, K]^T``.
+
+    ``act``: float array [M, K] (W4A16/W8A16), or a Q8_1Tensor (W4A8/W8A8 —
+    activation scales folded by XLA before the kernel), or float with
+    ``fused_quant=True`` (on-the-fly in-kernel Q8_1 quantization, the
+    gemm_fused.cuh analogue).
+    """
+    if isinstance(act, Q8_1Tensor):
+        assert not fused_quant
+        a = act.qs.astype(jnp.float32) * jax_quant.expand_scale(act.d)
+        a = a.astype(jnp.bfloat16 if mxu_dtype == jnp.bfloat16 else jnp.float32)
+    else:
+        a = act
+    m, k = a.shape
+    assert k == w.k, (a.shape, w.k)
+    if interpret is None:
+        interpret = _interpret_default()
+
+    is4 = w.packed_t is not None
+    khalf = k // 2
+    kdim = khalf if is4 else k  # packed column space
+    tkp = min(tkp, kdim)
+    while kdim % tkp:
+        tkp //= 2
+    tkb = tkp // QK
+    assert tkp % 256 == 0, (
+        f"K={k} not supported by the Pallas path (need K/2 divisible by a "
+        f"multiple of 256); use the XLA rung instead"
+    )
+    mp = round_up(m, 8)
+    tm = min(tm, mp)
+    mp = round_up(mp, tm)
+    tn = min(tn, round_up(w.n, 128))
+    np_ = round_up(w.n, tn)
+    nkt = kdim // tkp
+
+    def padn(x):  # pad lane (N) dim
+        pc = np_ - x.shape[1]
+        return jnp.pad(x, ((0, 0), (0, pc))) if pc else x
+
+    def padm(x):
+        pr = mp - x.shape[0]
+        return jnp.pad(x, ((0, pr), (0, 0))) if pr else x
+
+    a = padm(a)
+    grid = (mp // tm, np_ // tn, nkt)
+
+    def wspec(bs, off_kt=0, row_scale=1):
+        return pl.BlockSpec(
+            bs,
+            lambda mt, nt, kt, o=off_kt: (kt + o, nt),
+            memory_space=pltpu.VMEM,
+        )
+
+    def aspec(off_kt=0):
+        return pl.BlockSpec(
+            (tm, tkp),
+            lambda mt, nt, kt, o=off_kt: (mt, kt + o),
+            memory_space=pltpu.VMEM,
+        )
+
+    if is4:
+        operands = [padn(w.packed_t), padn(w.d_t), padn(w.d_t)]
+        in_specs = [
+            wspec((tkp, tn)),
+            wspec((tkb, tn)),
+            wspec((tkb, tn), off_kt=nkt),
+        ]
+        if w.m_t is not None:
+            operands += [padn(w.m_t), padn(w.m_t)]
+            in_specs += [wspec((tkb, tn)), wspec((tkb, tn), off_kt=nkt)]
+        if w.qh_t is not None:
+            operands += [padn(w.qh_t), padn(w.qh_t)]
+            in_specs += [
+                wspec((tkp // 8, tn)),
+                wspec((tkp // 8, tn), off_kt=nkt),
+            ]
+        operands += [a, a]
+        in_specs += [aspec(), aspec(off_kt=nkt)]
+        kernel = functools.partial(
+            _kernel_w4,
+            offset={"q4_0": 8, "q5_0": 16}.get(w.qtype, 0),
+            has_min=w.m_t is not None,
+            has_qh=w.qh_t is not None,
+            mxu_dtype=mxu_dtype,
+            fused_q8_act=fused_quant,
+        )
+        wbytes = khalf * np_ + (k // QK) * np_ * 2 * (2 if w.m_t is not None else 1)
+    else:
+        operands = [padn(w.qs_t), padn(w.d_t), a]
+        in_specs = [
+            wspec((tkp, tn)),
+            wspec((tkb, tn)),
+            aspec(),
+        ]
+        kernel = functools.partial(
+            _kernel_w8, mxu_dtype=mxu_dtype, fused_q8_act=fused_quant
+        )
+        wbytes = k * np_ + (k // QK) * np_ * 2
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (tm, tn), lambda mt, nt, kt: (mt, nt), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * k,
+            bytes_accessed=wbytes + mp * k * a.dtype.itemsize + mp * np_ * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out[:m, : w.n]
+
+
+__all__ = ["PreparedWeight", "prepare", "gemm", "supports"]

@@ -1,0 +1,103 @@
+"""Kernel registry and dispatch — the bake-off surface of the ladder.
+
+The reference's methodology is a named ladder of kernel variants benchmarked
+against each other (tests/benchmark_best.cu lists 8).  This registry is the
+TPU equivalent: every GEMM implementation is registered under a stable name,
+the benchmark harness iterates the registry, and :func:`dispatch` picks the
+default serving kernel for a given (format, shape, backend).
+
+Ladder (fastest serving path last):
+
+====================  ======================================================
+name                  strategy
+====================  ======================================================
+xla_dequant           dequantize + jnp.dot (naive rung; XLA-fused)
+xla_compensated       reference compensation formula as two XLA matmuls
+xla_int               exact per-block int32 einsum (correctness oracle)
+pallas_exact          Pallas int8-MXU per-block dots + compensation epilogue
+pallas_f32            Pallas fused dequant GEMM, f32 MXU (accuracy mode)
+pallas_fused_quant    Pallas GEMM with in-kernel Q8_1 activation quantization
+pallas                Pallas fused dequant GEMM, bf16 MXU (serving default)
+====================  ======================================================
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax.numpy as jnp
+
+from ..formats.blocks import Q8_1Tensor
+from . import gemm_exact as _exact
+from . import gemm_pallas as _gp
+from . import gemm_xla as _gx
+
+
+def _as_prepared(w):
+    return w if isinstance(w, _gp.PreparedWeight) else _gp.prepare(w)
+
+
+def _xla_dequant(w_q, act, **kw):
+    if isinstance(act, Q8_1Tensor):
+        return _gx.gemm_wxa8_scaled_xla(w_q, act)
+    return _gx.gemm_wxa16_xla(w_q, act)
+
+
+def _xla_compensated(w_q, act, **kw):
+    assert isinstance(act, Q8_1Tensor)
+    return _gx.gemm_wxa8_compensated_xla(w_q, act, **kw)
+
+
+def _xla_int(w_q, act, **kw):
+    assert isinstance(act, Q8_1Tensor)
+    return _gx.gemm_wxa8_int_xla(w_q, act, **kw)
+
+
+def _pallas(w, act, **kw):
+    return _gp.gemm(_as_prepared(w), act, **kw)
+
+
+def _pallas_f32(w, act, **kw):
+    return _gp.gemm(_as_prepared(w), act, mxu_dtype=jnp.float32, **kw)
+
+
+def _pallas_fused_quant(w, act, **kw):
+    assert not isinstance(act, Q8_1Tensor), "fused variant takes float acts"
+    return _gp.gemm(_as_prepared(w), act, fused_quant=True, **kw)
+
+
+def _pallas_exact(w, act, **kw):
+    assert isinstance(act, Q8_1Tensor)
+    return _exact.gemm_exact(_as_prepared(w), act, **kw)
+
+
+KERNELS: Dict[str, Callable] = {
+    "xla_dequant": _xla_dequant,
+    "xla_compensated": _xla_compensated,
+    "xla_int": _xla_int,
+    "pallas_exact": _pallas_exact,
+    "pallas_f32": _pallas_f32,
+    "pallas_fused_quant": _pallas_fused_quant,
+    "pallas": _pallas,
+}
+
+
+def dispatch(w, act, impl: str | None = None, **kw):
+    """Run a quantized GEMM, auto-selecting the fastest valid kernel.
+
+    ``w``: SoA container or PreparedWeight.  ``act``: float [M, K] or
+    Q8_1Tensor.  Falls back to the XLA rung when K is not Pallas-tileable.
+    """
+    if impl is not None:
+        return KERNELS[impl](w, act, **kw)
+    k = w.k if isinstance(w, _gp.PreparedWeight) else (
+        w.qs.shape[-1] if hasattr(w, "qs") else w.packed.shape[-1] * 2
+    )
+    if _gp.supports(k):
+        return _pallas(w, act, **kw)
+    if isinstance(w, _gp.PreparedWeight):
+        raise ValueError(f"K={k} needs the XLA rung; pass the SoA container")
+    return _xla_dequant(w, act, **kw)
+
+
+__all__ = ["KERNELS", "dispatch"]

@@ -1,0 +1,145 @@
+"""Kernel ladder differential tests (CPU interpret mode; TPU when
+QGT_TEST_TPU=1).
+
+Every rung is verified against the numpy integer golden and against FP32,
+mirroring the reference's three-level differential strategy (SURVEY §4).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quant_gemm_tpu.formats import jax_quant, numpy_ref
+from quant_gemm_tpu.harness import datagen
+from quant_gemm_tpu.harness.metrics import NMSE_VS_FP32, ErrorMetrics
+from quant_gemm_tpu.kernels import KERNELS, dispatch, gemm_exact, prepare
+from quant_gemm_tpu.ref import gemm as refg
+
+M, N, K = 4, 384, 512
+WEIGHT_FORMATS = ["q4_0", "q4_1", "q5_0", "q5_1", "q8_0"]
+
+
+@pytest.fixture(scope="module")
+def data():
+    a = datagen.normal((M, K), seed=1)
+    w = datagen.normal((N, K), seed=2)
+    a_q = numpy_ref.quantize_q8_1(a)
+    return a, w, a_q
+
+
+@pytest.mark.parametrize("fmt", WEIGHT_FORMATS)
+def test_pallas_wxa16_vs_golden(fmt, data):
+    """f32-MXU Pallas kernels must near-bit-match the dequant golden
+    (the reference observes <1e-13 GPU-vs-CPU NMSE; same class here)."""
+    a, w, _ = data
+    w_q = numpy_ref.QUANTIZE[fmt](w)
+    gold = refg.gemm_wxa16(a, w_q)
+    out = KERNELS["pallas_f32"](w_q, jnp.asarray(a))
+    m = ErrorMetrics.compute(out, gold)
+    assert m.nmse < 1e-12, (fmt, m)
+
+
+@pytest.mark.parametrize("fmt", WEIGHT_FORMATS)
+def test_pallas_wxa8_scaled_vs_fp32(fmt, data):
+    a, w, a_q = data
+    w_q = numpy_ref.QUANTIZE[fmt](w)
+    ref = refg.gemm_fp32(a, w)
+    out = KERNELS["pallas_f32"](w_q, jax_quant.device_put(a_q))
+    m = ErrorMetrics.compute(out, ref)
+    assert m.check(NMSE_VS_FP32[fmt]), (fmt, m)
+
+
+@pytest.mark.parametrize("fmt", ["q4_0", "q8_0"])
+def test_pallas_exact_matches_integer_golden(fmt, data):
+    """The exact-int kernel reproduces reference W4A8 semantics (f16 s_a and
+    all): agreement with the numpy golden is f32-accumulation-limited."""
+    a, w, a_q = data
+    w_q = numpy_ref.QUANTIZE[fmt](w)
+    gold = refg.gemm_wxa8(w_q, a_q)
+    out = gemm_exact(prepare(w_q), jax_quant.device_put(a_q))
+    m = ErrorMetrics.compute(out, gold)
+    assert m.nmse < 1e-12, (fmt, m)
+
+
+def test_xla_int_bitexact_vs_golden(data):
+    a, w, a_q = data
+    w_q = numpy_ref.quantize_q4_0(w)
+    gold = refg.gemm_w4a8(w_q, a_q)
+    out = KERNELS["xla_int"](w_q, jax_quant.device_put(a_q))
+    m = ErrorMetrics.compute(out, gold)
+    assert m.nmse < 1e-13, m
+
+
+@pytest.mark.parametrize(
+    "impl", ["xla_dequant", "xla_compensated", "pallas", "pallas_f32"]
+)
+def test_ladder_rungs_vs_fp32(impl, data):
+    """Every ladder rung must stay within the reference W4A8 NMSE budget."""
+    a, w, a_q = data
+    w_q = numpy_ref.quantize_q4_0(w)
+    ref = refg.gemm_fp32(a, w)
+    out = KERNELS[impl](w_q, jax_quant.device_put(a_q))
+    m = ErrorMetrics.compute(out, ref)
+    assert m.check(NMSE_VS_FP32["q4_0"]), (impl, m)
+
+
+def test_fused_quant_matches_separate_quant(data):
+    """In-kernel activation quantization ~= quantize-then-gemm (both vs the
+    compensation golden; fused uses exact sums and per-tile rounding)."""
+    a, w, a_q = data
+    w_q = numpy_ref.quantize_q4_0(w)
+    gold = refg.gemm_w4a8(w_q, a_q)
+    out = KERNELS["pallas_fused_quant"](w_q, jnp.asarray(a), mxu_dtype=jnp.float32)
+    m = ErrorMetrics.compute(out, gold)
+    assert m.nmse < 1e-4, m
+
+
+def test_dispatch_fallback_small_k():
+    """K not Pallas-tileable falls back to the XLA rung."""
+    a = datagen.normal((2, 96), seed=5)
+    w = datagen.normal((64, 96), seed=6)
+    w_q = numpy_ref.quantize_q4_0(w)
+    out = dispatch(w_q, jnp.asarray(a))
+    m = ErrorMetrics.compute(out, refg.gemm_wxa16(a, w_q))
+    assert m.nmse < 1e-10, m
+
+
+def test_odd_shapes_padding():
+    """M/N not tile-aligned must be handled by padding, bit-identically."""
+    a = datagen.normal((3, 512), seed=7)
+    w = datagen.normal((130, 512), seed=8)
+    w_q = numpy_ref.quantize_q4_0(w)
+    out = KERNELS["pallas_f32"](w_q, jnp.asarray(a))
+    m = ErrorMetrics.compute(out, refg.gemm_wxa16(a, w_q))
+    assert m.nmse < 1e-12, m
+    assert out.shape == (3, 130)
+
+
+def test_decode_m1(data):
+    _, w, _ = data
+    a = datagen.normal((1, K), seed=9)
+    a_q = numpy_ref.quantize_q8_1(a)
+    w_q = numpy_ref.quantize_q4_0(w)
+    out = KERNELS["pallas_f32"](w_q, jax_quant.device_put(a_q))
+    gold = refg.gemm_wxa8(w_q, a_q)
+    m = ErrorMetrics.compute(out, gold)
+    assert m.nmse < 1e-5, m  # scaled path: differs from golden only via f16 s_a
+    assert out.shape == (1, N)
+
+
+def test_jax_quantize_matches_numpy():
+    """jnp quantizers are bit-identical to the numpy goldens."""
+    x = datagen.normal((4, 256), seed=11)
+    for fmt, qfn in numpy_ref.QUANTIZE.items():
+        t_np = qfn(x)
+        t_j = jax_quant.QUANTIZE[fmt](jnp.asarray(x))
+        for a_np, a_j in zip(t_np, t_j):
+            np.testing.assert_array_equal(
+                np.asarray(a_np), np.asarray(a_j), err_msg=fmt
+            )
+        np.testing.assert_allclose(
+            numpy_ref.dequantize(t_np),
+            np.asarray(jax_quant.dequantize(t_j)),
+            atol=0,
+            rtol=0,
+        )
