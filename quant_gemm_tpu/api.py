@@ -1,0 +1,115 @@
+"""Drop-in ``quant_gemm``-compatible Python API.
+
+Mirrors the reference's PyTorch extension surface
+(python/quant_gemm/__init__.py:33-102 + csrc/bindings.cpp:19-91): quantized
+tensors cross this boundary as **uint8 AoS block bytes** with shapes
+``[..., K/32, 18]`` (Q4_0) / ``[..., K/32, 36]`` (Q8_1), and the GEMM uses
+the reference's *weight-first* convention::
+
+    gemm_q4_0_q8_1(weight_q, activation_q, M, N, K) -> [M, N]
+    # M = weight rows (out-features), N = activation rows (batch)
+
+Internally everything converts to the SoA planar containers and runs on the
+TPU kernel ladder (framework-native code should use those directly; this
+module exists so reference users can port scripts unchanged, minus torch).
+
+Input arrays may be numpy or jax; outputs are jax arrays on the default
+device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .formats import gguf, numpy_ref
+from .formats.blocks import QK, SPECS
+from .kernels import dispatch
+
+BLOCK_Q4_0_BYTES = 18
+BLOCK_Q8_1_BYTES = 36
+QK4_0 = QK
+QK8_1 = QK
+
+
+def _check_k(x, what: str) -> int:
+    k = x.shape[-1]
+    if k % QK:
+        raise ValueError(f"{what}: last dim K={k} must be divisible by {QK}")
+    return k
+
+
+def quantize(x, qtype: str) -> np.ndarray:
+    """Quantize float ``[..., K]`` to AoS block bytes ``[..., K/32, B]``."""
+    if qtype not in SPECS:
+        raise ValueError(f"unknown quant type {qtype!r}; have {sorted(SPECS)}")
+    _check_k(x, f"quantize_{qtype}")
+    x = np.asarray(x, np.float32)
+    return gguf.to_bytes(numpy_ref.QUANTIZE[qtype](x))
+
+
+def quantize_q4_0(x) -> np.ndarray:
+    """FP32 [..., K] -> uint8 [..., K/32, 18] (reference __init__.py:33-43)."""
+    return quantize(x, "q4_0")
+
+
+def quantize_q8_1(x) -> np.ndarray:
+    """FP32 [..., K] -> uint8 [..., K/32, 36] (reference __init__.py:46-56)."""
+    return quantize(x, "q8_1")
+
+
+def dequantize(x_q, qtype: str, K: int) -> np.ndarray:
+    spec = SPECS[qtype]
+    x_q = np.asarray(x_q)
+    if x_q.dtype != np.uint8:
+        raise ValueError(f"dequantize_{qtype}: expected uint8, got {x_q.dtype}")
+    if x_q.shape[-2:] != (K // QK, spec.block_bytes):
+        raise ValueError(
+            f"dequantize_{qtype}: expected [..., {K // QK}, {spec.block_bytes}], "
+            f"got {x_q.shape}"
+        )
+    return numpy_ref.dequantize(gguf.from_bytes(x_q, qtype))
+
+
+def dequantize_q4_0(x_q, K: int) -> np.ndarray:
+    """uint8 [..., K/32, 18] -> FP32 [..., K] (reference __init__.py:78-89)."""
+    return dequantize(x_q, "q4_0", K)
+
+
+def gemm_q4_0_q8_1(weight_q, activation_q, M: int, N: int, K: int):
+    """C[M, N] = W[M, K] @ A[N, K]^T, reference convention (M = out-features).
+
+    Validation mirrors bindings.cpp:49-91 (numel/shape/dtype checks).
+    """
+    weight_q = np.asarray(weight_q)
+    activation_q = np.asarray(activation_q)
+    nb = K // QK
+    if weight_q.dtype != np.uint8 or activation_q.dtype != np.uint8:
+        raise ValueError("gemm_q4_0_q8_1: block tensors must be uint8")
+    if weight_q.size != M * nb * BLOCK_Q4_0_BYTES:
+        raise ValueError(
+            f"weight numel {weight_q.size} != M*(K/32)*18 = {M * nb * BLOCK_Q4_0_BYTES}"
+        )
+    if activation_q.size != N * nb * BLOCK_Q8_1_BYTES:
+        raise ValueError(
+            f"activation numel {activation_q.size} != N*(K/32)*36 = "
+            f"{N * nb * BLOCK_Q8_1_BYTES}"
+        )
+    w = gguf.from_bytes(weight_q.reshape(M, nb, BLOCK_Q4_0_BYTES), "q4_0")
+    a = gguf.from_bytes(activation_q.reshape(N, nb, BLOCK_Q8_1_BYTES), "q8_1")
+    # project convention is activation-first: C_proj[N, M]; transpose back.
+    out = dispatch(w, a)
+    return out.T
+
+
+__all__ = [
+    "quantize",
+    "quantize_q4_0",
+    "quantize_q8_1",
+    "dequantize",
+    "dequantize_q4_0",
+    "gemm_q4_0_q8_1",
+    "QK4_0",
+    "QK8_1",
+    "BLOCK_Q4_0_BYTES",
+    "BLOCK_Q8_1_BYTES",
+]

@@ -1,0 +1,89 @@
+"""Rotary position embeddings (reference kernels/attention/rope.cuh).
+
+Semantics preserved:
+
+* ``theta_i = pos * freq_scale / base^(2i / head_dim)``, base default 10000
+  (rope.cuh:33-48);
+* **split layout** (default, llama): pair ``(x[i], x[i + d/2])``
+  (rope.cuh:57-85);
+* **interleaved layout**: pair ``(x[2i], x[2i+1])`` (rope.cuh:88-117);
+* rotation: ``x0' = x0 c - x1 s``, ``x1' = x0 s + x1 c``;
+* precomputed cos/sin cache + cached-apply (rope.cuh:223-365) maps to
+  :func:`rope_cache` + :func:`apply_rope`, the jit-friendly form (compute
+  the cache once per model, gather rows by position).
+
+Shapes: ``x[..., n_heads, head_dim]``; ``pos`` scalar or ``[...]`` batch of
+positions (the reference's batched-sequence kernel).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_BASE = 10000.0
+
+
+def rope_cache(max_pos: int, head_dim: int, base: float = DEFAULT_BASE,
+               freq_scale: float = 1.0, dtype=jnp.float32):
+    """cos/sin tables [max_pos, head_dim/2] (rope.cuh:223-250)."""
+    inv_freq = 1.0 / (base ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+    t = np.arange(max_pos, dtype=np.float64)[:, None] * inv_freq[None, :] * freq_scale
+    return jnp.asarray(np.cos(t), dtype), jnp.asarray(np.sin(t), dtype)
+
+
+def apply_rope(x, pos, cache, interleaved: bool = False):
+    """Rotate ``x[..., H, D]`` by position(s) ``pos`` using a rope_cache."""
+    cos_t, sin_t = cache
+    pos = jnp.asarray(pos)
+    cos = cos_t[pos][..., None, :]  # [..., 1, D/2]
+    sin = sin_t[pos][..., None, :]
+    d = x.shape[-1]
+    x32 = x.astype(jnp.float32)
+    if interleaved:
+        x0 = x32[..., 0::2]
+        x1 = x32[..., 1::2]
+        r0 = x0 * cos - x1 * sin
+        r1 = x0 * sin + x1 * cos
+        out = jnp.stack([r0, r1], axis=-1).reshape(x.shape)
+    else:
+        x0 = x32[..., : d // 2]
+        x1 = x32[..., d // 2 :]
+        out = jnp.concatenate([x0 * cos - x1 * sin, x0 * sin + x1 * cos], axis=-1)
+    return out.astype(x.dtype)
+
+
+def rope(x, pos, base: float = DEFAULT_BASE, freq_scale: float = 1.0,
+         interleaved: bool = False):
+    """One-shot RoPE without a cache (single-pos kernels, rope.cuh:124-186)."""
+    max_pos = int(np.max(np.asarray(pos))) + 1
+    return apply_rope(x, pos, rope_cache(max_pos, x.shape[-1], base, freq_scale),
+                      interleaved=interleaved)
+
+
+def rope_ref(x, pos, base: float = DEFAULT_BASE, freq_scale: float = 1.0,
+             interleaved: bool = False):
+    """Scalar-loop reference transcription of rope_cpu_f32 (rope.cuh:57-117)."""
+    x = np.asarray(x, np.float32).copy()
+    lead = x.shape[:-2]
+    pos = np.broadcast_to(np.asarray(pos), lead)
+    h, d = x.shape[-2], x.shape[-1]
+    for r in np.ndindex(lead):
+        p = float(pos[r])
+        for hh in range(h):
+            head = x[r + (hh,)]
+            for i in range(d // 2):
+                freq = 1.0 / (base ** (2.0 * i / d))
+                th = p * freq * freq_scale
+                c, s = np.cos(th), np.sin(th)
+                if interleaved:
+                    i0, i1 = 2 * i, 2 * i + 1
+                else:
+                    i0, i1 = i, i + d // 2
+                x0, x1 = head[i0], head[i1]
+                head[i0] = x0 * c - x1 * s
+                head[i1] = x0 * s + x1 * c
+    return x
+
+
+__all__ = ["rope_cache", "apply_rope", "rope", "rope_ref", "DEFAULT_BASE"]

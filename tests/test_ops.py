@@ -1,0 +1,129 @@
+"""Element-op tests vs scalar numpy references (reference tests/unit/test_{rms_norm,rope,silu,softmax}.cu analogues)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import importlib
+
+# ops/__init__ exports functions under the same names as their modules
+# (rms_norm, rope, softmax), so fetch the modules explicitly.
+rms_norm = importlib.import_module("quant_gemm_tpu.ops.rms_norm")
+rope = importlib.import_module("quant_gemm_tpu.ops.rope")
+softmax = importlib.import_module("quant_gemm_tpu.ops.softmax")
+from quant_gemm_tpu.harness import datagen
+from quant_gemm_tpu.ops import activations, elementwise
+
+R, C = 5, 512
+
+
+@pytest.fixture(scope="module")
+def x():
+    return datagen.normal((R, C), seed=1)
+
+
+def _close(a, b, tol=2e-6):
+    np.testing.assert_allclose(np.asarray(a), b, rtol=tol, atol=tol)
+
+
+def test_silu(x):
+    _close(activations.silu(jnp.asarray(x)), activations.silu_ref(x))
+
+
+def test_silu_mul(x):
+    g = datagen.normal((R, C), seed=2)
+    _close(activations.silu_mul(jnp.asarray(x), jnp.asarray(g)),
+           activations.silu_mul_ref(x, g))
+
+
+def test_gelu(x):
+    _close(activations.gelu(jnp.asarray(x)), activations.gelu_ref(x))
+
+
+def test_gelu_quick(x):
+    _close(activations.gelu_quick(jnp.asarray(x)), activations.gelu_quick_ref(x))
+
+
+def test_gelu_quick_vs_exact(x):
+    """tanh approximation stays within ~3e-3 of exact gelu (llama.cpp claim)."""
+    d = np.abs(activations.gelu_ref(x) - activations.gelu_quick_ref(x))
+    assert d.max() < 3e-3
+
+
+def test_elementwise(x):
+    y = datagen.normal((R, C), seed=3)
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+    _close(elementwise.add(xj, yj), elementwise.add_ref(x, y))
+    _close(elementwise.mul(xj, yj), elementwise.mul_ref(x, y))
+    _close(elementwise.scale(xj, 0.7), elementwise.scale_ref(x, 0.7))
+    _close(elementwise.add_scale(xj, yj, 1.3), elementwise.add_scale_ref(x, y, 1.3))
+
+
+def test_rms_norm(x):
+    w = datagen.uniform((C,), 0.5, 1.5, seed=4)
+    ref = rms_norm.rms_norm_ref(x, w)
+    _close(rms_norm.rms_norm(jnp.asarray(x), jnp.asarray(w)), ref)
+    _close(rms_norm.rms_norm_pallas(jnp.asarray(x), jnp.asarray(w)), ref)
+
+
+def test_rms_norm_odd_rows():
+    x = datagen.normal((3, 256), seed=5)
+    w = datagen.uniform((256,), 0.5, 1.5, seed=6)
+    out = rms_norm.rms_norm_pallas(jnp.asarray(x), jnp.asarray(w))
+    assert out.shape == (3, 256)
+    _close(out, rms_norm.rms_norm_ref(x, w))
+
+
+def test_softmax(x):
+    ref = softmax.softmax_ref(x)
+    _close(softmax.softmax(jnp.asarray(x)), ref)
+    _close(softmax.softmax_pallas(jnp.asarray(x)), ref)
+
+
+def test_softmax_causal(x):
+    for pos in [0, 5, C // 2, C - 1, C + 7]:
+        ref = softmax.softmax_causal_ref(x, pos, scale=0.125)
+        out = softmax.softmax_causal(jnp.asarray(x), pos, scale=0.125)
+        _close(out, ref)
+        # masked tail must be exact zeros
+        if pos + 1 < C:
+            assert np.all(np.asarray(out)[:, pos + 1 :] == 0)
+
+
+def test_softmax_causal_per_row_pos(x):
+    pos = np.array([0, 3, 100, C - 1, 2])
+    ref = softmax.softmax_causal_ref(x, pos)
+    _close(softmax.softmax_causal(jnp.asarray(x), jnp.asarray(pos)), ref)
+
+
+@pytest.mark.parametrize("interleaved", [False, True])
+def test_rope_single_pos(interleaved):
+    x = datagen.normal((4, 64), seed=7).reshape(1, 4, 64)  # [1, heads, dim]
+    ref = rope.rope_ref(x, 17, interleaved=interleaved)
+    out = rope.rope(jnp.asarray(x), 17, interleaved=interleaved)
+    _close(out, ref, tol=1e-5)
+
+
+def test_rope_batched_and_cache():
+    x = datagen.normal((6, 4, 64), seed=8)  # [seq, heads, dim]
+    pos = np.arange(10, 16)
+    ref = rope.rope_ref(x, pos)
+    cache = rope.rope_cache(64, 64)
+    out = rope.apply_rope(jnp.asarray(x), jnp.asarray(pos), cache)
+    _close(out, ref, tol=1e-5)
+
+
+def test_rope_freq_scale():
+    x = datagen.normal((1, 2, 32), seed=9)
+    ref = rope.rope_ref(x, 9, freq_scale=0.5)
+    cache = rope.rope_cache(16, 32, freq_scale=0.5)
+    _close(rope.apply_rope(jnp.asarray(x), 9, cache), ref, tol=1e-5)
+
+
+def test_rope_norm_preserved():
+    """Rotation must preserve pair norms (sanity independent of layout)."""
+    x = datagen.normal((1, 2, 64), seed=10)
+    out = np.asarray(rope.rope(jnp.asarray(x), 123))
+    n_in = np.linalg.norm(x)
+    n_out = np.linalg.norm(out)
+    assert abs(n_in - n_out) < 1e-3
