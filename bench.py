@@ -1,0 +1,75 @@
+"""Headline benchmark: W4A8 (Q4_0 x Q8_1) GEMM on the reference's champion
+decode config — out-features 4096, batch 4 tokens, K 14336.
+
+Baseline: the reference's best kernel on this exact shape, the
+double-buffered async CUDA kernel at 3346.2 GFLOPS
+(docs/final_optimization_report.md:9-16, BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} to stdout;
+diagnostics go to stderr.  Timing uses the loop-amortized methodology from
+quant_gemm_tpu.harness.benchmark (validated at 97% of MXU peak).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+BASELINE_TFLOPS = 3.3462  # reference async double-buffer kernel, 4096x4x14336
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+
+    from quant_gemm_tpu.formats import jax_quant, numpy_ref
+    from quant_gemm_tpu.harness import benchmark as bm
+    from quant_gemm_tpu.harness import datagen
+    from quant_gemm_tpu.harness.metrics import ErrorMetrics
+    from quant_gemm_tpu.kernels import gemm_pallas
+    from quant_gemm_tpu.ref import gemm as refg
+
+    log(f"device: {jax.devices()[0]}")
+    n_feat, m_tok, k = 4096, 4, 14336
+
+    w = datagen.normal((n_feat, k), seed=2)
+    a = datagen.normal((m_tok, k), seed=1)
+    w_q = numpy_ref.quantize_q4_0(w)
+    a_q_np = numpy_ref.quantize_q8_1(a)
+    wp = jax.device_put(gemm_pallas.prepare(w_q))
+    a_q = jax_quant.device_put(a_q_np)
+
+    # correctness gate before timing
+    out = gemm_pallas.gemm(wp, a_q)
+    m = ErrorMetrics.compute(out, refg.gemm_fp32(a, w))
+    log(f"accuracy: NMSE vs FP32 = {m.nmse:.3e} (budget 1.5e-2)")
+    assert m.nmse < 1.5e-2, m
+
+    res = bm.benchmark_kernel(
+        gemm_pallas.gemm,
+        (wp, a_q),
+        name="pallas_w4a8",
+        flops=bm.gemm_flops(m_tok, n_feat, k),
+        bytes_accessed=bm.weight_bytes("q4_0", n_feat, k) + m_tok * k + m_tok * n_feat * 4,
+    )
+    log(res.row())
+    log(f"roofline: {res.gbps:.0f} GB/s of ~820 GB/s HBM ({res.gbps / 8.2:.0f}%)")
+
+    print(
+        json.dumps(
+            {
+                "metric": "w4a8_q4_0xq8_1_gemm_4096x4x14336",
+                "value": round(res.tflops, 3),
+                "unit": "TFLOPS",
+                "vs_baseline": round(res.tflops / BASELINE_TFLOPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -106,12 +106,25 @@ def benchmark_kernel(
     chain: Callable = default_chain,
     l1: int = 8,
     l2: int = 40,
+    target_window_s: float = 0.05,
 ) -> BenchResult:
-    """Measure one kernel's steady-state device time (see module docstring)."""
+    """Measure one kernel's steady-state device time (see module docstring).
+
+    Adaptive: after a pilot measurement, loop lengths are rescaled so the
+    measured window is >= ``target_window_s`` (i.e. well above the ~2 ms
+    dispatch noise), then the slope is re-measured.
+    """
     args = tuple(args)
     t1 = _timed_loop(kernel, chain, args, l1)
     t2 = _timed_loop(kernel, chain, args, l2)
     dt = max((t2 - t1) / (l2 - l1), 1e-9)
+    span = dt * (l2 - l1)
+    if span < target_window_s:
+        scale = min(int(target_window_s / span) + 1, 64)
+        l1b, l2b = l1 * scale, l2 * scale
+        t1 = _timed_loop(kernel, chain, args, l1b)
+        t2 = _timed_loop(kernel, chain, args, l2b)
+        dt = max((t2 - t1) / (l2b - l1b), 1e-9)
     return BenchResult(name, dt, flops, bytes_accessed)
 
 

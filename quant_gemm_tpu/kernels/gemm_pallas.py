@@ -39,6 +39,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -104,12 +105,12 @@ def prepare(w_q) -> PreparedWeight:
 
 
 def _expand_rows(d_tile: jax.Array, reps: int) -> jax.Array:
-    """[TKB, TN] per-block values -> [TKB*reps, TN] per-row.
+    """[TKB, TN] per-block values -> [TKB*reps, TN] per-row (dtype preserved).
 
     Sublane repeat is a broadcast + leading-dim reshape on the VPU — exact
     (no matmul rounding) and free compared with lane-dim expansion.
     """
-    return jnp.repeat(d_tile.astype(jnp.float32), reps, axis=0)
+    return jnp.repeat(d_tile, reps, axis=0)
 
 
 def _expand_bits(qh_tile: jax.Array) -> jax.Array:
@@ -166,18 +167,6 @@ def _kernel_w4(*refs, offset, has_min, has_qh, mxu_dtype, fused_q8_act):
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    # int8 vector shifts don't legalize in Mosaic; do bit ops on i32 lanes.
-    packed = packed_ref[:].astype(jnp.int32)
-
-    def weight_slab(nib_i32, d_ref, m_ref, qh_ref):
-        q = nib_i32.astype(jnp.float32)
-        if has_qh:
-            q = q + 16.0 * _expand_bits(qh_ref[:])
-        d = _expand_rows(d_ref[:], QK)
-        if has_min:
-            return (q * d + _expand_rows(m_ref[:], QK)).astype(mxu_dtype)
-        return ((q - float(offset)) * d).astype(mxu_dtype)
-
     def act_slab(a_ref):
         a = a_ref[:]
         if fused_q8_act:
@@ -188,8 +177,28 @@ def _kernel_w4(*refs, offset, has_min, has_qh, mxu_dtype, fused_q8_act):
             a = _fake_quant_q8(a)
         return a.astype(mxu_dtype)
 
+    # f32 dequant math with f16-exact scales, cast to mxu_dtype at the dot.
+    # int8 vector shifts don't legalize in Mosaic; bit ops run on i32 lanes.
+    # (A signed-nibble bitcast trick — (p & 0xF0) ^ 0x80 as int8 ==
+    # 16*(q_hi-8) — was tried to cut VPU ops and measured *slower*: the
+    # u8<->i32 bitcasts force vector relayouts that outweigh the saved
+    # arithmetic.  See docs/PERF_NOTES.md for the decode bottleneck study.)
+    packed = packed_ref[:].astype(jnp.int32)
+
+    def weight_slab(nib_i32, d_ref, m_ref, qh_ref):
+        q = nib_i32.astype(jnp.float32)
+        if has_qh:
+            q = q + 16.0 * _expand_bits(qh_ref[:])
+        d = _expand_rows(d_ref[:].astype(jnp.float32), QK)
+        if has_min:
+            return (
+                q * d + _expand_rows(m_ref[:].astype(jnp.float32), QK)
+            ).astype(mxu_dtype)
+        return ((q - float(offset)) * d).astype(mxu_dtype)
+
     w_lo = weight_slab(packed & 0x0F, dlo_ref, mlo_ref, qhlo_ref)
     w_hi = weight_slab(packed >> 4, dhi_ref, mhi_ref, qhhi_ref)
+
     out_ref[:] += _dot(act_slab(alo_ref), w_lo) + _dot(act_slab(ahi_ref), w_hi)
 
 
@@ -254,8 +263,8 @@ def gemm(
     act,
     *,
     tm: int = 256,
-    tn: int = 512,
-    tkp: int = 1024,
+    tn: int | None = None,
+    tkp: int | None = None,
     mxu_dtype=jnp.bfloat16,
     fused_quant: bool = False,
     interpret: bool | None = None,
@@ -266,6 +275,10 @@ def gemm(
     activation scales folded by XLA before the kernel), or float with
     ``fused_quant=True`` (on-the-fly in-kernel Q8_1 quantization, the
     gemm_fused.cuh analogue).
+
+    ``tn``/``tkp`` default to the measured-best tiles per regime on v5e:
+    decode (M <= 32) favours wide N tiles (tn=2048) to maximize the
+    weight-streaming DMA size; prefill favours tn=1024 for MXU efficiency.
     """
     if isinstance(act, Q8_1Tensor):
         assert not fused_quant
@@ -275,6 +288,10 @@ def gemm(
         a = act
     m, k = a.shape
     assert k == w.k, (a.shape, w.k)
+    if tn is None:
+        tn = 2048 if m <= 32 else 1024
+    if tkp is None:
+        tkp = 1024
     if interpret is None:
         interpret = _interpret_default()
 

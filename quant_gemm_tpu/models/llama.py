@@ -1,0 +1,287 @@
+"""Quantized Llama model runtime — the framework's flagship integration.
+
+The reference is a kernel library whose operator catalogue is explicitly
+"everything in a llama transformer block except attention-matmul/KV-cache"
+(OPERATOR_LIST.md:88-137).  This module assembles those operators into the
+full TPU-native inference runtime the reference points at:
+
+* RMSNorm -> QKV projections (quantized GEMMs) -> RoPE -> causal attention
+  with a static-shape KV cache -> out-proj -> residual,
+* RMSNorm -> gate/up (quantized) -> fused SiLU*gate -> down (quantized),
+* activations quantized on the fly to Q8_1 (act_mode='q8_1', the W4A8
+  serving path) or kept bf16 (act_mode='bf16', W4A16).
+
+Weights are stored packed (PreparedWeight); attention math runs in bf16 on
+the MXU with f32 softmax.  Everything is jit-compatible: static shapes,
+``lax.dynamic_update_slice`` KV cache, position-indexed RoPE cache.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats import jax_quant
+from ..kernels import gemm_pallas
+from ..ops.rms_norm import rms_norm
+from ..ops.rope import apply_rope, rope_cache as make_rope_cache
+from ..ops.activations import silu_mul
+
+
+class LlamaConfig(NamedTuple):
+    vocab: int = 256
+    dim: int = 512
+    n_layers: int = 2
+    n_heads: int = 8
+    n_kv_heads: int = 8
+    d_ff: int = 1024
+    max_seq: int = 256
+    rope_base: float = 10000.0
+    eps: float = 1e-5
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+
+LINEAR_NAMES = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def init_params(cfg: LlamaConfig, seed: int = 0) -> dict:
+    """Random float32 parameters (numpy, host-side) in [N, K] row-major."""
+    rng = np.random.default_rng(seed)
+
+    def lin(n, k):
+        return (rng.standard_normal((n, k)) * (1.0 / np.sqrt(k))).astype(np.float32)
+
+    layers = []
+    for _ in range(cfg.n_layers):
+        layers.append(
+            {
+                "attn_norm": np.ones(cfg.dim, np.float32),
+                "wq": lin(cfg.n_heads * cfg.head_dim, cfg.dim),
+                "wk": lin(cfg.n_kv_heads * cfg.head_dim, cfg.dim),
+                "wv": lin(cfg.n_kv_heads * cfg.head_dim, cfg.dim),
+                "wo": lin(cfg.dim, cfg.n_heads * cfg.head_dim),
+                "mlp_norm": np.ones(cfg.dim, np.float32),
+                "w_gate": lin(cfg.d_ff, cfg.dim),
+                "w_up": lin(cfg.d_ff, cfg.dim),
+                "w_down": lin(cfg.dim, cfg.d_ff),
+            }
+        )
+    return {
+        "embed": (rng.standard_normal((cfg.vocab, cfg.dim)) * 0.02).astype(np.float32),
+        "layers": layers,
+        "final_norm": np.ones(cfg.dim, np.float32),
+        "lm_head": lin(cfg.vocab, cfg.dim),
+    }
+
+
+def quantize_params(params: dict, qtype: str = "q4_0") -> dict:
+    """Quantize every linear to ``qtype`` packed weights (PreparedWeight).
+
+    Embedding/norms stay float; the lm_head is quantized too when its K is
+    tileable, else kept bf16.
+    """
+    from ..formats import numpy_ref
+
+    quantize = numpy_ref.QUANTIZE[qtype]
+
+    def prep(w):
+        return gemm_pallas.prepare(quantize(np.asarray(w)))
+
+    out = {
+        "embed": jnp.asarray(params["embed"], jnp.bfloat16),
+        "final_norm": jnp.asarray(params["final_norm"]),
+        "layers": [],
+    }
+    for lyr in params["layers"]:
+        q = {k: jnp.asarray(v) for k, v in lyr.items() if k.endswith("norm")}
+        for name in LINEAR_NAMES:
+            q[name] = prep(lyr[name])
+        out["layers"].append(q)
+    out["lm_head"] = prep(params["lm_head"])
+    return out
+
+
+def _linear(w: gemm_pallas.PreparedWeight, x: jax.Array, act_mode: str) -> jax.Array:
+    """y[M, N] = x[M, K] @ W^T through the quantized kernel ladder."""
+    if act_mode == "q8_1":
+        act = jax_quant.quantize_q8_1(x.astype(jnp.float32))
+    else:
+        act = x.astype(jnp.bfloat16)
+    return gemm_pallas.gemm(w, act)
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # [L, B, max_seq, n_kv, head_dim] bf16
+    v: jax.Array
+    pos: jax.Array  # scalar int32: tokens already cached
+
+    @staticmethod
+    def init(cfg: LlamaConfig, batch: int) -> "KVCache":
+        shape = (cfg.n_layers, batch, cfg.max_seq, cfg.n_kv_heads, cfg.head_dim)
+        return KVCache(
+            jnp.zeros(shape, jnp.bfloat16),
+            jnp.zeros(shape, jnp.bfloat16),
+            jnp.zeros((), jnp.int32),
+        )
+
+
+def _attention(cfg, q, k_all, v_all, pos0, t):
+    """q: [B, T, H, hd]; k_all/v_all: [B, S, KV, hd] (full cache buffers).
+
+    Causal: query i (global pos pos0+i) attends to cache slots <= pos0+i.
+    """
+    b, tq, h, hd = q.shape
+    s = k_all.shape[1]
+    rep = h // k_all.shape[2]
+    k_all = jnp.repeat(k_all, rep, axis=2)  # GQA -> MHA
+    v_all = jnp.repeat(v_all, rep, axis=2)
+    scores = jnp.einsum(
+        "bthd,bshd->bhts", q.astype(jnp.bfloat16), k_all, preferred_element_type=jnp.float32
+    ) / np.sqrt(hd).astype(np.float32)
+    qpos = pos0 + jnp.arange(tq)
+    mask = jnp.arange(s)[None, :] <= qpos[:, None]  # [T, S]
+    scores = jnp.where(mask[None, None], scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhts,bshd->bthd", probs.astype(jnp.bfloat16), v_all, preferred_element_type=jnp.float32
+    )
+    return out.reshape(b, tq, h * hd)
+
+
+def forward(
+    qparams: dict,
+    cfg: LlamaConfig,
+    tokens: jax.Array,  # [B, T] int32
+    cache: KVCache,
+    *,
+    act_mode: str = "q8_1",
+    rope_cache=None,
+) -> tuple[jax.Array, KVCache]:
+    """Run T tokens (prefill when T>1, decode when T=1) against the cache.
+
+    Returns (logits [B, T, vocab] f32, updated cache).
+    """
+    b, t = tokens.shape
+    pos0 = cache.pos
+    if rope_cache is None:
+        rope_cache = make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base)
+
+    x = qparams["embed"][tokens].astype(jnp.float32)  # [B, T, D]
+    positions = pos0 + jnp.arange(t)
+
+    new_k, new_v = cache.k, cache.v
+    for li, lyr in enumerate(qparams["layers"]):
+        h = rms_norm(x, lyr["attn_norm"], cfg.eps)
+        flat = h.reshape(b * t, cfg.dim)
+        q = _linear(lyr["wq"], flat, act_mode).reshape(b, t, cfg.n_heads, cfg.head_dim)
+        k = _linear(lyr["wk"], flat, act_mode).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        v = _linear(lyr["wv"], flat, act_mode).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        q = apply_rope(q, positions[None, :], rope_cache)
+        k = apply_rope(k, positions[None, :], rope_cache)
+
+        new_k = jax.lax.dynamic_update_slice(
+            new_k, k.astype(jnp.bfloat16)[None], (li, 0, pos0, 0, 0)
+        )
+        new_v = jax.lax.dynamic_update_slice(
+            new_v, v.astype(jnp.bfloat16)[None], (li, 0, pos0, 0, 0)
+        )
+        attn = _attention(cfg, q, new_k[li], new_v[li], pos0, t)
+        x = x + _linear(lyr["wo"], attn.reshape(b * t, -1), act_mode).reshape(b, t, cfg.dim)
+
+        h = rms_norm(x, lyr["mlp_norm"], cfg.eps)
+        flat = h.reshape(b * t, cfg.dim)
+        gate = _linear(lyr["w_gate"], flat, act_mode)
+        up = _linear(lyr["w_up"], flat, act_mode)
+        ff = silu_mul(gate, up)
+        x = x + _linear(lyr["w_down"], ff, act_mode).reshape(b, t, cfg.dim)
+
+    x = rms_norm(x, qparams["final_norm"], cfg.eps)
+    logits = _linear(qparams["lm_head"], x.reshape(b * t, cfg.dim), act_mode)
+    return logits.reshape(b, t, cfg.vocab), KVCache(new_k, new_v, pos0 + t)
+
+
+def forward_float(params: dict, cfg: LlamaConfig, tokens, cache: KVCache):
+    """FP32 reference forward (same math, dequant-free) for accuracy tests."""
+    fp = {
+        "embed": jnp.asarray(params["embed"]),
+        "final_norm": jnp.asarray(params["final_norm"]),
+        "lm_head": _FloatLinear(jnp.asarray(params["lm_head"])),
+        "layers": [
+            {
+                **{k: jnp.asarray(v) for k, v in lyr.items() if k.endswith("norm")},
+                **{n: _FloatLinear(jnp.asarray(lyr[n])) for n in LINEAR_NAMES},
+            }
+            for lyr in params["layers"]
+        ],
+    }
+    return forward(fp, cfg, tokens, cache, act_mode="float")
+
+
+class _FloatLinear:
+    """Duck-typed PreparedWeight for the float reference path."""
+
+    def __init__(self, w):
+        self.w = w  # [N, K]
+        self.n, self.k = w.shape
+
+
+def _float_linear(w: _FloatLinear, x: jax.Array) -> jax.Array:
+    return jnp.dot(
+        x.astype(jnp.float32), w.w.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+# route float mode through _linear
+_quant_linear = _linear
+
+
+def _linear(w, x, act_mode):  # noqa: F811
+    if isinstance(w, _FloatLinear):
+        return _float_linear(w, x)
+    return _quant_linear(w, x, act_mode)
+
+
+def greedy_decode(
+    qparams: dict,
+    cfg: LlamaConfig,
+    prompt: jax.Array,  # [B, T0]
+    steps: int,
+    *,
+    act_mode: str = "q8_1",
+):
+    """Prefill the prompt then greedily decode ``steps`` tokens (jit-able)."""
+    b = prompt.shape[0]
+    cache = KVCache.init(cfg, b)
+    rc = make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base)
+    logits, cache = forward(qparams, cfg, prompt, cache, act_mode=act_mode, rope_cache=rc)
+    tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+
+    def body(carry, _):
+        tok, cache = carry
+        logits, cache = forward(
+            qparams, cfg, tok[:, None], cache, act_mode=act_mode, rope_cache=rc
+        )
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        return (nxt, cache), nxt
+
+    (_, cache), toks = jax.lax.scan(body, (tok, cache), None, length=steps - 1)
+    return jnp.concatenate([tok[:, None], toks.T], axis=1), cache
+
+
+__all__ = [
+    "LlamaConfig",
+    "init_params",
+    "quantize_params",
+    "forward",
+    "forward_float",
+    "greedy_decode",
+    "KVCache",
+]

@@ -1,0 +1,76 @@
+"""Flagship quantized-Llama runtime tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quant_gemm_tpu.models import llama
+
+CFG = llama.LlamaConfig(
+    vocab=128, dim=512, n_layers=2, n_heads=8, n_kv_heads=4, d_ff=1024, max_seq=64
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return llama.init_params(CFG, seed=0)
+
+
+@pytest.fixture(scope="module")
+def qparams(params):
+    return llama.quantize_params(params, "q4_0")
+
+
+def test_quantized_forward_close_to_float(params, qparams):
+    """Error must scale with bit-width (random weights are the q4 worst
+    case: measured rel err ~2.6% q8_0, ~15% q5_0, ~31% q4_0)."""
+    tokens = jnp.asarray(np.arange(12, dtype=np.int32).reshape(2, 6) % CFG.vocab)
+    cache = llama.KVCache.init(CFG, 2)
+    ref, _ = llama.forward_float(params, CFG, tokens, cache)
+
+    q8 = llama.quantize_params(params, "q8_0")
+    out8, cache2 = llama.forward(q8, CFG, tokens, cache, act_mode="q8_1")
+    assert out8.shape == (2, 6, CFG.vocab)
+    assert int(cache2.pos) == 6
+    rel8 = float(jnp.linalg.norm(out8 - ref) / jnp.linalg.norm(ref))
+    assert rel8 < 0.05, rel8
+    assert float(jnp.mean(jnp.argmax(out8, -1) == jnp.argmax(ref, -1))) == 1.0
+
+    out4, _ = llama.forward(qparams, CFG, tokens, cache, act_mode="q8_1")
+    rel4 = float(jnp.linalg.norm(out4 - ref) / jnp.linalg.norm(ref))
+    assert rel8 < rel4 < 0.5, (rel8, rel4)
+    agree = float(jnp.mean(jnp.argmax(out4, -1) == jnp.argmax(ref, -1)))
+    assert agree >= 0.5, agree
+
+
+def test_prefill_then_decode_consistency(qparams):
+    """Prefill(T)+decode(1) must equal prefill(T+1) on the shared prefix."""
+    toks = jnp.asarray([[3, 5, 7, 9, 11, 13]], dtype=jnp.int32)
+    cache = llama.KVCache.init(CFG, 1)
+    full, _ = llama.forward(qparams, CFG, toks, cache, act_mode="q8_1")
+
+    cache = llama.KVCache.init(CFG, 1)
+    _, cache = llama.forward(qparams, CFG, toks[:, :5], cache, act_mode="q8_1")
+    last, cache = llama.forward(qparams, CFG, toks[:, 5:6], cache, act_mode="q8_1")
+    np.testing.assert_allclose(
+        np.asarray(last[0, 0]), np.asarray(full[0, 5]), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_greedy_decode_jits(qparams):
+    prompt = jnp.asarray([[1, 2, 3]], dtype=jnp.int32)
+    toks, cache = llama.greedy_decode(qparams, CFG, prompt, steps=4)
+    assert toks.shape == (1, 4)
+    # prompt (3) + steps-1 fed-back tokens; the last generated token is
+    # returned but never fed through the model
+    assert int(cache.pos) == 3 + 4 - 1
+    assert np.all(np.asarray(toks) >= 0) and np.all(np.asarray(toks) < CFG.vocab)
+
+
+def test_bf16_act_mode(qparams):
+    tokens = jnp.asarray([[1, 2, 3, 4]], dtype=jnp.int32)
+    cache = llama.KVCache.init(CFG, 1)
+    out, _ = llama.forward(qparams, CFG, tokens, cache, act_mode="bf16")
+    assert out.shape == (1, 4, CFG.vocab)
+    assert bool(jnp.isfinite(out).all())
