@@ -1,0 +1,211 @@
+"""GGUF container file reader/writer (v3).
+
+The reference consumes real GGUF weights only through llama.cpp's own loader
+(docs/llama-cpp-integration/test-kernel-real-data.cu); this module gives the
+TPU framework a first-class boundary: read a ``.gguf`` file, get metadata and
+quantized tensors as SoA planar containers ready for ``kernels.prepare``.
+
+Implements the GGUF v3 layout (little-endian):
+
+    magic 'GGUF' | version u32 | n_tensors u64 | n_kv u64
+    kv*: key(str) type(u32) value          (str = u64 len + bytes)
+    tensor-info*: name(str) n_dims(u32) dims(u64*) ggml_type(u32) offset(u64)
+    padding to `general.alignment` (default 32) | tensor data blob
+
+ggml_type ids as in the reference's QuantType enum (compat/ggml_types.h:199):
+F32=0, F16=1, Q4_0=2, Q4_1=3, Q5_0=6, Q5_1=7, Q8_0=8, Q8_1=9.
+
+A minimal writer is included so tests can round-trip real container files
+without shipping binary fixtures.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any, BinaryIO
+
+import numpy as np
+
+from . import gguf as gguf_blocks
+from .blocks import QK, SPECS
+
+MAGIC = b"GGUF"
+VERSION = 3
+DEFAULT_ALIGNMENT = 32
+
+GGML_TYPES = {0: "f32", 1: "f16", 2: "q4_0", 3: "q4_1", 6: "q5_0", 7: "q5_1",
+              8: "q8_0", 9: "q8_1"}
+GGML_IDS = {v: k for k, v in GGML_TYPES.items()}
+
+# GGUF metadata value types
+_KV_FMT = {0: "<B", 1: "<b", 2: "<H", 3: "<h", 4: "<I", 5: "<i", 6: "<f",
+           7: "<?", 10: "<Q", 11: "<q", 12: "<d"}
+_KV_STRING = 8
+_KV_ARRAY = 9
+
+
+def _read_str(f: BinaryIO) -> str:
+    (n,) = struct.unpack("<Q", f.read(8))
+    return f.read(n).decode("utf-8")
+
+
+def _write_str(f: BinaryIO, s: str) -> None:
+    b = s.encode("utf-8")
+    f.write(struct.pack("<Q", len(b)))
+    f.write(b)
+
+
+def _read_value(f: BinaryIO, vtype: int) -> Any:
+    if vtype in _KV_FMT:
+        fmt = _KV_FMT[vtype]
+        return struct.unpack(fmt, f.read(struct.calcsize(fmt)))[0]
+    if vtype == _KV_STRING:
+        return _read_str(f)
+    if vtype == _KV_ARRAY:
+        (etype,) = struct.unpack("<I", f.read(4))
+        (n,) = struct.unpack("<Q", f.read(8))
+        return [_read_value(f, etype) for _ in range(n)]
+    raise ValueError(f"unknown GGUF kv type {vtype}")
+
+
+def _kv_type_of(v: Any) -> int:
+    if isinstance(v, bool):
+        return 7
+    if isinstance(v, int):
+        return 11  # i64
+    if isinstance(v, float):
+        return 12  # f64
+    if isinstance(v, str):
+        return _KV_STRING
+    raise TypeError(type(v))
+
+
+def _write_value(f: BinaryIO, v: Any) -> None:
+    t = _kv_type_of(v)
+    if t == _KV_STRING:
+        _write_str(f, v)
+    else:
+        f.write(struct.pack(_KV_FMT[t], v))
+
+
+def tensor_nbytes(qtype: str, n_elems: int) -> int:
+    if qtype == "f32":
+        return n_elems * 4
+    if qtype == "f16":
+        return n_elems * 2
+    spec = SPECS[qtype]
+    assert n_elems % QK == 0
+    return n_elems // QK * spec.block_bytes
+
+
+class GGUFFile:
+    """Parsed GGUF container: ``metadata`` dict + lazy tensor access."""
+
+    def __init__(self, path):
+        self.path = path
+        self.metadata: dict[str, Any] = {}
+        self.tensors: dict[str, dict] = {}  # name -> {shape, qtype, offset}
+        with open(path, "rb") as f:
+            magic = f.read(4)
+            if magic != MAGIC:
+                raise ValueError(f"not a GGUF file (magic {magic!r})")
+            version, = struct.unpack("<I", f.read(4))
+            if version not in (2, 3):
+                raise ValueError(f"unsupported GGUF version {version}")
+            n_tensors, n_kv = struct.unpack("<QQ", f.read(16))
+            for _ in range(n_kv):
+                key = _read_str(f)
+                (vtype,) = struct.unpack("<I", f.read(4))
+                self.metadata[key] = _read_value(f, vtype)
+            for _ in range(n_tensors):
+                name = _read_str(f)
+                (nd,) = struct.unpack("<I", f.read(4))
+                dims = struct.unpack(f"<{nd}Q", f.read(8 * nd))
+                ggml_type, offset = struct.unpack("<IQ", f.read(12))
+                if ggml_type not in GGML_TYPES:
+                    raise ValueError(f"unsupported ggml type {ggml_type} for {name}")
+                # GGUF dims are reversed (ne[0] = innermost = K)
+                shape = tuple(reversed(dims))
+                self.tensors[name] = {
+                    "shape": shape,
+                    "qtype": GGML_TYPES[ggml_type],
+                    "offset": offset,
+                }
+            align = int(self.metadata.get("general.alignment", DEFAULT_ALIGNMENT))
+            pos = f.tell()
+            self._data_start = (pos + align - 1) // align * align
+
+    def raw(self, name: str) -> np.ndarray:
+        info = self.tensors[name]
+        n_elems = int(np.prod(info["shape"]))
+        nbytes = tensor_nbytes(info["qtype"], n_elems)
+        with open(self.path, "rb") as f:
+            f.seek(self._data_start + info["offset"])
+            buf = np.frombuffer(f.read(nbytes), np.uint8)
+        return buf
+
+    def load(self, name: str):
+        """Return a SoA container (quantized) or float ndarray (f32/f16)."""
+        info = self.tensors[name]
+        shape = info["shape"]
+        qt = info["qtype"]
+        buf = self.raw(name)
+        if qt == "f32":
+            return buf.view(np.float32).reshape(shape)
+        if qt == "f16":
+            return buf.view(np.float16).reshape(shape)
+        spec = SPECS[qt]
+        k = shape[-1]
+        lead = shape[:-1]
+        aos = buf.reshape(lead + (k // QK, spec.block_bytes))
+        return gguf_blocks.from_bytes(aos, qt)
+
+
+def write_gguf(path, tensors: dict, metadata: dict | None = None) -> None:
+    """Write containers / float arrays to a GGUF v3 file.
+
+    ``tensors``: {name: SoA container | float32/float16 ndarray}.
+    """
+    metadata = dict(metadata or {})
+    metadata.setdefault("general.alignment", DEFAULT_ALIGNMENT)
+    align = int(metadata["general.alignment"])
+
+    blobs: list[tuple[str, tuple, str, bytes]] = []
+    for name, t in tensors.items():
+        if isinstance(t, np.ndarray):
+            qt = {np.dtype(np.float32): "f32", np.dtype(np.float16): "f16"}[t.dtype]
+            blobs.append((name, t.shape, qt, t.tobytes()))
+        else:
+            qt = t.spec.name
+            aos = gguf_blocks.to_bytes(t)
+            shape = aos.shape[:-2] + (aos.shape[-2] * QK,)
+            blobs.append((name, shape, qt, aos.tobytes()))
+
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<I", VERSION))
+        f.write(struct.pack("<QQ", len(blobs), len(metadata)))
+        for k, v in metadata.items():
+            _write_str(f, k)
+            f.write(struct.pack("<I", _kv_type_of(v)))
+            _write_value(f, v)
+        offset = 0
+        offsets = []
+        for name, shape, qt, data in blobs:
+            _write_str(f, name)
+            dims = tuple(reversed(shape))
+            f.write(struct.pack("<I", len(dims)))
+            f.write(struct.pack(f"<{len(dims)}Q", *dims))
+            f.write(struct.pack("<IQ", GGML_IDS[qt], offset))
+            offsets.append(offset)
+            offset += (len(data) + align - 1) // align * align
+        pos = f.tell()
+        f.write(b"\0" * ((pos + align - 1) // align * align - pos))
+        for (_, _, _, data), off in zip(blobs, offsets):
+            start = f.tell()
+            f.write(data)
+            pad = (len(data) + align - 1) // align * align - len(data)
+            f.write(b"\0" * pad)
+
+
+__all__ = ["GGUFFile", "write_gguf", "GGML_TYPES", "tensor_nbytes"]

@@ -161,3 +161,22 @@ def test_degenerate_blocks():
         big = np.full((1, 32), 6.5e4, np.float32)  # near f16 max
         out = numpy_ref.dequantize(numpy_ref.QUANTIZE[fmt](big))
         assert np.isfinite(out).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """save_npz/load_npz round-trips containers and nested trees bit-exactly."""
+    from quant_gemm_tpu.formats import checkpoint
+
+    x = datagen.normal((4, 128), seed=20)
+    tree = {
+        "layer0": {"w": numpy_ref.quantize_q4_0(x), "norm": x[0]},
+        "acts": numpy_ref.quantize_q8_1(x),
+    }
+    p = tmp_path / "ckpt.npz"
+    checkpoint.save_npz(p, tree)
+    back = checkpoint.load_npz(p)
+    for f, want in zip(back["layer0/w"]._fields, tree["layer0"]["w"]):
+        np.testing.assert_array_equal(getattr(back["layer0/w"], f), np.asarray(want))
+    np.testing.assert_array_equal(back["layer0/norm"], x[0])
+    for f, want in zip(back["acts"]._fields, tree["acts"]):
+        np.testing.assert_array_equal(getattr(back["acts"], f), np.asarray(want))
