@@ -120,7 +120,7 @@ def _linear(w: gemm_pallas.PreparedWeight, x: jax.Array, act_mode: str) -> jax.A
 class KVCache(NamedTuple):
     k: jax.Array  # [L, B, max_seq, n_kv, head_dim] bf16
     v: jax.Array
-    pos: jax.Array  # scalar int32: tokens already cached
+    pos: jax.Array  # int32 [B]: tokens already cached, per slot
 
     @staticmethod
     def init(cfg: LlamaConfig, batch: int) -> "KVCache":
@@ -128,14 +128,15 @@ class KVCache(NamedTuple):
         return KVCache(
             jnp.zeros(shape, jnp.bfloat16),
             jnp.zeros(shape, jnp.bfloat16),
-            jnp.zeros((), jnp.int32),
+            jnp.zeros((batch,), jnp.int32),
         )
 
 
-def _attention(cfg, q, k_all, v_all, pos0, t):
+def _attention(cfg, q, k_all, v_all, positions):
     """q: [B, T, H, hd]; k_all/v_all: [B, S, KV, hd] (full cache buffers).
 
-    Causal: query i (global pos pos0+i) attends to cache slots <= pos0+i.
+    ``positions``: [B, T] global position of each query token.  Causal:
+    query at position p attends to cache slots <= p (per slot/row).
     """
     b, tq, h, hd = q.shape
     s = k_all.shape[1]
@@ -145,9 +146,8 @@ def _attention(cfg, q, k_all, v_all, pos0, t):
     scores = jnp.einsum(
         "bthd,bshd->bhts", q.astype(jnp.bfloat16), k_all, preferred_element_type=jnp.float32
     ) / np.sqrt(hd).astype(np.float32)
-    qpos = pos0 + jnp.arange(tq)
-    mask = jnp.arange(s)[None, :] <= qpos[:, None]  # [T, S]
-    scores = jnp.where(mask[None, None], scores, jnp.finfo(jnp.float32).min)
+    mask = jnp.arange(s)[None, None, :] <= positions[:, :, None]  # [B, T, S]
+    scores = jnp.where(mask[:, None], scores, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
         "bhts,bshd->bthd", probs.astype(jnp.bfloat16), v_all, preferred_element_type=jnp.float32
@@ -164,17 +164,22 @@ def forward(
     act_mode: str = "q8_1",
     rope_cache=None,
 ) -> tuple[jax.Array, KVCache]:
-    """Run T tokens (prefill when T>1, decode when T=1) against the cache.
+    """Run T tokens per slot (prefill when T>1, decode when T=1).
 
-    Returns (logits [B, T, vocab] f32, updated cache).
+    Slots advance independently (per-slot ``cache.pos``), which is what the
+    continuous-batching server relies on.  Returns (logits [B, T, vocab]
+    f32, updated cache).
     """
     b, t = tokens.shape
-    pos0 = cache.pos
+    pos0 = cache.pos  # [B]
     if rope_cache is None:
         rope_cache = make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base)
 
     x = qparams["embed"][tokens].astype(jnp.float32)  # [B, T, D]
-    positions = pos0 + jnp.arange(t)
+    positions = pos0[:, None] + jnp.arange(t)[None, :]  # [B, T]
+    slot_idx = jnp.arange(b)[:, None]  # [B, 1]
+    # clamp writes so finished/overflowing slots stay in bounds
+    wpos = jnp.minimum(positions, cfg.max_seq - 1)
 
     new_k, new_v = cache.k, cache.v
     for li, lyr in enumerate(qparams["layers"]):
@@ -183,16 +188,12 @@ def forward(
         q = _linear(lyr["wq"], flat, act_mode).reshape(b, t, cfg.n_heads, cfg.head_dim)
         k = _linear(lyr["wk"], flat, act_mode).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
         v = _linear(lyr["wv"], flat, act_mode).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
-        q = apply_rope(q, positions[None, :], rope_cache)
-        k = apply_rope(k, positions[None, :], rope_cache)
+        q = apply_rope(q, positions, rope_cache)
+        k = apply_rope(k, positions, rope_cache)
 
-        new_k = jax.lax.dynamic_update_slice(
-            new_k, k.astype(jnp.bfloat16)[None], (li, 0, pos0, 0, 0)
-        )
-        new_v = jax.lax.dynamic_update_slice(
-            new_v, v.astype(jnp.bfloat16)[None], (li, 0, pos0, 0, 0)
-        )
-        attn = _attention(cfg, q, new_k[li], new_v[li], pos0, t)
+        new_k = new_k.at[li, slot_idx, wpos].set(k.astype(jnp.bfloat16))
+        new_v = new_v.at[li, slot_idx, wpos].set(v.astype(jnp.bfloat16))
+        attn = _attention(cfg, q, new_k[li], new_v[li], positions)
         x = x + _linear(lyr["wo"], attn.reshape(b * t, -1), act_mode).reshape(b, t, cfg.dim)
 
         h = rms_norm(x, lyr["mlp_norm"], cfg.eps)

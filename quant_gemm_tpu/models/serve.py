@@ -1,0 +1,156 @@
+"""Continuous-batching serving loop over the quantized Llama runtime.
+
+The north-star serving pattern: a fixed pool of batch slots whose sequences
+advance independently — new requests prefill into a free slot while other
+slots keep decoding, so the quantized GEMMs always run at the full batched
+decode shape (M = n_slots) regardless of request arrival order.
+
+Single jit'd programs:
+
+* prefill: one request -> (slot-cache slab, first token), bucketed prompt
+  lengths to bound recompilation;
+* decode step: one batched forward of [n_slots, 1] tokens with per-slot
+  positions (llama.KVCache.pos is a vector).
+
+Greedy sampling; inactive slots run masked garbage (their writes land at a
+clamped position and are fully overwritten on the next prefill).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import round_up
+from . import llama
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt: list
+    max_new: int
+    generated: list = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class Server:
+    """Continuous-batching greedy decoder over fixed slots."""
+
+    def __init__(
+        self,
+        qparams,
+        cfg: llama.LlamaConfig,
+        n_slots: int = 8,
+        act_mode: str = "q8_1",
+        prefill_bucket: int = 16,
+        eos_id: Optional[int] = None,
+    ):
+        self.qparams = qparams
+        self.cfg = cfg
+        self.n_slots = n_slots
+        self.act_mode = act_mode
+        self.bucket = prefill_bucket
+        self.eos_id = eos_id
+        self.cache = llama.KVCache.init(cfg, n_slots)
+        self.slots: list[Optional[Request]] = [None] * n_slots
+        self.queue: list[Request] = []
+        self.finished: dict[int, Request] = {}
+        self._next_rid = 0
+        self._rope = llama.make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base)
+
+        @functools.partial(jax.jit, static_argnames=("t",))
+        def _prefill(qparams, tokens, length, t):
+            # tokens [1, t] padded; only `length` real.  Use a fresh B=1 cache.
+            c1 = llama.KVCache.init(cfg, 1)
+            logits, c1 = llama.forward(
+                qparams, cfg, tokens, c1, act_mode=act_mode, rope_cache=self._rope
+            )
+            last = jnp.argmax(logits[0, length - 1], axis=-1).astype(jnp.int32)
+            return c1.k[:, 0], c1.v[:, 0], last
+
+        @jax.jit
+        def _decode(qparams, tokens, cache):
+            logits, cache = llama.forward(
+                qparams, cfg, tokens, cache, act_mode=act_mode, rope_cache=self._rope
+            )
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return nxt, cache
+
+        self._prefill = _prefill
+        self._decode = _decode
+        self._pending_tok = np.zeros(n_slots, np.int32)
+
+    # -- request lifecycle ---------------------------------------------------
+
+    def submit(self, prompt: list, max_new: int = 16) -> int:
+        r = Request(self._next_rid, list(prompt), max_new)
+        self._next_rid += 1
+        self.queue.append(r)
+        return r.rid
+
+    def _admit(self) -> None:
+        for s in range(self.n_slots):
+            if self.slots[s] is not None or not self.queue:
+                continue
+            r = self.queue.pop(0)
+            t = max(self.bucket, round_up(len(r.prompt), self.bucket))
+            padded = np.zeros((1, t), np.int32)
+            padded[0, : len(r.prompt)] = r.prompt
+            k1, v1, first = self._prefill(
+                self.qparams, jnp.asarray(padded), len(r.prompt), t=t
+            )
+            self.cache = llama.KVCache(
+                self.cache.k.at[:, s].set(k1),
+                self.cache.v.at[:, s].set(v1),
+                self.cache.pos.at[s].set(len(r.prompt)),
+            )
+            tok = int(first)
+            r.generated.append(tok)
+            self._pending_tok[s] = tok
+            self.slots[s] = r
+
+    def step(self) -> dict[int, int]:
+        """Admit queued requests, run one batched decode step.
+
+        Returns {request_id: new_token} for slots that produced a token.
+        """
+        self._admit()
+        active = [s for s in range(self.n_slots) if self.slots[s] is not None]
+        if not active:
+            return {}
+        tokens = jnp.asarray(self._pending_tok[:, None])
+        nxt, self.cache = self._decode(self.qparams, tokens, self.cache)
+        nxt = np.asarray(nxt)
+        out = {}
+        for s in active:
+            r = self.slots[s]
+            tok = int(nxt[s])
+            r.generated.append(tok)
+            self._pending_tok[s] = tok
+            out[r.rid] = tok
+            if (
+                len(r.generated) >= r.max_new
+                or (self.eos_id is not None and tok == self.eos_id)
+                or int(self.cache.pos[s]) >= self.cfg.max_seq - 1
+            ):
+                r.done = True
+                self.finished[r.rid] = r
+                self.slots[s] = None
+        return out
+
+    def run_until_done(self, max_steps: int = 10_000) -> dict[int, list]:
+        """Drain the queue; returns {request_id: generated tokens}."""
+        for _ in range(max_steps):
+            if not self.queue and all(s is None for s in self.slots):
+                break
+            self.step()
+        return {rid: r.generated for rid, r in self.finished.items()}
+
+
+__all__ = ["Server", "Request"]

@@ -32,7 +32,7 @@ def test_quantized_forward_close_to_float(params, qparams):
     q8 = llama.quantize_params(params, "q8_0")
     out8, cache2 = llama.forward(q8, CFG, tokens, cache, act_mode="q8_1")
     assert out8.shape == (2, 6, CFG.vocab)
-    assert int(cache2.pos) == 6
+    assert int(cache2.pos[0]) == 6
     rel8 = float(jnp.linalg.norm(out8 - ref) / jnp.linalg.norm(ref))
     assert rel8 < 0.05, rel8
     assert float(jnp.mean(jnp.argmax(out8, -1) == jnp.argmax(ref, -1))) == 1.0
@@ -64,7 +64,7 @@ def test_greedy_decode_jits(qparams):
     assert toks.shape == (1, 4)
     # prompt (3) + steps-1 fed-back tokens; the last generated token is
     # returned but never fed through the model
-    assert int(cache.pos) == 3 + 4 - 1
+    assert int(cache.pos[0]) == 3 + 4 - 1
     assert np.all(np.asarray(toks) >= 0) and np.all(np.asarray(toks) < CFG.vocab)
 
 
