@@ -102,7 +102,7 @@ def gemm_exact(
     w: PreparedWeight,
     a_q: Q8_1Tensor,
     *,
-    tn: int = 256,
+    tn: int | None = None,
     tkp: int = 512,
     interpret: bool | None = None,
 ) -> jax.Array:
@@ -111,12 +111,20 @@ def gemm_exact(
     ``C[M, N] = sum_blocks d_w * (d_a * sumi - offset * s_a)`` with exact
     int32 sumi and the f16-stored (f32-upcast) d/s values — matching the
     numpy golden ``ref.gemm.gemm_wxa8`` to f32 accumulation order.
+
+    This is also the fastest *decode* (M <= ~12) serving kernel: raw int4/8
+    codes go straight from HBM to int8 MXU dots with no per-element dequant
+    arithmetic, so it runs at the weight-streaming DMA floor (measured 9.9
+    TFLOPS on 4096x4x14336 vs 6.7 for the dequant kernel — docs/PERF_NOTES.md).
+    Wide-N tiles maximize the DMA transfer size per grid step.
     """
     assert w.qtype in ("q4_0", "q8_0"), w.qtype
     if interpret is None:
         interpret = _interpret_default()
     m, k = a_q.qs.shape
     assert k == w.k
+    if tn is None:
+        tn = 4096
     is4 = w.qtype == "q4_0"
     kdim = k // 2 if is4 else k
     tkp = min(tkp, kdim)

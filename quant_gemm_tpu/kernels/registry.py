@@ -28,9 +28,9 @@ from typing import Callable, Dict
 import jax.numpy as jnp
 
 from ..formats.blocks import Q8_1Tensor
-from . import gemm_exact as _exact
 from . import gemm_pallas as _gp
 from . import gemm_xla as _gx
+from .gemm_exact import gemm_exact as _gemm_exact
 
 
 def _as_prepared(w):
@@ -68,7 +68,7 @@ def _pallas_fused_quant(w, act, **kw):
 
 def _pallas_exact(w, act, **kw):
     assert isinstance(act, Q8_1Tensor)
-    return _exact.gemm_exact(_as_prepared(w), act, **kw)
+    return _gemm_exact(_as_prepared(w), act, **kw)
 
 
 KERNELS: Dict[str, Callable] = {
@@ -82,11 +82,21 @@ KERNELS: Dict[str, Callable] = {
 }
 
 
+# Decode-regime crossover: below this many tokens the exact int8-MXU kernel
+# beats the dequant kernel (it streams raw codes with no per-element dequant
+# arithmetic); above it the wide-MXU dequant kernel wins.  Measured on v5e
+# at 4096x{1..16}x14336: exact wins up to M=8, ties ~M=12 (docs/PERF_NOTES.md).
+DECODE_M_MAX = 12
+
+
 def dispatch(w, act, impl: str | None = None, **kw):
     """Run a quantized GEMM, auto-selecting the fastest valid kernel.
 
     ``w``: SoA container or PreparedWeight.  ``act``: float [M, K] or
-    Q8_1Tensor.  Falls back to the XLA rung when K is not Pallas-tileable.
+    Q8_1Tensor.  Q8_1 activations in the decode regime (M <= DECODE_M_MAX,
+    q4_0/q8_0) route to the exact int8-MXU kernel — fastest AND bit-exact;
+    everything else takes the dequant MXU kernel.  Falls back to the XLA
+    rung when K is not Pallas-tileable.
     """
     if impl is not None:
         return KERNELS[impl](w, act, **kw)
@@ -94,7 +104,14 @@ def dispatch(w, act, impl: str | None = None, **kw):
         w.qs.shape[-1] if hasattr(w, "qs") else w.packed.shape[-1] * 2
     )
     if _gp.supports(k):
-        return _pallas(w, act, **kw)
+        wq = _as_prepared(w)
+        if (
+            isinstance(act, Q8_1Tensor)
+            and act.qs.shape[0] <= DECODE_M_MAX
+            and wq.qtype in ("q4_0", "q8_0")
+        ):
+            return _gemm_exact(wq, act, **kw)
+        return _gp.gemm(wq, act, **kw)
     if isinstance(w, _gp.PreparedWeight):
         raise ValueError(f"K={k} needs the XLA rung; pass the SoA container")
     return _xla_dequant(w, act, **kw)

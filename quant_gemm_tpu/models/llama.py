@@ -109,12 +109,18 @@ def quantize_params(params: dict, qtype: str = "q4_0") -> dict:
 
 
 def _linear(w: gemm_pallas.PreparedWeight, x: jax.Array, act_mode: str) -> jax.Array:
-    """y[M, N] = x[M, K] @ W^T through the quantized kernel ladder."""
+    """y[M, N] = x[M, K] @ W^T through the quantized kernel ladder.
+
+    Routed through the registry dispatch: decode-shaped W4A8/W8A8 calls hit
+    the exact int8-MXU kernel, prefill hits the dequant MXU kernel.
+    """
+    from .. import kernels as _k
+
     if act_mode == "q8_1":
         act = jax_quant.quantize_q8_1(x.astype(jnp.float32))
     else:
         act = x.astype(jnp.bfloat16)
-    return gemm_pallas.gemm(w, act)
+    return _k.dispatch(w, act)
 
 
 class KVCache(NamedTuple):

@@ -143,3 +143,27 @@ def test_jax_quantize_matches_numpy():
             atol=0,
             rtol=0,
         )
+
+
+def test_dispatch_decode_routes_to_exact(data):
+    """Decode-regime Q8_1 dispatch must hit the exact int kernel: the output
+    matches the integer golden bit-for-bit (the dequant rung would not)."""
+    a, w, a_q = data
+    w_q = numpy_ref.quantize_q4_0(w)
+    wp = prepare(w_q)
+    out = dispatch(wp, jax_quant.device_put(a_q))
+    gold = refg.gemm_wxa8(w_q, a_q)
+    m = ErrorMetrics.compute(out, gold)
+    assert m.nmse < 1e-12, m
+
+
+def test_dispatch_prefill_routes_to_dequant(data):
+    """Above the decode crossover the dequant kernel serves; accuracy is
+    checked against FP32 at the format budget."""
+    _, w, _ = data
+    a = datagen.normal((32, K), seed=13)
+    a_q = numpy_ref.quantize_q8_1(a)
+    w_q = numpy_ref.quantize_q4_0(w)
+    out = dispatch(prepare(w_q), jax_quant.device_put(a_q))
+    m = ErrorMetrics.compute(out, refg.gemm_fp32(a, w))
+    assert m.nmse < NMSE_VS_FP32["q4_0"], m
