@@ -17,8 +17,9 @@ import dataclasses
 
 from .benchmark import gemm_flops, weight_bytes
 
-# TPU v5e single-chip peaks
-HBM_GBPS = 820.0
+# TPU v5e single-chip peaks (HBM from the measured streaming probe,
+# scripts/perf_lab.py; the 819 GB/s spec figure under-reports this part)
+HBM_GBPS = 900.0
 BF16_TFLOPS = 197.0
 F32_TFLOPS = 197.0 / 8  # via high-precision passes
 INT8_TOPS = 394.0

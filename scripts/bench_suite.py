@@ -25,10 +25,10 @@ from quant_gemm_tpu.formats import jax_quant, numpy_ref  # noqa: E402
 from quant_gemm_tpu.harness import benchmark as bm  # noqa: E402
 from quant_gemm_tpu.harness import datagen  # noqa: E402
 from quant_gemm_tpu.harness.metrics import ErrorMetrics  # noqa: E402
-from quant_gemm_tpu.kernels import gemm_pallas  # noqa: E402
+from quant_gemm_tpu.kernels import dispatch, gemm_pallas  # noqa: E402
 from quant_gemm_tpu.ref import gemm as refg  # noqa: E402
 
-HBM_GBPS = 820.0  # TPU v5e
+HBM_GBPS = 900.0  # measured streaming roofline (docs/PERF_NOTES.md)
 
 
 def run(fmt: str, shapes, out_path: str | None):
@@ -42,13 +42,13 @@ def run(fmt: str, shapes, out_path: str | None):
             a = datagen.normal((m, k), seed=1)
             a_q = jax_quant.device_put(numpy_ref.quantize_q8_1(a))
             # accuracy gate (small slice to keep the golden cheap)
-            out = gemm_pallas.gemm(wp, a_q)
+            out = dispatch(wp, a_q)
             nmse = ErrorMetrics.compute(
                 np.asarray(out[: min(m, 8), :512]),
                 refg.gemm_fp32(a[: min(m, 8)], w[:512]),
             ).nmse
             r = bm.benchmark_kernel(
-                gemm_pallas.gemm,
+                dispatch,
                 (wp, a_q),
                 name=f"{fmt} w{fmt[1]}a8 {n_feat}x{m}x{k}",
                 flops=bm.gemm_flops(m, n_feat, k),
@@ -83,7 +83,7 @@ def main():
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     print(f"device: {jax.devices()[0]}")
-    shapes = [4] if args.quick else [1, 2, 4, 8, 512]
+    shapes = [4] if args.quick else [1, 2, 3, 4, 5, 8, 512]
     fmts = [args.format] if args.format else ["q4_0", "q8_0"]
     for fmt in fmts:
         run(fmt, shapes, args.out)
