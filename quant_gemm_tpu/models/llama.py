@@ -84,8 +84,12 @@ def init_params(cfg: LlamaConfig, seed: int = 0) -> dict:
 def quantize_params(params: dict, qtype: str = "q4_0") -> dict:
     """Quantize every linear to ``qtype`` packed weights (PreparedWeight).
 
-    Embedding/norms stay float; the lm_head is quantized too when its K is
-    tileable, else kept bf16.
+    QKV and gate/up are **fused** into single packed weights (Megatron
+    convention): block quantization is row-local, so the concat quantizes
+    bit-identically to the parts, and one wide GEMM replaces three — fixed
+    per-kernel-call cost (~30 us on a pipeline-ramped Pallas call) dominated
+    the decode step before this fusion (57 -> 33 calls per step on a
+    16-layer model).  Embedding/norms stay float.
     """
     from ..formats import numpy_ref
 
@@ -101,8 +105,17 @@ def quantize_params(params: dict, qtype: str = "q4_0") -> dict:
     }
     for lyr in params["layers"]:
         q = {k: jnp.asarray(v) for k, v in lyr.items() if k.endswith("norm")}
-        for name in LINEAR_NAMES:
-            q[name] = prep(lyr[name])
+        q["wqkv"] = prep(
+            np.concatenate(
+                [np.asarray(lyr["wq"]), np.asarray(lyr["wk"]), np.asarray(lyr["wv"])],
+                axis=0,
+            )
+        )
+        q["wo"] = prep(lyr["wo"])
+        q["wgu"] = prep(
+            np.concatenate([np.asarray(lyr["w_gate"]), np.asarray(lyr["w_up"])], axis=0)
+        )
+        q["w_down"] = prep(lyr["w_down"])
         out["layers"].append(q)
     out["lm_head"] = prep(params["lm_head"])
     return out
@@ -124,13 +137,22 @@ def _linear(w: gemm_pallas.PreparedWeight, x: jax.Array, act_mode: str) -> jax.A
 
 
 class KVCache(NamedTuple):
-    k: jax.Array  # [L, B, max_seq, n_kv, head_dim] bf16
+    """KV cache in attention-native layout.
+
+    ``[L, B, KV, S, hd]`` keeps the sequence dim adjacent to head_dim so the
+    decode-step score/value einsums read the cache with **no transposes** —
+    with the earlier ``[L, B, S, KV, hd]`` layout XLA re-laid-out the full
+    multi-hundred-MB cache every step (measured 4.1 -> 1.1 ms/step on a 0.7B
+    model just from this layout + the no-materialization GQA einsum below).
+    """
+
+    k: jax.Array  # [L, B, n_kv, max_seq, head_dim] bf16
     v: jax.Array
     pos: jax.Array  # int32 [B]: tokens already cached, per slot
 
     @staticmethod
     def init(cfg: LlamaConfig, batch: int) -> "KVCache":
-        shape = (cfg.n_layers, batch, cfg.max_seq, cfg.n_kv_heads, cfg.head_dim)
+        shape = (cfg.n_layers, batch, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
         return KVCache(
             jnp.zeros(shape, jnp.bfloat16),
             jnp.zeros(shape, jnp.bfloat16),
@@ -139,24 +161,31 @@ class KVCache(NamedTuple):
 
 
 def _attention(cfg, q, k_all, v_all, positions):
-    """q: [B, T, H, hd]; k_all/v_all: [B, S, KV, hd] (full cache buffers).
+    """q: [B, T, H, hd]; k_all/v_all: [B, KV, S, hd] (full cache buffers).
 
     ``positions``: [B, T] global position of each query token.  Causal:
     query at position p attends to cache slots <= p (per slot/row).
+    GQA runs as a grouped einsum (q reshaped to [B, T, KV, rep, hd]) so the
+    cache is never repeated/materialized.
     """
     b, tq, h, hd = q.shape
-    s = k_all.shape[1]
-    rep = h // k_all.shape[2]
-    k_all = jnp.repeat(k_all, rep, axis=2)  # GQA -> MHA
-    v_all = jnp.repeat(v_all, rep, axis=2)
+    kv = k_all.shape[1]
+    s = k_all.shape[2]
+    rep = h // kv
+    # bf16 MXU einsums on TPU; the CPU test backend lacks mixed-precision
+    # grouped dots, so it computes in f32
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    qg = q.reshape(b, tq, kv, rep, hd).astype(dt)
     scores = jnp.einsum(
-        "bthd,bshd->bhts", q.astype(jnp.bfloat16), k_all, preferred_element_type=jnp.float32
-    ) / np.sqrt(hd).astype(np.float32)
+        "btgrd,bgsd->bgrts", qg, k_all.astype(dt),
+        preferred_element_type=jnp.float32,
+    ) / np.sqrt(hd).astype(np.float32)  # [B, KV, rep, T, S]
     mask = jnp.arange(s)[None, None, :] <= positions[:, :, None]  # [B, T, S]
-    scores = jnp.where(mask[:, None], scores, jnp.finfo(jnp.float32).min)
+    scores = jnp.where(mask[:, None, None], scores, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
-        "bhts,bshd->bthd", probs.astype(jnp.bfloat16), v_all, preferred_element_type=jnp.float32
+        "bgrts,bgsd->btgrd", probs.astype(dt), v_all.astype(dt),
+        preferred_element_type=jnp.float32,
     )
     return out.reshape(b, tq, h * hd)
 
@@ -183,30 +212,45 @@ def forward(
 
     x = qparams["embed"][tokens].astype(jnp.float32)  # [B, T, D]
     positions = pos0[:, None] + jnp.arange(t)[None, :]  # [B, T]
-    slot_idx = jnp.arange(b)[:, None]  # [B, 1]
-    # clamp writes so finished/overflowing slots stay in bounds
-    wpos = jnp.minimum(positions, cfg.max_seq - 1)
+
+    def write_cache(buf, li, val_t):
+        """In-place per-slot cache write via dynamic_update_slice.
+
+        Positions are contiguous per slot, so each slot is ONE dus (start
+        auto-clamped at the buffer end, which keeps overflowing slots in
+        bounds).  A gather/scatter formulation here measured 2.5 ms/step on
+        an 8-layer 0.7B decode — dus is in-place and ~free under donation.
+        """
+        for bb in range(b):
+            buf = jax.lax.dynamic_update_slice(
+                buf, val_t[bb][None, None], (li, bb, 0, pos0[bb], 0)
+            )
+        return buf
 
     new_k, new_v = cache.k, cache.v
+    nq = cfg.n_heads * cfg.head_dim
+    nkv = cfg.n_kv_heads * cfg.head_dim
     for li, lyr in enumerate(qparams["layers"]):
         h = rms_norm(x, lyr["attn_norm"], cfg.eps)
         flat = h.reshape(b * t, cfg.dim)
-        q = _linear(lyr["wq"], flat, act_mode).reshape(b, t, cfg.n_heads, cfg.head_dim)
-        k = _linear(lyr["wk"], flat, act_mode).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
-        v = _linear(lyr["wv"], flat, act_mode).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        qkv = _linear(lyr["wqkv"], flat, act_mode)  # fused projection
+        q = qkv[:, :nq].reshape(b, t, cfg.n_heads, cfg.head_dim)
+        k = qkv[:, nq : nq + nkv].reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        v = qkv[:, nq + nkv :].reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
         q = apply_rope(q, positions, rope_cache)
         k = apply_rope(k, positions, rope_cache)
 
-        new_k = new_k.at[li, slot_idx, wpos].set(k.astype(jnp.bfloat16))
-        new_v = new_v.at[li, slot_idx, wpos].set(v.astype(jnp.bfloat16))
+        k_t = k.transpose(0, 2, 1, 3).astype(jnp.bfloat16)  # [B, KV, T, hd]
+        v_t = v.transpose(0, 2, 1, 3).astype(jnp.bfloat16)
+        new_k = write_cache(new_k, li, k_t)
+        new_v = write_cache(new_v, li, v_t)
         attn = _attention(cfg, q, new_k[li], new_v[li], positions)
         x = x + _linear(lyr["wo"], attn.reshape(b * t, -1), act_mode).reshape(b, t, cfg.dim)
 
         h = rms_norm(x, lyr["mlp_norm"], cfg.eps)
         flat = h.reshape(b * t, cfg.dim)
-        gate = _linear(lyr["w_gate"], flat, act_mode)
-        up = _linear(lyr["w_up"], flat, act_mode)
-        ff = silu_mul(gate, up)
+        gu = _linear(lyr["wgu"], flat, act_mode)  # fused gate/up
+        ff = silu_mul(gu[:, : cfg.d_ff], gu[:, cfg.d_ff :])
         x = x + _linear(lyr["w_down"], ff, act_mode).reshape(b, t, cfg.dim)
 
     x = rms_norm(x, qparams["final_norm"], cfg.eps)
@@ -223,7 +267,18 @@ def forward_float(params: dict, cfg: LlamaConfig, tokens, cache: KVCache):
         "layers": [
             {
                 **{k: jnp.asarray(v) for k, v in lyr.items() if k.endswith("norm")},
-                **{n: _FloatLinear(jnp.asarray(lyr[n])) for n in LINEAR_NAMES},
+                "wqkv": _FloatLinear(
+                    jnp.concatenate(
+                        [jnp.asarray(lyr["wq"]), jnp.asarray(lyr["wk"]),
+                         jnp.asarray(lyr["wv"])], axis=0)
+                ),
+                "wo": _FloatLinear(jnp.asarray(lyr["wo"])),
+                "wgu": _FloatLinear(
+                    jnp.concatenate(
+                        [jnp.asarray(lyr["w_gate"]), jnp.asarray(lyr["w_up"])],
+                        axis=0)
+                ),
+                "w_down": _FloatLinear(jnp.asarray(lyr["w_down"])),
             }
             for lyr in params["layers"]
         ],

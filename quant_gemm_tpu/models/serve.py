@@ -74,7 +74,7 @@ class Server:
             last = jnp.argmax(logits[0, length - 1], axis=-1).astype(jnp.int32)
             return c1.k[:, 0], c1.v[:, 0], last
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(2,))
         def _decode(qparams, tokens, cache):
             logits, cache = llama.forward(
                 qparams, cfg, tokens, cache, act_mode=act_mode, rope_cache=self._rope

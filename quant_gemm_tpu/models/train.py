@@ -57,7 +57,14 @@ def _train_forward(params, cfg: LlamaConfig, tokens, qtype: str):
         v = lin(lyr["wv"], flat).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
         q = apply_rope(q, positions[None, :], rc)
         k = apply_rope(k, positions[None, :], rc)
-        attn = _attention(cfg, q, k, v, jnp.broadcast_to(jnp.arange(t)[None, :], (b, t)))
+        # _attention takes cache-layout k/v: [B, KV, S, hd]
+        attn = _attention(
+            cfg,
+            q,
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            jnp.broadcast_to(jnp.arange(t)[None, :], (b, t)),
+        )
         x = x + lin(lyr["wo"], attn.reshape(b * t, -1)).reshape(b, t, cfg.dim)
         h = rms_norm(x, lyr["mlp_norm"], cfg.eps)
         flat = h.reshape(b * t, cfg.dim)

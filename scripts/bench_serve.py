@@ -1,0 +1,141 @@
+"""End-to-end serving throughput on a real chip: tokens/s for the quantized
+Llama runtime under continuous batching.
+
+This is the system-level number the kernel ladder exists for: a ~1B-param
+Llama (dim 2048, 16 layers, d_ff 8192) quantized to q4_0, decoding with
+M = n_slots tokens per step through the serving dispatch (exact int8-MXU
+kernels at decode shapes).
+
+Reports: decode tokens/s (steady state), per-step latency, the
+weight-streaming speed-of-light bound, and prefill throughput.
+
+Usage: python scripts/bench_serve.py [--layers 16] [--dim 2048] [--slots 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from quant_gemm_tpu.harness.benchmark import weight_bytes  # noqa: E402
+from quant_gemm_tpu.models import llama  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=16)
+    ap.add_argument("--dim", type=int, default=2048)
+    ap.add_argument("--dff", type=int, default=8192)
+    ap.add_argument("--heads", type=int, default=16)
+    ap.add_argument("--vocab", type=int, default=32000)
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--seq", type=int, default=1024)
+    ap.add_argument("--prefill", type=int, default=512)
+    args = ap.parse_args()
+
+    cfg = llama.LlamaConfig(
+        vocab=args.vocab, dim=args.dim, n_layers=args.layers,
+        n_heads=args.heads, n_kv_heads=args.heads, d_ff=args.dff,
+        max_seq=args.seq,
+    )
+    print(f"device: {jax.devices()[0]}", flush=True)
+    t0 = time.time()
+    params = llama.init_params(cfg, seed=0)
+    n_params = sum(int(np.prod(np.asarray(v).shape))
+                   for v in jax.tree.leaves(params))
+    print(f"model: {n_params/1e9:.2f}B params, init {time.time()-t0:.0f}s",
+          flush=True)
+    t0 = time.time()
+    qparams = llama.quantize_params(params, "q4_0")
+    del params
+    print(f"quantized to q4_0 in {time.time()-t0:.0f}s", flush=True)
+
+    # per-decode-step HBM floor: every q4_0 linear streams once
+    lin_bytes = args.layers * (
+        2 * weight_bytes("q4_0", args.dim, args.dim)  # wq, wo
+        + 2 * weight_bytes("q4_0", args.heads * (args.dim // args.heads), args.dim)  # wk, wv
+        + 2 * weight_bytes("q4_0", args.dff, args.dim)  # gate, up
+        + weight_bytes("q4_0", args.dim, args.dff)  # down
+    ) + weight_bytes("q4_0", args.vocab, args.dim)  # lm head
+    floor_us = lin_bytes / 900e3  # ~900 GB/s measured stream
+    print(f"weight stream per step: {lin_bytes/1e9:.3f} GB -> "
+          f"{floor_us:.0f} us floor", flush=True)
+
+    rope = llama.make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base)
+    cache = llama.KVCache.init(cfg, args.slots)
+
+    @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("n",))
+    def decode_loop(qp, cache, toks, n):
+        def body(_, carry):
+            t, c = carry
+            logits, c = llama.forward(qp, cfg, t, c,
+                                      act_mode="q8_1", rope_cache=rope)
+            return jnp.argmax(logits[:, -1:], -1).astype(jnp.int32), c
+        return jax.lax.fori_loop(0, n, body, (toks, cache))
+
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(1, cfg.vocab, (args.slots, 1)), jnp.int32)
+    # Slope methodology: this dev environment has a large per-program-call
+    # overhead (tens of ms — the donated multi-hundred-MB cache pytree rides
+    # the tunnel each call), so time two in-jit loop lengths and report the
+    # marginal per-step cost, which is what a production serving loop sees.
+    n_lo, n_hi = 8, 8 + args.steps
+    t0 = time.time()
+    nxt, _ = decode_loop(qparams, cache, toks, n=n_lo)
+    jax.block_until_ready(nxt)
+    print(f"decode compile: {time.time()-t0:.1f}s", flush=True)
+    times = {}
+    for n in (n_lo, n_hi):
+        best = float("inf")
+        for _ in range(3):
+            c = llama.KVCache.init(cfg, args.slots)
+            jax.block_until_ready(c.k)
+            t0 = time.time()
+            nxt, _ = decode_loop(qparams, c, toks, n=n)
+            jax.block_until_ready(nxt)
+            best = min(best, time.time() - t0)
+        times[n] = best
+    dt = (times[n_hi] - times[n_lo]) / (n_hi - n_lo)
+    toks_s = args.slots / dt
+    print(
+        f"decode: {dt*1e6:8.0f} us/step @ batch {args.slots} -> "
+        f"{toks_s:8.0f} tokens/s  "
+        f"(weight-stream floor {args.slots/(floor_us/1e6):.0f} tok/s, "
+        f"{100*floor_us/1e6/dt:.0f}% of floor)",
+        flush=True,
+    )
+
+    # prefill throughput
+    t = args.prefill
+    ptoks = jnp.asarray(rng.integers(1, cfg.vocab, (1, t)), jnp.int32)
+
+    @jax.jit
+    def prefill(qp, toks):
+        c1 = llama.KVCache.init(cfg, 1)
+        logits, c1 = llama.forward(qp, cfg, toks, c1,
+                                   act_mode="q8_1", rope_cache=rope)
+        return logits[0, -1]
+
+    r = prefill(qparams, ptoks)
+    jax.block_until_ready(r)
+    t0 = time.time()
+    reps = 4
+    for _ in range(reps):
+        r = prefill(qparams, ptoks)
+    jax.block_until_ready(r)
+    dt = (time.time() - t0) / reps
+    print(f"prefill: {t} tokens in {dt*1e3:.1f} ms -> {t/dt:,.0f} tokens/s",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
