@@ -172,6 +172,15 @@ def _attention(cfg, q, k_all, v_all, positions):
     kv = k_all.shape[1]
     s = k_all.shape[2]
     rep = h // kv
+    if tq == 1:
+        # decode: fused flash-decode Pallas kernel — one pass over the KV
+        # cache at streaming rate (79 us/layer vs 137 us for the einsum
+        # path on the 8x16x1024x128 serving shape; docs/PERF_NOTES.md)
+        from ..ops.attention import flash_decode
+
+        qg = q.reshape(b, kv, rep, hd)
+        out = flash_decode(qg, k_all, v_all, positions[:, 0])
+        return out.reshape(b, tq, h * hd)
     # bf16 MXU einsums on TPU; the CPU test backend lacks mixed-precision
     # grouped dots, so it computes in f32
     dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
@@ -244,7 +253,17 @@ def forward(
         v_t = v.transpose(0, 2, 1, 3).astype(jnp.bfloat16)
         new_k = write_cache(new_k, li, k_t)
         new_v = write_cache(new_v, li, v_t)
-        attn = _attention(cfg, q, new_k[li], new_v[li], positions)
+        if t == 1:
+            # decode: fused flash-decode on the FULL stacked cache (slicing
+            # cache[li] would materialize a per-layer copy for the kernel)
+            from ..ops.attention import flash_decode
+
+            qg = q.reshape(b, cfg.n_kv_heads, -1, cfg.head_dim)
+            attn = flash_decode(
+                qg, new_k, new_v, positions[:, 0], layer=li
+            ).reshape(b, t, cfg.n_heads * cfg.head_dim)
+        else:
+            attn = _attention(cfg, q, new_k[li], new_v[li], positions)
         x = x + _linear(lyr["wo"], attn.reshape(b * t, -1), act_mode).reshape(b, t, cfg.dim)
 
         h = rms_norm(x, lyr["mlp_norm"], cfg.eps)

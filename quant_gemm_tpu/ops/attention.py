@@ -1,0 +1,168 @@
+"""Fused decode attention (flash-decode) Pallas kernel.
+
+The reference has no attention matmul at all — flash attention is its
+explicitly-listed future work (OPERATOR_LIST.md:58-78).  This kernel is the
+TPU-native version for the serving runtime's decode step (T = 1):
+
+* one pass over the KV cache per (slot, kv-head) at streaming rate,
+* online softmax (running max / running sum, flash-attention recurrence),
+* GQA: the ``rep = H / KV`` query rows of a kv-head ride one tile,
+* continuous batching: per-slot sequence lengths via scalar-prefetched
+  positions; fully-masked tiles are skipped before their DMA issues.
+
+Layout contract matches the serving KV cache ``[B, KV, S, hd]`` (sequence
+adjacent to head_dim — models/llama.KVCache), so the kernel reads cache
+slabs ``[TS, hd]`` with no transposes; scores use a contraction-on-minor
+``dot_general`` (q [rep, hd] x k [TS, hd] -> [rep, TS]).
+
+The XLA einsum path on the same layout measured ~1.2 ms per 16-layer decode
+step vs the ~0.6 ms cache-streaming floor; this kernel exists to close that
+gap (see docs/PERF_NOTES.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+NEG_INF = float(np.finfo(np.float32).min)
+
+
+def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+            *, ts: int, ns: int, scale: float, stacked: bool):
+    """Grid (B, S/ts); S innermost; ALL kv heads ride one tile (the cache
+    slab per step is [KV, ts, hd] — MB-sized DMAs; a per-head grid measured
+    3x slower, DMA-issue-latency bound).  Scratch m/l/acc persist over S.
+    """
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    seq_len = pos_ref[b] + 1  # slots <= pos are valid
+
+    @pl.when(s * ts < seq_len)
+    def _tile():
+        q = q_ref[0].astype(jnp.float32) * scale  # [KV, rep, hd]
+        k = (k_ref[0, 0] if stacked else k_ref[0]).astype(jnp.float32)  # [KV, ts, hd]
+        scores = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [KV, rep, ts]
+        span = s * ts + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+        scores = jnp.where(span < seq_len, scores, NEG_INF)
+
+        m_prev = m_ref[:, :, :1]  # [KV, rep, 1] (lane-0 column)
+        m_cur = jnp.max(scores, axis=2, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)  # rescale factor for old state
+        p = jnp.exp(scores - m_new)  # [KV, rep, ts]
+        l_ref[:, :, :1] = (
+            l_ref[:, :, :1] * alpha + jnp.sum(p, axis=2, keepdims=True)
+        )
+        m_ref[:, :, :1] = m_new
+        vslab = (v_ref[0, 0] if stacked else v_ref[0]).astype(jnp.float32)
+        pv = jax.lax.dot_general(
+            p, vslab, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [KV, rep, hd]
+        acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(s == ns - 1)
+    def _finish():
+        l = l_ref[:, :, :1]
+        o_ref[0] = (acc_ref[:] / jnp.where(l > 0, l, 1.0)).astype(o_ref.dtype)
+
+
+def flash_decode(
+    q: jax.Array,  # [B, KV, rep, hd] grouped queries (one token per slot)
+    k: jax.Array,  # [B, KV, S, hd] cache, or [L, B, KV, S, hd] with layer=
+    v: jax.Array,  # same layout as k
+    pos: jax.Array,  # int32 [B]: position of the current token per slot
+    *,
+    layer: int | None = None,
+    ts: int = 256,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Causal decode attention; returns [B, KV, rep, hd] f32.
+
+    Query at position p attends to cache slots <= p.  ``rep`` is the GQA
+    group width (H / KV); pass rep = H/KV views of q grouped per kv head.
+
+    Pass the FULL stacked cache ``[L, B, KV, S, hd]`` with ``layer=li``
+    instead of slicing ``cache[li]`` yourself: a host-side slice
+    materializes a per-layer copy of the cache just to feed the kernel
+    operand, while the layer index in the BlockSpec is free.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bsz, kv, rep, hd = q.shape
+    stacked = k.ndim == 5
+    assert stacked == (layer is not None)
+    s = k.shape[3] if stacked else k.shape[2]
+    ts = min(ts, s)
+    while s % ts:
+        ts //= 2
+    ns = s // ts
+    scale = 1.0 / float(np.sqrt(hd))
+
+    grid = (bsz, ns)
+    # index maps receive the scalar-prefetch ref as a trailing argument
+    qspec = pl.BlockSpec((1, kv, rep, hd), lambda b, st, pos: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    if stacked:
+        li = int(layer)
+        kvspec = pl.BlockSpec(
+            (1, 1, kv, ts, hd), lambda b, st, pos, li=li: (li, b, 0, st, 0),
+            memory_space=pltpu.VMEM)
+    else:
+        kvspec = pl.BlockSpec((1, kv, ts, hd), lambda b, st, pos: (b, 0, st, 0),
+                              memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel, ts=ts, ns=ns, scale=scale, stacked=stacked),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[qspec, kvspec, kvspec],
+            out_specs=pl.BlockSpec(
+                (1, kv, rep, hd), lambda b, st, pos: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((kv, rep, 128), jnp.float32),  # running max
+                pltpu.VMEM((kv, rep, 128), jnp.float32),  # running sum
+                pltpu.VMEM((kv, rep, hd), jnp.float32),  # unnormalized out
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, kv, rep, hd), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(pos.astype(jnp.int32), q, k, v)
+    return out
+
+
+def flash_decode_ref(q, k, v, pos):
+    """Numpy/jnp reference (same math as models.llama._attention at T=1)."""
+    bsz, kv, rep, hd = q.shape
+    s = k.shape[2]
+    scores = jnp.einsum(
+        "bgrd,bgsd->bgrs", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) / np.sqrt(hd)
+    mask = jnp.arange(s)[None, :] <= pos[:, None]  # [B, S]
+    scores = jnp.where(mask[:, None, None], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bgrs,bgsd->bgrd", probs, v.astype(jnp.float32))
+
+
+__all__ = ["flash_decode", "flash_decode_ref"]

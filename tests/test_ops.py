@@ -127,3 +127,37 @@ def test_rope_norm_preserved():
     n_in = np.linalg.norm(x)
     n_out = np.linalg.norm(out)
     assert abs(n_in - n_out) < 1e-3
+
+
+def test_flash_decode_matches_reference():
+    """Fused decode attention vs the dense reference, ragged positions."""
+    import jax.numpy as jnp
+
+    from quant_gemm_tpu.ops.attention import flash_decode, flash_decode_ref
+
+    rng = np.random.default_rng(3)
+    b, kv, rep, s, hd = 4, 2, 4, 256, 128
+    q = jnp.asarray(rng.standard_normal((b, kv, rep, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, kv, s, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, kv, s, hd)), jnp.float32)
+    pos = jnp.asarray([0, 31, 100, 255], jnp.int32)
+    out = flash_decode(q, k, v, pos, ts=64)
+    ref = flash_decode_ref(q, k, v, pos)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_decode_gqa_single_rep():
+    """rep=1 (MHA) and bf16 cache dtypes go through the same kernel."""
+    import jax.numpy as jnp
+
+    from quant_gemm_tpu.ops.attention import flash_decode, flash_decode_ref
+
+    rng = np.random.default_rng(4)
+    b, kv, rep, s, hd = 2, 4, 1, 128, 128
+    q = jnp.asarray(rng.standard_normal((b, kv, rep, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, kv, s, hd)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, kv, s, hd)), jnp.bfloat16)
+    pos = jnp.asarray([5, 127], jnp.int32)
+    out = flash_decode(q, k, v, pos, ts=64)
+    ref = flash_decode_ref(q, k, v, pos)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-2)
