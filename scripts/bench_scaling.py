@@ -1,0 +1,134 @@
+"""Multi-chip scaling validation + analytic efficiency projection.
+
+One real chip is available in this environment, so this script does what
+can be done honestly without a pod slice:
+
+1. **Correctness at tp = 1/2/4/8** on a virtual CPU mesh: column- and
+   row-parallel packed-weight GEMMs must match the unsharded kernel.
+2. **Collective-schedule inspection**: the compiled HLO of each sharded
+   program is scanned for the expected XLA collectives (all-gather /
+   reduce-scatter / all-reduce) — the north star's comm pattern, verified
+   to actually be emitted.
+3. **Analytic tokens/s scaling projection** for the serving decode step:
+   per-chip compute shrinks 1/tp while the row-parallel psum_scatter and
+   column-parallel all-gather bytes ride ICI; efficiency = t_1 / (tp *
+   t_tp).  Uses the measured single-chip step time and v5e ICI bandwidth.
+
+Usage: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+           python scripts/bench_scaling.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+# the axon TPU plugin force-selects itself; override via jax.config (the
+# same dance as tests/conftest.py)
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, ".")
+
+from quant_gemm_tpu.formats import jax_quant, numpy_ref  # noqa: E402
+from quant_gemm_tpu.harness import datagen  # noqa: E402
+from quant_gemm_tpu.harness.metrics import ErrorMetrics  # noqa: E402
+from quant_gemm_tpu.kernels import gemm_pallas  # noqa: E402
+from quant_gemm_tpu.parallel import sharding as sh  # noqa: E402
+
+# v5e: 4 ICI links/chip; ~100 GB/s effective per direction on a 2D torus
+ICI_GBPS = 100.0
+HBM_GBPS = 900.0
+
+
+def collectives_in(fn, *args) -> dict:
+    hlo = jax.jit(fn).lower(*args).compile().as_text()
+    return {
+        "all-gather": len(re.findall(r"all-gather", hlo)),
+        "reduce-scatter": len(re.findall(r"reduce-scatter", hlo)),
+        "all-reduce": len(re.findall(r"all-reduce", hlo)),
+        "collective-permute": len(re.findall(r"collective-permute", hlo)),
+    }
+
+
+def check_tp(n, k, m, tp) -> None:
+    mesh = sh.make_mesh({"tp": tp})
+    w = datagen.normal((n, k), seed=1)
+    a = datagen.normal((m, k), seed=2)
+    w_q = numpy_ref.quantize_q4_0(w)
+    gold = np.asarray(gemm_pallas.gemm(gemm_pallas.prepare(w_q), jnp.asarray(a)))
+
+    swc = sh.shard_weight(w_q, mesh, mode="col")
+    out_c = np.asarray(
+        sh.gemm_col_parallel(swc, jnp.asarray(a), mesh, gather_output=True)
+    )
+    mc = ErrorMetrics.compute(out_c, gold)
+    assert mc.nmse < 1e-10, (tp, "col", mc)
+
+    swr = sh.shard_weight(w_q, mesh, mode="row")
+    out_r = np.asarray(sh.gemm_row_parallel(swr, jnp.asarray(a), mesh))
+    mr = ErrorMetrics.compute(out_r, gold)
+    assert mr.nmse < 1e-4, (tp, "row", mr)  # f32 partial-sum order differs
+
+    col_hlo = collectives_in(
+        lambda s, x: sh.gemm_col_parallel(
+            sh.ShardedWeight(swc.qtype, swc.n, swc.k, "col", swc.axis, s),
+            x, mesh, gather_output=True),
+        swc.stacked, jnp.asarray(a),
+    )
+    row_hlo = collectives_in(
+        lambda s, x: sh.gemm_row_parallel(
+            sh.ShardedWeight(swr.qtype, swr.n, swr.k, "row", swr.axis, s),
+            x, mesh, scatter_output=True),
+        swr.stacked, jnp.asarray(a),
+    )
+    if tp > 1:
+        assert col_hlo["all-gather"] >= 1, col_hlo  # output gather
+        assert row_hlo["reduce-scatter"] + row_hlo["all-reduce"] >= 1, row_hlo
+    print(f"tp={tp}: col nmse={mc.nmse:.1e} {col_hlo} | "
+          f"row nmse={mr.nmse:.1e} {row_hlo}", flush=True)
+
+
+def project(step_us_1chip: float, layers: int, dim: int, dff: int,
+            batch: int, seq: int, kvh: int, hd: int) -> None:
+    """Megatron-style per-layer comm: 2 all-reduces of [B, dim] f32 per
+    layer (attn out-proj + FFN down, row-parallel psum)."""
+    print(f"\nprojected decode scaling (1-chip step {step_us_1chip:.0f} us, "
+          f"ICI {ICI_GBPS:.0f} GB/s eff):", flush=True)
+    for tp in (2, 4, 8):
+        # ring all-reduce moves 2*(tp-1)/tp of the payload per chip
+        payload = batch * dim * 4
+        comm_us = layers * 2 * (2 * (tp - 1) / tp * payload) / ICI_GBPS / 1e3
+        compute_us = step_us_1chip / tp
+        t_tp = max(compute_us, 0.0) + comm_us
+        eff = step_us_1chip / (tp * t_tp)
+        toks = batch / t_tp * 1e6
+        print(f"  tp={tp}: step {t_tp:7.0f} us (comm {comm_us:4.0f}) -> "
+              f"{toks:8.0f} tokens/s, scaling efficiency {100*eff:.0f}%",
+              flush=True)
+
+
+def main():
+    print(f"devices: {len(jax.devices())} x {jax.devices()[0].platform}",
+          flush=True)
+    for tp in (1, 2, 4, 8):
+        # K large enough that K/tp stays Pallas-tileable at tp=8
+        check_tp(n=512, k=4096, m=4, tp=tp)
+    # serving config from scripts/bench_serve.py (1.2B, measured 3556 us)
+    project(3556.0, layers=16, dim=2048, dff=8192, batch=8, seq=1024,
+            kvh=16, hd=128)
+    print("\nscaling validation OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
