@@ -128,15 +128,26 @@ def _expand_bits(qh_tile: jax.Array) -> jax.Array:
     return stacked.reshape(8 * tkb8, tn).astype(jnp.float32)
 
 
-def _dot(a: jax.Array, wt: jax.Array) -> jax.Array:
+def _mxu_cast_dtype(mxu_dtype):
+    """Kernel-side operand dtype for a given MXU mode (None -> f32)."""
+    return jnp.float32 if mxu_dtype is None else mxu_dtype
+
+
+def _dot(a: jax.Array, wt: jax.Array, mxu_dtype=None) -> jax.Array:
     """C[M, N] += A[M, K] @ Wt[K, N], f32 accumulation on the MXU.
 
-    f32 operands get Precision.HIGHEST (full f32 via bf16x6 passes) so the
-    accuracy-mode kernels are not silently truncated to bf16 by the TPU's
-    default dot precision; bf16 operands use the fast single-pass MXU path.
+    MXU modes (the ``mxu_dtype`` contract used across this module):
+
+    * ``None`` (serving default): **f32 operands, DEFAULT precision** — the
+      MXU rounds inputs to bf16 internally, numerically identical to the
+      explicit-cast path but without its VPU cast ops (measured 86 -> 72 us
+      at 4096x64x14336, docs/PERF_NOTES.md).
+    * ``jnp.bfloat16``: explicit bf16 casts (legacy fast mode).
+    * ``jnp.float32``: accuracy mode — Precision.HIGHEST multi-pass so the
+      result is true f32, not silently truncated.
     """
     precision = (
-        jax.lax.Precision.HIGHEST if a.dtype == jnp.float32 else None
+        jax.lax.Precision.HIGHEST if mxu_dtype == jnp.float32 else None
     )
     return jax.lax.dot_general(
         a, wt, (((1,), (0,)), ((), ())),
@@ -167,6 +178,8 @@ def _kernel_w4(*refs, offset, has_min, has_qh, mxu_dtype, fused_q8_act):
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    cast_dt = _mxu_cast_dtype(mxu_dtype)
+
     def act_slab(a_ref):
         a = a_ref[:]
         if fused_q8_act:
@@ -175,7 +188,7 @@ def _kernel_w4(*refs, offset, has_min, has_qh, mxu_dtype, fused_q8_act):
             # VMEM, so quantized-activation numerics come at zero extra HBM
             # traffic.  Block structure along lanes via segment-max matmul.
             a = _fake_quant_q8(a)
-        return a.astype(mxu_dtype)
+        return a if a.dtype == cast_dt else a.astype(cast_dt)
 
     # f32 dequant math with f16-exact scales, cast to mxu_dtype at the dot.
     # int8 vector shifts don't legalize in Mosaic; bit ops run on i32 lanes.
@@ -191,15 +204,17 @@ def _kernel_w4(*refs, offset, has_min, has_qh, mxu_dtype, fused_q8_act):
             q = q + 16.0 * _expand_bits(qh_ref[:])
         d = _expand_rows(d_ref[:].astype(jnp.float32), QK)
         if has_min:
-            return (
-                q * d + _expand_rows(m_ref[:].astype(jnp.float32), QK)
-            ).astype(mxu_dtype)
-        return ((q - float(offset)) * d).astype(mxu_dtype)
+            w = q * d + _expand_rows(m_ref[:].astype(jnp.float32), QK)
+        else:
+            w = (q - float(offset)) * d
+        return w if w.dtype == cast_dt else w.astype(cast_dt)
 
     w_lo = weight_slab(packed & 0x0F, dlo_ref, mlo_ref, qhlo_ref)
     w_hi = weight_slab(packed >> 4, dhi_ref, mhi_ref, qhhi_ref)
 
-    out_ref[:] += _dot(act_slab(alo_ref), w_lo) + _dot(act_slab(ahi_ref), w_hi)
+    out_ref[:] += _dot(act_slab(alo_ref), w_lo, mxu_dtype) + _dot(
+        act_slab(ahi_ref), w_hi, mxu_dtype
+    )
 
 
 def _fake_quant_q8(a: jax.Array) -> jax.Array:
@@ -241,11 +256,14 @@ def _kernel_w8(*refs, mxu_dtype, fused_q8_act):
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    wt = (qs_ref[:].astype(jnp.float32) * _expand_rows(d_ref[:], QK)).astype(mxu_dtype)
+    cast_dt = _mxu_cast_dtype(mxu_dtype)
+    wt = qs_ref[:].astype(jnp.float32) * _expand_rows(d_ref[:], QK)
+    wt = wt if wt.dtype == cast_dt else wt.astype(cast_dt)
     a = a_ref[:]
     if fused_q8_act:
         a = _fake_quant_q8(a)
-    out_ref[:] += _dot(a.astype(mxu_dtype), wt)
+    a = a if a.dtype == cast_dt else a.astype(cast_dt)
+    out_ref[:] += _dot(a, wt, mxu_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -265,7 +283,7 @@ def gemm(
     tm: int = 256,
     tn: int | None = None,
     tkp: int | None = None,
-    mxu_dtype=jnp.bfloat16,
+    mxu_dtype=None,
     fused_quant: bool = False,
     interpret: bool | None = None,
 ) -> jax.Array:

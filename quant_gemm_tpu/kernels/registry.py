@@ -15,9 +15,14 @@ xla_dequant           dequantize + jnp.dot (naive rung; XLA-fused)
 xla_compensated       reference compensation formula as two XLA matmuls
 xla_int               exact per-block int32 einsum (correctness oracle)
 pallas_exact          Pallas int8-MXU per-block dots + compensation epilogue
+                      (serving DECODE default, M <= DECODE_M_MAX)
 pallas_f32            Pallas fused dequant GEMM, f32 MXU (accuracy mode)
 pallas_fused_quant    Pallas GEMM with in-kernel Q8_1 activation quantization
-pallas                Pallas fused dequant GEMM, bf16 MXU (serving default)
+pallas_bf16           Pallas fused dequant GEMM, explicit bf16 casts
+pallas                Pallas fused dequant GEMM, f32 operands + DEFAULT
+                      precision (MXU-internal bf16 rounding; serving
+                      PREFILL default — same numerics as pallas_bf16,
+                      fewer VPU ops)
 ====================  ======================================================
 """
 
@@ -61,6 +66,10 @@ def _pallas_f32(w, act, **kw):
     return _gp.gemm(_as_prepared(w), act, mxu_dtype=jnp.float32, **kw)
 
 
+def _pallas_bf16(w, act, **kw):
+    return _gp.gemm(_as_prepared(w), act, mxu_dtype=jnp.bfloat16, **kw)
+
+
 def _pallas_fused_quant(w, act, **kw):
     assert not isinstance(act, Q8_1Tensor), "fused variant takes float acts"
     return _gp.gemm(_as_prepared(w), act, fused_quant=True, **kw)
@@ -77,6 +86,7 @@ KERNELS: Dict[str, Callable] = {
     "xla_int": _xla_int,
     "pallas_exact": _pallas_exact,
     "pallas_f32": _pallas_f32,
+    "pallas_bf16": _pallas_bf16,
     "pallas_fused_quant": _pallas_fused_quant,
     "pallas": _pallas,
 }

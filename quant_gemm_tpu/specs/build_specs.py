@@ -191,6 +191,38 @@ def build() -> dict[str, dict]:
         "params": {"S": 6, "H": 4, "D": 64, "base": 10000.0},
         "accuracy": {"metric": "nmse_vs_cpu_ref", "threshold": 1e-9},
     }
+    defs["attention/flash_decode"] = {
+        "name": "flash_decode",
+        "op_type": "attention",
+        "description": (
+            "Causal decode attention (T=1) over a [B, KV, S, hd] KV cache "
+            "with per-slot lengths: out = softmax(q k^T / sqrt(hd) + "
+            "causal_mask(pos)) v, online-softmax single pass"
+        ),
+        "axes": {
+            "B": {"type": "var", "description": "batch slots"},
+            "KV": {"type": "var", "description": "kv heads"},
+            "REP": {"type": "var", "description": "GQA group width (H / KV)"},
+            "S": {"type": "var", "description": "cache length (static)"},
+            "HD": {"type": "const", "value": 128, "description": "head dim"},
+        },
+        "constraints": ["S % ts == 0 after tile auto-halving", "pos[b] < S"],
+        "inputs": {
+            "q": {"shape": ["B", "KV", "REP", "HD"], "dtype": "float32",
+                  "description": "grouped queries, one token per slot"},
+            "k": {"shape": ["B", "KV", "S", "HD"], "dtype": "bfloat16",
+                  "description": "key cache (or [L,...] stacked with layer=)"},
+            "v": {"shape": ["B", "KV", "S", "HD"], "dtype": "bfloat16"},
+            "pos": {"shape": ["B"], "dtype": "int32",
+                    "description": "current token position per slot "
+                                   "(attends to slots <= pos)"},
+        },
+        "outputs": {"o": {"shape": ["B", "KV", "REP", "HD"],
+                          "dtype": "float32"}},
+        "accuracy": {"metric": "max_abs_err_vs_dense_softmax",
+                     "threshold": 2e-05, "data": "normal(0, 1), f32 cache"},
+        "params": {"B": 4, "KV": 2, "REP": 4, "S": 256, "HD": 128},
+    }
     return defs
 
 
@@ -217,7 +249,23 @@ SOLUTIONS = {
         "language": "python/pallas",
         "target": ["tpu-v5e"],
         "entry_point": "quant_gemm_tpu.kernels.gemm_exact::gemm_exact",
-        "description": "per-32-block int8 MXU dots + compensation epilogue (reference parity)",
+        "description": (
+            "per-32-block int8 MXU dots + compensation epilogue (reference "
+            "parity); ALSO the serving decode default (M<=12): 9.9 TFLOPS at "
+            "4096x4x14336 with tn=4096/tkp=512, bit-exact vs the int golden"
+        ),
+    },
+    "flash_decode_pallas": {
+        "name": "flash_decode_pallas",
+        "op_type": "attention",
+        "language": "python/pallas",
+        "target": ["tpu-v5e"],
+        "entry_point": "quant_gemm_tpu.ops.attention::flash_decode",
+        "description": (
+            "online-softmax single-pass decode attention over the serving "
+            "KV-cache layout; 79 us / 849 GB/s on 8x16hx1024x128 (at the "
+            "cache-streaming floor; XLA einsum path ~137 us)"
+        ),
     },
     "gemm_xla_dequant": {
         "name": "gemm_xla_dequant",

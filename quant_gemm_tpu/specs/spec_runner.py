@@ -114,6 +114,22 @@ def _run_elementop(d: dict, params: dict) -> SpecResult:
                       metrics.nmse < thr)
 
 
+def _run_attention(d: dict, params: dict) -> SpecResult:
+    from ..ops.attention import flash_decode, flash_decode_ref
+
+    b, kv, rep = params["B"], params["KV"], params["REP"]
+    s, hd = params["S"], params["HD"]
+    q = jnp.asarray(datagen.normal((b, kv, rep, hd), seed=42))
+    k = jnp.asarray(datagen.normal((b, kv, s, hd), seed=43))
+    v = jnp.asarray(datagen.normal((b, kv, s, hd), seed=44))
+    pos = jnp.asarray(np.linspace(0, s - 1, b).astype(np.int32))
+    out = np.asarray(flash_decode(q, k, v, pos, ts=64))
+    ref = np.asarray(flash_decode_ref(q, k, v, pos))
+    err = float(np.abs(out - ref).max())
+    thr = d["accuracy"]["threshold"]
+    return SpecResult(d["name"], d["accuracy"]["metric"], err, thr, err < thr)
+
+
 def run_spec(path, impl: str | None = None, params: dict | None = None) -> SpecResult:
     d = load(path)
     p = dict(d.get("params", {}))
@@ -123,6 +139,8 @@ def run_spec(path, impl: str | None = None, params: dict | None = None) -> SpecR
         return _run_gemm(d, impl or "pallas_f32", p)
     if op == "quantize":
         return _run_quantize(d, p)
+    if op == "attention":
+        return _run_attention(d, p)
     return _run_elementop(d, p)
 
 
