@@ -1,23 +1,31 @@
-"""Exact-integer W4A8/W8A8 Pallas kernel — bit-parity with the reference.
+"""Exact-integer WxA8 Pallas kernel — bit-parity with the reference, and the
+serving DECODE kernel (fastest at M <= ~12).
 
-Reproduces the reference's integer dataflow (gemm_reference.h:175-222,
-gemm_quant_formats.cuh vec_dots) on the MXU: per 32-block **exact int32
-dot products** of raw codes, then the per-block f32 epilogue
+Reproduces the reference's integer dataflow (gemm_reference.h:175-267,
+gemm_quant_formats.cuh vec_dot_{q4_0,q4_1,q5_0,q5_1,q8_0}_q8_1) on the MXU:
+per 32-block **exact int32 dot products** of raw codes, then the per-block
+f32 epilogue
 
-* q4_0:  ``d_w * (d_a * sumi - 8 * s_a)``
-* q8_0:  ``d_w * d_a * sumi``
+* q4_0:       ``d_w * (d_a * sumi - 8 * s_a)``
+* q5_0:       ``d_w * (d_a * sumi - 16 * s_a)``
+* q4_1/q5_1:  ``d_w * d_a * sumi + m_w * s_a``  (the min term is factored
+  out of the block loop into ONE ``s_a @ m_w`` dot per tile — exact, since
+  it is linear across blocks)
+* q8_0:       ``d_w * d_a * sumi``
 
 accumulated across blocks in f32.  The dp4a lane parallelism of the CUDA
-version becomes an int8 ``dot_general`` with contraction width 32 per block —
-deliberately narrow (25% MXU K-utilization) because this kernel's job is
-*numerical parity with the integer golden*, not speed; the serving path is
-:mod:`quant_gemm_tpu.kernels.gemm_pallas`.
+version becomes an int8 ``dot_general`` with contraction width 32 per block.
+Despite the narrow contraction this is the FASTEST decode kernel: raw codes
+go straight from HBM to the MXU with ~2.5 VPU ops per weight element vs ~6
+for dequant-then-matmul (9.9 vs 6.7 TFLOPS at 4096x4x14336 —
+docs/PERF_NOTES.md), and it is bit-exact against the integer golden.
 
 Layout notes: weights use the same K-major planar PreparedWeight; activation
 scale/sum vectors are passed transposed ([nb, M]) so per-block rows can be
 sliced on sublanes.  The K grid walks packed-byte tiles; each grid step
 processes the tile's lo-nibble blocks and hi-nibble blocks with their
-matching activation blocks.
+matching activation blocks.  5-bit formats expand their planar ``qh`` bit
+planes to int lanes in-kernel (codes 0..31 still fit int8).
 """
 
 from __future__ import annotations
@@ -44,41 +52,78 @@ def _int_dot(qa: jax.Array, qw: jax.Array) -> jax.Array:
     )
 
 
-def _kernel(
-    packed_ref,  # uint8 [TKP, TN]
-    d_lo_ref,  # f32 [TKB, TN]
-    d_hi_ref,
-    qa_lo_ref,  # int8 [TM, TKP]
-    qa_hi_ref,
-    da_lo_ref,  # f32 [TKB, TM] (transposed act scales)
-    da_hi_ref,
-    sa_lo_ref,  # f32 [TKB, TM]
-    sa_hi_ref,
-    out_ref,  # f32 [TM, TN]
-    *,
-    tkb: int,
-    offset: int,
-):
+def _f32_dot_bt(a_bt: jax.Array, b_bt: jax.Array) -> jax.Array:
+    """[TM, TN] = sum_b a[b, m] * b[b, n] — exact f32 contraction."""
+    return jax.lax.dot_general(
+        a_bt, b_bt, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _expand_bits_int(qh_tile: jax.Array) -> jax.Array:
+    """Planar 5th bits uint8[TKP/8, TN] -> int32[TKP, TN] (0/1 per row).
+
+    Row r takes bit ``r % 8`` of input row ``r // 8``: a sublane ``repeat``
+    (cheap) then an elementwise variable shift.  A stack-8-planes+reshape
+    formulation measured 5x slower (347 vs ~66 us on the q5_0 decode shape)
+    — the sublane interleave relayout dominates.
+    """
+    tkb8, tn = qh_tile.shape
+    rep = jnp.repeat(qh_tile.astype(jnp.int32), 8, axis=0)  # [TKP, TN]
+    amt = jax.lax.broadcasted_iota(jnp.int32, rep.shape, 0) % 8
+    return (rep >> amt) & 1
+
+
+def _kernel(*refs, tkb: int, offset: int, has_min: bool, has_qh: bool):
+    """4/5-bit weights.  Ref order:
+
+    packed, d_lo, d_hi, [m_lo, m_hi,] [qh_lo, qh_hi,]
+    qa_lo, qa_hi, da_lo, da_hi, sa_lo, sa_hi, out
+    """
+    it = iter(refs)
+    packed_ref = next(it)
+    dlo_ref, dhi_ref = next(it), next(it)
+    mlo_ref, mhi_ref = (next(it), next(it)) if has_min else (None, None)
+    qhlo_ref, qhhi_ref = (next(it), next(it)) if has_qh else (None, None)
+    qa_lo_ref, qa_hi_ref = next(it), next(it)
+    da_lo_ref, da_hi_ref = next(it), next(it)
+    sa_lo_ref, sa_hi_ref = next(it), next(it)
+    out_ref = refs[-1]
+
     @pl.when(pl.program_id(1) == 0)
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
     packed = packed_ref[:].astype(jnp.int32)
 
-    def plane(nib_i32, qa_ref, d_ref, da_ref, sa_ref):
+    def plane(nib_i32, qa_ref, d_ref, m_ref, qh_ref, da_ref, sa_ref):
+        qw = nib_i32
+        if has_qh:
+            qw = qw + 16 * _expand_bits_int(qh_ref[:])  # codes 0..31
         acc = jnp.zeros_like(out_ref)
-        qw = nib_i32  # [TKP, TN] codes 0..15
+        d = d_ref[:]  # [tkb, tn] f32
+        da = da_ref[:]  # [tkb, tm] f32
+        sa = sa_ref[:]
         for b in range(tkb):
             sl = slice(b * QK, (b + 1) * QK)
             sumi = _int_dot(qa_ref[:, sl], qw[sl, :]).astype(jnp.float32)
-            d_w = d_ref[b, :][None, :]  # [1, TN]
-            d_a = da_ref[b, :][:, None]  # [TM, 1]
-            s_a = sa_ref[b, :][:, None]
-            acc += d_w * (d_a * sumi - float(offset) * s_a)
+            d_w = d[b, :][None, :]  # [1, TN]
+            d_a = da[b, :][:, None]  # [TM, 1]
+            if has_min:
+                acc += d_w * (d_a * sumi)
+            else:
+                s_a = sa[b, :][:, None]
+                acc += d_w * (d_a * sumi - float(offset) * s_a)
+        if has_min:
+            # min term is linear across blocks: one exact f32 dot per tile
+            acc += _f32_dot_bt(sa, m_ref[:])
         return acc
 
-    out_ref[:] += plane(packed & 0x0F, qa_lo_ref, d_lo_ref, da_lo_ref, sa_lo_ref)
-    out_ref[:] += plane(packed >> 4, qa_hi_ref, d_hi_ref, da_hi_ref, sa_hi_ref)
+    out_ref[:] += plane(packed & 0x0F, qa_lo_ref, dlo_ref, mlo_ref,
+                        qhlo_ref, da_lo_ref, sa_lo_ref)
+    out_ref[:] += plane(packed >> 4, qa_hi_ref, dhi_ref, mhi_ref,
+                        qhhi_ref, da_hi_ref, sa_hi_ref)
 
 
 def _kernel_w8(
@@ -106,26 +151,27 @@ def gemm_exact(
     tkp: int = 512,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Reference-semantics W4A8 (q4_0) / W8A8 (q8_0) integer GEMM.
+    """Reference-semantics WxA8 integer GEMM, all five weight formats.
 
-    ``C[M, N] = sum_blocks d_w * (d_a * sumi - offset * s_a)`` with exact
-    int32 sumi and the f16-stored (f32-upcast) d/s values — matching the
-    numpy golden ``ref.gemm.gemm_wxa8`` to f32 accumulation order.
+    ``C[M, N] = sum_blocks <per-format epilogue>`` with exact int32 sumi and
+    the f16-stored (f32-upcast) d/m/s values — matching the numpy golden
+    ``ref.gemm.gemm_wxa8`` to f32 accumulation order.
 
-    This is also the fastest *decode* (M <= ~12) serving kernel: raw int4/8
+    This is also the fastest *decode* (M <= ~12) serving kernel: raw int
     codes go straight from HBM to int8 MXU dots with no per-element dequant
-    arithmetic, so it runs at the weight-streaming DMA floor (measured 9.9
-    TFLOPS on 4096x4x14336 vs 6.7 for the dequant kernel — docs/PERF_NOTES.md).
-    Wide-N tiles maximize the DMA transfer size per grid step.
+    arithmetic, so it runs near the weight-streaming DMA floor.  Wide-N
+    tiles (default tn=4096) maximize the DMA transfer size per grid step.
     """
-    assert w.qtype in ("q4_0", "q8_0"), w.qtype
     if interpret is None:
         interpret = _interpret_default()
     m, k = a_q.qs.shape
     assert k == w.k
     if tn is None:
-        tn = 4096
-    is4 = w.qtype == "q4_0"
+        # q4_1/q5_x carry extra m/qh operand planes; tn=4096 exceeds the
+        # 16 MB scoped-VMEM limit for them
+        extra = (w.m_t is not None) or (w.qh_t is not None)
+        tn = 2048 if extra else 4096
+    is4 = w.packed_t is not None
     kdim = k // 2 if is4 else k
     tkp = min(tkp, kdim)
     while kdim % tkp:
@@ -139,12 +185,18 @@ def gemm_exact(
     np_ = round_up(w.n, tn)
 
     def padm(x):
+        import jax.numpy as _jnp
+
+        x = _jnp.asarray(x)
         pr = tm - x.shape[0]
-        return jnp.pad(x, ((0, pr), (0, 0))) if pr else x
+        return _jnp.pad(x, ((0, pr), (0, 0))) if pr else x
 
     def padn(x):
+        import jax.numpy as _jnp
+
+        x = _jnp.asarray(x)
         pc = np_ - x.shape[1]
-        return jnp.pad(x, ((0, 0), (0, pc))) if pc else x
+        return _jnp.pad(x, ((0, 0), (0, pc))) if pc else x
 
     qa = padm(a_q.qs)
     da_t = padm(a_q.d).T.astype(jnp.float32)  # [nb, TM]
@@ -168,21 +220,25 @@ def gemm_exact(
         )
 
     if is4:
-        operands = [
-            padn(w.packed_t),
-            padn(w.d_t),
-            padn(w.d_t),
-            qa,
-            qa,
-            da_t,
-            da_t,
-            sa_t,
-            sa_t,
-        ]
+        has_min = w.m_t is not None
+        has_qh = w.qh_t is not None
+        operands = [padn(w.packed_t), padn(w.d_t), padn(w.d_t)]
         in_specs = [
             wspec((tkp, tn)),
             wspec((tkb, tn)),
             wspec((tkb, tn), off=nkt),
+        ]
+        if has_min:
+            operands += [padn(w.m_t), padn(w.m_t)]
+            in_specs += [wspec((tkb, tn)), wspec((tkb, tn), off=nkt)]
+        if has_qh:
+            operands += [padn(w.qh_t), padn(w.qh_t)]
+            in_specs += [
+                wspec((tkp // 8, tn)),
+                wspec((tkp // 8, tn), off=nkt),
+            ]
+        operands += [qa, qa, da_t, da_t, sa_t, sa_t]
+        in_specs += [
             aspec((tm, tkp)),
             aspec((tm, tkp), off=nkt),
             avspec((tkb, tm)),
@@ -190,7 +246,13 @@ def gemm_exact(
             avspec((tkb, tm)),
             avspec((tkb, tm), off=nkt),
         ]
-        kernel = functools.partial(_kernel, tkb=tkb, offset=8)
+        kernel = functools.partial(
+            _kernel,
+            tkb=tkb,
+            offset={"q4_0": 8, "q5_0": 16}.get(w.qtype, 0),
+            has_min=has_min,
+            has_qh=has_qh,
+        )
     else:
         operands = [padn(w.qs_t), padn(w.d_t), qa, da_t, sa_t]
         in_specs = [

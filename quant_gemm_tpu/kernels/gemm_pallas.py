@@ -114,18 +114,16 @@ def _expand_rows(d_tile: jax.Array, reps: int) -> jax.Array:
 
 
 def _expand_bits(qh_tile: jax.Array) -> jax.Array:
-    """Planar 5th bits uint8[TKP/8, TN] -> uint8[TKP, TN] (0/1 per row).
+    """Planar 5th bits uint8[TKP/8, TN] -> f32[TKP, TN] (0/1 per row).
 
-    Row r of the output takes bit ``r % 8`` of input row ``r // 8``; done
-    with an 0/1 selection matmul on the i32 bit-planes (no sub-lane ops).
+    Row r takes bit ``r % 8`` of input row ``r // 8``: sublane ``repeat``
+    (cheap) + elementwise variable shift.  A stack-8-planes+reshape
+    formulation measured 5x slower on q5 decode shapes — the sublane
+    interleave relayout dominates (docs/PERF_NOTES.md).
     """
-    tkb8, tn = qh_tile.shape
-    qh32 = qh_tile.astype(jnp.int32)
-    planes = [(qh32 >> b) & 1 for b in range(8)]  # each [TKP/8, TN]
-    # Output row r = planes[r % 8][r // 8]: stack on a new middle axis and
-    # collapse the two leading dims (sublane-only reshape).
-    stacked = jnp.stack(planes, axis=1)  # [TKP/8, 8, TN]
-    return stacked.reshape(8 * tkb8, tn).astype(jnp.float32)
+    rep = jnp.repeat(qh_tile.astype(jnp.int32), 8, axis=0)  # [TKP, TN]
+    amt = jax.lax.broadcasted_iota(jnp.int32, rep.shape, 0) % 8
+    return ((rep >> amt) & 1).astype(jnp.float32)
 
 
 def _mxu_cast_dtype(mxu_dtype):

@@ -115,11 +115,7 @@ def dispatch(w, act, impl: str | None = None, **kw):
     )
     if _gp.supports(k):
         wq = _as_prepared(w)
-        if (
-            isinstance(act, Q8_1Tensor)
-            and act.qs.shape[0] <= DECODE_M_MAX
-            and wq.qtype in ("q4_0", "q8_0")
-        ):
+        if isinstance(act, Q8_1Tensor) and act.qs.shape[0] <= DECODE_M_MAX:
             return _gemm_exact(wq, act, **kw)
         return _gp.gemm(wq, act, **kw)
     if isinstance(w, _gp.PreparedWeight):

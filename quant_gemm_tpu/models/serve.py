@@ -82,7 +82,22 @@ class Server:
             nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
             return nxt, cache
 
+        @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
+        def _insert(cache_k, cache_v, pos, slot, k1, v1, length):
+            # donated in-place slot insert (a functional .at[].set on the
+            # full cache copied hundreds of MB per admitted request)
+            return (
+                jax.lax.dynamic_update_slice(
+                    cache_k, k1[:, None], (0, slot, 0, 0, 0)
+                ),
+                jax.lax.dynamic_update_slice(
+                    cache_v, v1[:, None], (0, slot, 0, 0, 0)
+                ),
+                pos.at[slot].set(length),
+            )
+
         self._prefill = _prefill
+        self._insert = _insert
         self._decode = _decode
         self._pending_tok = np.zeros(n_slots, np.int32)
 
@@ -105,11 +120,11 @@ class Server:
             k1, v1, first = self._prefill(
                 self.qparams, jnp.asarray(padded), len(r.prompt), t=t
             )
-            self.cache = llama.KVCache(
-                self.cache.k.at[:, s].set(k1),
-                self.cache.v.at[:, s].set(v1),
-                self.cache.pos.at[s].set(len(r.prompt)),
+            ck, cv, cpos = self._insert(
+                self.cache.k, self.cache.v, self.cache.pos,
+                jnp.int32(s), k1, v1, jnp.int32(len(r.prompt)),
             )
+            self.cache = llama.KVCache(ck, cv, cpos)
             tok = int(first)
             r.generated.append(tok)
             self._pending_tok[s] = tok

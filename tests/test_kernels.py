@@ -167,3 +167,16 @@ def test_dispatch_prefill_routes_to_dequant(data):
     out = dispatch(prepare(w_q), jax_quant.device_put(a_q))
     m = ErrorMetrics.compute(out, refg.gemm_fp32(a, w))
     assert m.nmse < NMSE_VS_FP32["q4_0"], m
+
+
+@pytest.mark.parametrize("fmt", WEIGHT_FORMATS)
+def test_exact_kernel_all_formats(data, fmt):
+    """The exact int kernel must match the integer golden for EVERY weight
+    format (reference vec_dot_{q4_0,q4_1,q5_0,q5_1,q8_0}_q8_1 parity)."""
+    a, w, a_q = data
+    w_q = numpy_ref.QUANTIZE[fmt](w)
+    out = gemm_exact(prepare(w_q), jax_quant.device_put(a_q))
+    gold = refg.gemm_wxa8(w_q, a_q)
+    m = ErrorMetrics.compute(out, gold)
+    assert m.nmse < 1e-11, (fmt, m)
+    assert out.shape == (M, N)
