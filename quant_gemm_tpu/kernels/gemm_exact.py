@@ -39,7 +39,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..formats.blocks import QK, Q8_1Tensor
 from ..utils import round_up
-from .gemm_pallas import PreparedWeight, _interpret_default
+from .gemm_pallas import (
+    PreparedWeight,
+    _interpret_default,
+    pad_activation_k,
+    pad_scales_k,
+)
 
 
 def _int_dot(qa: jax.Array, qw: jax.Array) -> jax.Array:
@@ -172,13 +177,13 @@ def gemm_exact(
         extra = (w.m_t is not None) or (w.qh_t is not None)
         tn = 2048 if extra else 4096
     is4 = w.packed_t is not None
-    kdim = k // 2 if is4 else k
+    # padded packed column space (prepare() zero-pads K to 256-row packs)
+    kdim = w.packed_t.shape[0] if is4 else w.qs_t.shape[0]
     tkp = min(tkp, kdim)
     while kdim % tkp:
         tkp //= 2
     tkb = tkp // QK
     nkt = kdim // tkp
-    nb = k // QK
 
     tm = round_up(m, 8)
     tn = min(tn, round_up(w.n, 128))
@@ -198,9 +203,9 @@ def gemm_exact(
         pc = np_ - x.shape[1]
         return _jnp.pad(x, ((0, 0), (0, pc))) if pc else x
 
-    qa = padm(a_q.qs)
-    da_t = padm(a_q.d).T.astype(jnp.float32)  # [nb, TM]
-    sa_t = padm(a_q.s).T.astype(jnp.float32)
+    qa = pad_activation_k(padm(a_q.qs), k, kdim, is4)
+    da_t = pad_scales_k(padm(a_q.d).astype(jnp.float32), k, kdim, is4).T
+    sa_t = pad_scales_k(padm(a_q.s).astype(jnp.float32), k, kdim, is4).T
 
     grid = (np_ // tn, nkt)
 

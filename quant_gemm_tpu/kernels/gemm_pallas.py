@@ -86,6 +86,13 @@ def prepare(w_q) -> PreparedWeight:
 
     Scales are upcast f16 -> f32 here (exact): Mosaic has no f16 compute,
     and the CUDA kernels upcast at entry anyway (gemm_quant_formats.cuh:97).
+
+    K is **zero-padded per nibble plane to a 256-packed-row multiple** so
+    real-model dims that are not 512-multiples (e.g. Llama-7B's d_ff=11008)
+    still tile: padded blocks carry d=0 (and m=0), so they contribute
+    exactly nothing regardless of activation content.  ``PreparedWeight.k``
+    stays the TRUE K; kernels read the padded extent off the array shapes
+    and pad/reindex the activation to match (see :func:`pad_activation_k`).
     """
 
     def t32(x):
@@ -93,15 +100,81 @@ def prepare(w_q) -> PreparedWeight:
 
     spec = w_q.spec
     name = spec.name
+
+    def padcols(x, cols_to, dtype=None):
+        x = np.asarray(x)
+        pc = cols_to - x.shape[1]
+        if pc:
+            x = np.pad(x, ((0, 0), (0, pc)))
+        return x if dtype is None else x.astype(dtype)
+
+    def pad_halves(x, half, half_p):
+        """Pad each K-half of a row-major [N, 2*half] field to half_p."""
+        x = np.asarray(x)
+        return np.concatenate(
+            [padcols(x[:, :half], half_p), padcols(x[:, half:], half_p)],
+            axis=1,
+        )
+
     if spec.bits == 8:
-        n, k = w_q.qs.shape
-        return PreparedWeight(name, n, k, None, jnp.asarray(w_q.qs).T, t32(w_q.d), None, None)
-    n, khalf = w_q.packed.shape
-    m_t = t32(w_q.m) if spec.has_min else None
-    qh_t = jnp.asarray(w_q.qh).T if hasattr(w_q, "qh") else None
-    return PreparedWeight(
-        name, n, khalf * 2, jnp.asarray(w_q.packed).T, None, t32(w_q.d), m_t, qh_t
+        n, k = np.asarray(w_q.qs).shape
+        kp = round_up(k, 512)
+        qs = padcols(w_q.qs, kp)
+        d = padcols(np.asarray(w_q.d, np.float32), kp // QK)
+        return PreparedWeight(
+            name, n, k, None, jnp.asarray(qs).T, jnp.asarray(d).T, None, None
+        )
+
+    n, khalf = np.asarray(w_q.packed).shape
+    khalf_p = round_up(khalf, 256)
+    packed = padcols(w_q.packed, khalf_p)
+    nbh, nbh_p = khalf // QK, khalf_p // QK
+    d = pad_halves(np.asarray(w_q.d, np.float32), nbh, nbh_p)
+    m_t = (
+        jnp.asarray(pad_halves(np.asarray(w_q.m, np.float32), nbh, nbh_p)).T
+        if spec.has_min else None
     )
+    qh_t = (
+        jnp.asarray(pad_halves(w_q.qh, khalf // 8, khalf_p // 8)).T
+        if hasattr(w_q, "qh") else None
+    )
+    return PreparedWeight(
+        name, n, khalf * 2, jnp.asarray(packed).T, None, jnp.asarray(d).T,
+        m_t, qh_t,
+    )
+
+
+def pad_activation_k(a: jax.Array, k: int, kdim_p: int, is4: bool) -> jax.Array:
+    """Reindex [M, K] activations to a K-padded weight's layout.
+
+    4/5-bit planar weights pad each K-half independently, so the activation
+    gets zeros inserted after each half; 8-bit pads at the end only.
+    """
+    if is4:
+        half, half_p = k // 2, kdim_p
+        if half == half_p:
+            return a
+        m = a.shape[0]
+        z = jnp.zeros((m, half_p - half), a.dtype)
+        return jnp.concatenate([a[:, :half], z, a[:, half:], z], axis=1)
+    if kdim_p == k:
+        return a
+    return jnp.pad(a, ((0, 0), (0, kdim_p - k)))
+
+
+def pad_scales_k(x: jax.Array, k: int, kdim_p: int, is4: bool) -> jax.Array:
+    """Reindex per-block [M, K/32] vectors (d/s) to a K-padded layout."""
+    x = jnp.asarray(x)
+    if is4:
+        nbh, nbh_p = k // 64, kdim_p // QK
+        if nbh == nbh_p:
+            return x
+        z = jnp.zeros((x.shape[0], nbh_p - nbh), x.dtype)
+        return jnp.concatenate([x[:, :nbh], z, x[:, nbh:], z], axis=1)
+    nb, nb_p = k // QK, kdim_p // QK
+    if nb == nb_p:
+        return x
+    return jnp.pad(x, ((0, 0), (0, nb_p - nb)))
 
 
 def _expand_rows(d_tile: jax.Array, reps: int) -> jax.Array:
@@ -270,8 +343,10 @@ def _kernel_w8(*refs, mxu_dtype, fused_q8_act):
 
 
 def supports(k: int) -> bool:
-    """Pallas fast path requires K/2 tileable by a 256-multiple TKP."""
-    return k % 512 == 0
+    """Pallas fast path: prepare() zero-pads K to 256-row packs, so any
+    K whose 32-blocks align with the nibble planes (K % 64 == 0) tiles —
+    including real-model dims like Llama-7B's d_ff=11008."""
+    return k % 64 == 0
 
 
 def gemm(
@@ -312,8 +387,10 @@ def gemm(
         interpret = _interpret_default()
 
     is4 = w.packed_t is not None
-    khalf = k // 2
-    kdim = khalf if is4 else k  # packed column space
+    # padded packed column space (prepare() zero-pads K to 256-row packs)
+    kdim = w.packed_t.shape[0] if is4 else w.qs_t.shape[0]
+    a = pad_activation_k(a, k, kdim, is4)
+    khalf = kdim if is4 else kdim // 2
     tkp = min(tkp, kdim)
     while kdim % tkp:
         tkp //= 2

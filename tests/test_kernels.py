@@ -180,3 +180,29 @@ def test_exact_kernel_all_formats(data, fmt):
     m = ErrorMetrics.compute(out, gold)
     assert m.nmse < 1e-11, (fmt, m)
     assert out.shape == (M, N)
+
+
+@pytest.mark.parametrize("fmt", ["q4_0", "q5_1", "q8_0"])
+def test_non_512_multiple_k(fmt):
+    """Real-model dims like Llama-7B's d_ff=11008 are not 512-multiples;
+    prepare() zero-pads K so both serving kernels still tile (padded blocks
+    carry d=0 and contribute nothing)."""
+    k = 1088  # = 17 * 64; khalf = 544 pads to 768
+    a = datagen.normal((4, k), seed=21)
+    w = datagen.normal((256, k), seed=22)
+    w_q = numpy_ref.QUANTIZE[fmt](w)
+    a_q = numpy_ref.quantize_q8_1(a)
+    wp = prepare(w_q)
+    gold = refg.gemm_wxa8(w_q, a_q)
+
+    out_exact = gemm_exact(wp, jax_quant.device_put(a_q))
+    m1 = ErrorMetrics.compute(out_exact, gold)
+    assert m1.nmse < 1e-11, (fmt, m1)
+
+    out_deq = KERNELS["pallas_f32"](w_q, jnp.asarray(a))
+    m2 = ErrorMetrics.compute(out_deq, refg.gemm_wxa16(a, w_q))
+    assert m2.nmse < 1e-10, (fmt, m2)
+
+    out_disp = dispatch(wp, jax_quant.device_put(a_q))
+    m3 = ErrorMetrics.compute(out_disp, gold)
+    assert m3.nmse < 1e-11, (fmt, m3)
