@@ -1,0 +1,159 @@
+"""Load / export quantized Llama checkpoints as GGUF with llama.cpp naming.
+
+This is the "switch from llama.cpp" workflow: a GGUF file with llama.cpp's
+tensor names (``token_embd.weight``, ``blk.{i}.attn_q.weight``, ...,
+``output.weight``) and ``llama.*`` metadata keys loads straight into the
+serving runtime — quantized tensors stay in their block formats and are
+re-packed into the kernel-ready PreparedWeight layout (QKV and gate/up
+fused, exactly like :func:`~.llama.quantize_params`).
+
+``export_gguf`` writes the same convention, so checkpoints round-trip and
+are readable by llama.cpp itself (byte-exact block layouts —
+formats/gguf.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..formats import numpy_ref
+from ..formats.gguf_file import GGUFFile, write_gguf
+from ..kernels import gemm_pallas
+from . import llama
+
+# llama.cpp tensor-name convention (gguf.md / llama.cpp convert scripts)
+_EMBED = "token_embd.weight"
+_OUT_NORM = "output_norm.weight"
+_OUTPUT = "output.weight"
+_BLK = {
+    "attn_norm": "blk.{i}.attn_norm.weight",
+    "wq": "blk.{i}.attn_q.weight",
+    "wk": "blk.{i}.attn_k.weight",
+    "wv": "blk.{i}.attn_v.weight",
+    "wo": "blk.{i}.attn_output.weight",
+    "mlp_norm": "blk.{i}.ffn_norm.weight",
+    "w_gate": "blk.{i}.ffn_gate.weight",
+    "w_up": "blk.{i}.ffn_up.weight",
+    "w_down": "blk.{i}.ffn_down.weight",
+}
+
+
+def config_from_metadata(md: dict) -> llama.LlamaConfig:
+    """Build a LlamaConfig from ``llama.*`` GGUF metadata keys."""
+    def get(key, default=None):
+        v = md.get(f"llama.{key}", default)
+        if v is None:
+            raise KeyError(f"GGUF metadata missing llama.{key}")
+        return v
+
+    n_heads = int(get("attention.head_count"))
+    return llama.LlamaConfig(
+        vocab=int(md.get("llama.vocab_size", md.get("tokenizer.ggml.tokens_count", 32000))),
+        dim=int(get("embedding_length")),
+        n_layers=int(get("block_count")),
+        n_heads=n_heads,
+        n_kv_heads=int(get("attention.head_count_kv", n_heads)),
+        d_ff=int(get("feed_forward_length")),
+        max_seq=int(get("context_length", 2048)),
+        rope_base=float(md.get("llama.rope.freq_base", 10000.0)),
+        eps=float(md.get("llama.attention.layer_norm_rms_epsilon", 1e-5)),
+    )
+
+
+def _rows(t) -> np.ndarray:
+    """Loaded GGUF tensor -> dequantizable container or float array."""
+    return t
+
+
+def _concat_quantized(parts):
+    """Concat SoA containers on the out-feature (row) axis.
+
+    Block quantization is row-local, so concatenation of containers is
+    bit-identical to quantizing the concatenated float matrix.
+    """
+    t0 = parts[0]
+    if isinstance(t0, np.ndarray):
+        return np.concatenate([np.asarray(p) for p in parts], axis=0)
+    fields = {}
+    for name in t0._fields:
+        fields[name] = np.concatenate(
+            [np.asarray(getattr(p, name)) for p in parts], axis=0
+        )
+    return type(t0)(**fields)
+
+
+def _prep(t) -> gemm_pallas.PreparedWeight:
+    if isinstance(t, np.ndarray):  # float tensor in a quantized slot
+        return gemm_pallas.prepare(numpy_ref.quantize_q4_0(np.asarray(t, np.float32)))
+    return gemm_pallas.prepare(t)
+
+
+def load_llama(path) -> tuple[dict, llama.LlamaConfig]:
+    """GGUF file -> (qparams ready for llama.forward, config)."""
+    gf = GGUFFile(path)
+    cfg = config_from_metadata(gf.metadata)
+    embed = gf.load(_EMBED)
+    if not isinstance(embed, np.ndarray):
+        embed = numpy_ref.dequantize(embed)
+    out = {
+        "embed": jnp.asarray(embed, jnp.bfloat16),
+        "final_norm": jnp.asarray(np.asarray(gf.load(_OUT_NORM), np.float32)),
+        "layers": [],
+    }
+    for i in range(cfg.n_layers):
+        names = {k: v.format(i=i) for k, v in _BLK.items()}
+        lyr = {
+            "attn_norm": jnp.asarray(np.asarray(gf.load(names["attn_norm"]), np.float32)),
+            "mlp_norm": jnp.asarray(np.asarray(gf.load(names["mlp_norm"]), np.float32)),
+        }
+        qkv = _concat_quantized(
+            [gf.load(names["wq"]), gf.load(names["wk"]), gf.load(names["wv"])]
+        )
+        gu = _concat_quantized([gf.load(names["w_gate"]), gf.load(names["w_up"])])
+        lyr["wqkv"] = _prep(qkv)
+        lyr["wo"] = _prep(gf.load(names["wo"]))
+        lyr["wgu"] = _prep(gu)
+        lyr["w_down"] = _prep(gf.load(names["w_down"]))
+        out["layers"].append(lyr)
+    out["lm_head"] = _prep(gf.load(_OUTPUT))
+    return out, cfg
+
+
+def export_gguf(path, params: dict, cfg: llama.LlamaConfig,
+                qtype: str = "q4_0") -> None:
+    """Write float params (llama.init_params layout) as a quantized GGUF.
+
+    Linears quantize to ``qtype``; embeddings and norms stay f32.  Output
+    uses llama.cpp tensor names + ``llama.*`` metadata, so the file loads
+    back via :func:`load_llama` AND into llama.cpp itself.
+    """
+    quantize = numpy_ref.QUANTIZE[qtype]
+    tensors: dict = {
+        _EMBED: np.asarray(params["embed"], np.float32),
+        _OUT_NORM: np.asarray(params["final_norm"], np.float32),
+        _OUTPUT: quantize(np.asarray(params["lm_head"], np.float32)),
+    }
+    for i, lyr in enumerate(params["layers"]):
+        names = {k: v.format(i=i) for k, v in _BLK.items()}
+        for norm in ("attn_norm", "mlp_norm"):
+            tensors[names[norm]] = np.asarray(lyr[norm], np.float32)
+        for lin in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+            tensors[names[lin]] = quantize(np.asarray(lyr[lin], np.float32))
+    metadata = {
+        "general.architecture": "llama",
+        "general.name": "quant_gemm_tpu export",
+        "llama.embedding_length": cfg.dim,
+        "llama.block_count": cfg.n_layers,
+        "llama.attention.head_count": cfg.n_heads,
+        "llama.attention.head_count_kv": cfg.n_kv_heads,
+        "llama.feed_forward_length": cfg.d_ff,
+        "llama.context_length": cfg.max_seq,
+        "llama.vocab_size": cfg.vocab,
+        "llama.rope.freq_base": cfg.rope_base,
+        "llama.attention.layer_norm_rms_epsilon": cfg.eps,
+    }
+    write_gguf(path, tensors, metadata)
+
+
+__all__ = ["load_llama", "export_gguf", "config_from_metadata"]

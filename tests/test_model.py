@@ -74,3 +74,27 @@ def test_bf16_act_mode(qparams):
     out, _ = llama.forward(qparams, CFG, tokens, cache, act_mode="bf16")
     assert out.shape == (1, 4, CFG.vocab)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_gguf_roundtrip_serving(tmp_path):
+    """Export float params as a llama.cpp-named quantized GGUF, load it
+    back, and check the loaded model decodes identically to directly
+    quantized params (the 'switch from llama.cpp' workflow)."""
+    from quant_gemm_tpu.models import gguf_loader
+
+    cfg = CFG
+    params = llama.init_params(cfg, seed=3)
+    path = tmp_path / "model.gguf"
+    gguf_loader.export_gguf(path, params, cfg, qtype="q4_0")
+
+    qparams, cfg2 = gguf_loader.load_llama(path)
+    assert cfg2.dim == cfg.dim and cfg2.n_layers == cfg.n_layers
+    assert cfg2.d_ff == cfg.d_ff and cfg2.n_kv_heads == cfg.n_kv_heads
+
+    direct = llama.quantize_params(params, "q4_0")
+    tokens = jnp.asarray(np.array([[5, 7, 2]], dtype=np.int32))
+    out_a, _ = llama.forward(qparams, cfg2, tokens, llama.KVCache.init(cfg2, 1))
+    out_b, _ = llama.forward(direct, cfg, tokens, llama.KVCache.init(cfg, 1))
+    # embed stored f32 in GGUF vs bf16 directly: allow tiny diff
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               atol=1e-2, rtol=1e-2)
