@@ -1,0 +1,247 @@
+"""Tensor-parallel quantized Llama serving (Megatron sharding over ICI).
+
+The north-star serving topology (BASELINE.json): packed-INT4 weights stay
+packed and are tensor-sharded across chips; per layer the attention block
+runs column-parallel QKV -> local-heads attention -> row-parallel out-proj
+-> ``psum``, and the MLP runs column-parallel gate/up -> row-parallel down
+-> ``psum`` — two collectives per layer, both riding ICI, overlapped with
+compute by XLA's scheduler.
+
+* weights: every device holds a self-contained K-major planar
+  PreparedWeight chunk (stacked on a leading ``[tp, ...]`` axis, sharded
+  there — XLA never re-lays-out the packed uint8 payload).
+* QKV / gate-up fusion is preserved *per device*: chunk i is
+  ``concat(wq_i, wk_i, wv_i)`` over that device's head group, so local
+  GEMM shapes match the single-chip fused path.
+* KV cache is sharded on the kv-head axis; the fused flash-decode kernel
+  runs on local heads with no communication.
+* activations are replicated; each device quantizes them to Q8_1 locally
+  (deterministic — no divergence across chips).
+
+Validated on the virtual CPU mesh: tp=1..8 outputs match the single-chip
+model bit-for-bit up to f32 psum ordering (tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..kernels import gemm_pallas
+from . import llama
+
+
+def _split_rows(w: np.ndarray, parts: int) -> list[np.ndarray]:
+    n = w.shape[0]
+    assert n % parts == 0, (n, parts)
+    step = n // parts
+    return [w[i * step : (i + 1) * step] for i in range(parts)]
+
+
+def _split_cols(w: np.ndarray, parts: int) -> list[np.ndarray]:
+    k = w.shape[1]
+    assert k % parts == 0, (k, parts)
+    step = k // parts
+    return [w[:, i * step : (i + 1) * step] for i in range(parts)]
+
+
+def _stack_prepared(chunks, mesh: Mesh, axis: str):
+    """[PreparedWeight] -> one PreparedWeight of stacked, tp-sharded arrays."""
+    c0 = chunks[0]
+
+    def stack(field):
+        vals = [getattr(c, field) for c in chunks]
+        if vals[0] is None:
+            return None
+        arr = jnp.stack([jnp.asarray(v) for v in vals])
+        return jax.device_put(arr, NamedSharding(mesh, P(axis, None, None)))
+
+    return gemm_pallas.PreparedWeight(
+        c0.qtype, c0.n, c0.k, stack("packed_t"), stack("qs_t"),
+        stack("d_t"), stack("m_t"), stack("qh_t"),
+    )
+
+
+def _local(stacked: gemm_pallas.PreparedWeight) -> gemm_pallas.PreparedWeight:
+    """Inside shard_map: strip the (length-1) leading device axis."""
+    def first(x):
+        return None if x is None else x[0]
+
+    s = stacked
+    return gemm_pallas.PreparedWeight(
+        s.qtype, s.n, s.k, first(s.packed_t), first(s.qs_t),
+        first(s.d_t), first(s.m_t), first(s.qh_t),
+    )
+
+
+def shard_params_tp(params: dict, cfg: llama.LlamaConfig, mesh: Mesh,
+                    qtype: str = "q4_0", axis: str = "tp") -> dict:
+    """Quantize + Megatron-shard float params over ``mesh[axis]``.
+
+    Column-parallel (head/feature-sharded rows): wqkv, wgu.  Row-parallel
+    (K-sharded): wo (by head group), w_down (by d_ff shard).  Embedding,
+    norms and lm_head are replicated.
+    """
+    from ..formats import numpy_ref
+
+    tp = mesh.shape[axis]
+    assert cfg.n_heads % tp == 0 and cfg.n_kv_heads % tp == 0, (cfg, tp)
+    assert cfg.d_ff % tp == 0
+    quantize = numpy_ref.QUANTIZE[qtype]
+
+    def prep_chunks(chunks):
+        return _stack_prepared(
+            [gemm_pallas.prepare(quantize(np.asarray(c, np.float32)))
+             for c in chunks],
+            mesh, axis,
+        )
+
+    def repl(x, dtype=None):
+        arr = jnp.asarray(x) if dtype is None else jnp.asarray(x, dtype)
+        spec = P(*([None] * arr.ndim))
+        return jax.device_put(arr, NamedSharding(mesh, spec))
+
+    out = {
+        "embed": repl(params["embed"], jnp.bfloat16),
+        "final_norm": repl(params["final_norm"]),
+        "lm_head": _stack_prepared(
+            [gemm_pallas.prepare(quantize(np.asarray(params["lm_head"])))] * tp,
+            mesh, axis,
+        ),
+        "layers": [],
+    }
+    for lyr in params["layers"]:
+        q_parts = _split_rows(np.asarray(lyr["wq"]), tp)
+        k_parts = _split_rows(np.asarray(lyr["wk"]), tp)
+        v_parts = _split_rows(np.asarray(lyr["wv"]), tp)
+        gate_parts = _split_rows(np.asarray(lyr["w_gate"]), tp)
+        up_parts = _split_rows(np.asarray(lyr["w_up"]), tp)
+        out["layers"].append({
+            "attn_norm": repl(lyr["attn_norm"]),
+            "mlp_norm": repl(lyr["mlp_norm"]),
+            "wqkv": prep_chunks(
+                [np.concatenate([q_parts[i], k_parts[i], v_parts[i]], axis=0)
+                 for i in range(tp)]
+            ),
+            "wo": prep_chunks(_split_cols(np.asarray(lyr["wo"]), tp)),
+            "wgu": prep_chunks(
+                [np.concatenate([gate_parts[i], up_parts[i]], axis=0)
+                 for i in range(tp)]
+            ),
+            "w_down": prep_chunks(_split_cols(np.asarray(lyr["w_down"]), tp)),
+        })
+    return out
+
+
+def init_cache_tp(cfg: llama.LlamaConfig, batch: int, mesh: Mesh,
+                  axis: str = "tp") -> llama.KVCache:
+    """KV cache sharded on the kv-head axis."""
+    cache = llama.KVCache.init(cfg, batch)
+    spec = NamedSharding(mesh, P(None, None, axis, None, None))
+    return llama.KVCache(
+        jax.device_put(cache.k, spec),
+        jax.device_put(cache.v, spec),
+        jax.device_put(cache.pos, NamedSharding(mesh, P(None))),
+    )
+
+
+def forward_tp(qparams: dict, cfg: llama.LlamaConfig, tokens, cache,
+               mesh: Mesh, *, act_mode: str = "q8_1", axis: str = "tp"):
+    """TP forward: same math as llama.forward, two psums per layer."""
+    tp = mesh.shape[axis]
+    cfg_local = cfg._replace(
+        n_heads=cfg.n_heads // tp, n_kv_heads=cfg.n_kv_heads // tp,
+        d_ff=cfg.d_ff // tp,
+    )
+    rope_cache = llama.make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base)
+
+    def spec_of(leaf):
+        # stacked weight planes are [tp, rows, cols]; norms/embed replicated
+        if getattr(leaf, "ndim", 0) == 3:
+            return P(axis, None, None)
+        return P(*([None] * leaf.ndim))
+
+    param_specs = jax.tree.map(spec_of, qparams)
+    cache_specs = llama.KVCache(
+        P(None, None, axis, None, None), P(None, None, axis, None, None),
+        P(None),
+    )
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(param_specs, P(None, None), cache_specs),
+        out_specs=(P(None, None, None), cache_specs),
+        check_rep=False,
+    )
+    def run(qp, toks, cache):
+        b, t = toks.shape
+        pos0 = cache.pos
+        x = qp["embed"][toks].astype(jnp.float32)
+        positions = pos0[:, None] + jnp.arange(t)[None, :]
+        nq = cfg_local.n_heads * cfg.head_dim
+        nkv = cfg_local.n_kv_heads * cfg.head_dim
+
+        def write_cache(buf, li, val_t):
+            for bb in range(b):
+                buf = jax.lax.dynamic_update_slice(
+                    buf, val_t[bb][None, None], (li, bb, 0, pos0[bb], 0)
+                )
+            return buf
+
+        new_k, new_v = cache.k, cache.v
+        for li, lyr in enumerate(qp["layers"]):
+            h = llama.rms_norm(x, lyr["attn_norm"], cfg.eps)
+            flat = h.reshape(b * t, cfg.dim)
+            qkv = llama._linear(_local(lyr["wqkv"]), flat, act_mode)
+            q = qkv[:, :nq].reshape(b, t, cfg_local.n_heads, cfg.head_dim)
+            k = qkv[:, nq:nq + nkv].reshape(b, t, cfg_local.n_kv_heads, cfg.head_dim)
+            v = qkv[:, nq + nkv:].reshape(b, t, cfg_local.n_kv_heads, cfg.head_dim)
+            q = llama.apply_rope(q, positions, rope_cache)
+            k = llama.apply_rope(k, positions, rope_cache)
+            k_t = k.transpose(0, 2, 1, 3).astype(jnp.bfloat16)
+            v_t = v.transpose(0, 2, 1, 3).astype(jnp.bfloat16)
+            new_k = write_cache(new_k, li, k_t)
+            new_v = write_cache(new_v, li, v_t)
+            if t == 1:
+                from ..ops.attention import flash_decode
+
+                qg = q.reshape(b, cfg_local.n_kv_heads, -1, cfg.head_dim)
+                attn = flash_decode(
+                    qg, new_k, new_v, positions[:, 0], layer=li
+                ).reshape(b, t, nq)
+            else:
+                attn = llama._attention(
+                    cfg_local, q, new_k[li], new_v[li], positions
+                )
+            o_part = llama._linear(
+                _local(lyr["wo"]), attn.reshape(b * t, -1), act_mode
+            )
+            x = x + jax.lax.psum(o_part, axis).reshape(b, t, cfg.dim)
+
+            h = llama.rms_norm(x, lyr["mlp_norm"], cfg.eps)
+            flat = h.reshape(b * t, cfg.dim)
+            gu = llama._linear(_local(lyr["wgu"]), flat, act_mode)
+            dff_l = cfg_local.d_ff
+            ff = llama.silu_mul(gu[:, :dff_l], gu[:, dff_l:])
+            d_part = llama._linear(_local(lyr["w_down"]), ff, act_mode)
+            x = x + jax.lax.psum(d_part, axis).reshape(b, t, cfg.dim)
+
+        x = llama.rms_norm(x, qp["final_norm"], cfg.eps)
+        logits = llama._linear(
+            _local(qp["lm_head"]), x.reshape(b * t, cfg.dim), act_mode
+        )
+        return (
+            logits.reshape(b, t, -1),
+            llama.KVCache(new_k, new_v, pos0 + t),
+        )
+
+    return run(qparams, tokens, cache)
+
+
+__all__ = ["shard_params_tp", "init_cache_tp", "forward_tp"]

@@ -88,3 +88,39 @@ def test_dp_tp_mesh_quantize():
     a_q = sh.quantize_q8_1_sharded(jnp.asarray(x), mesh)
     ref = numpy_ref.quantize_q8_1(x)
     np.testing.assert_array_equal(np.asarray(a_q.qs), np.asarray(ref.qs))
+
+
+def test_tp_serving_matches_single_chip():
+    """Megatron-sharded serving forward must match the single-chip model
+    (up to f32 psum ordering) at tp=4, prefill AND flash-decode step."""
+    import jax.numpy as jnp
+
+    from quant_gemm_tpu.models import llama, llama_tp
+    from quant_gemm_tpu.parallel.sharding import make_mesh
+
+    cfg = llama.LlamaConfig(
+        vocab=64, dim=256, n_layers=2, n_heads=8, n_kv_heads=8, d_ff=512,
+        max_seq=32,
+    )
+    params = llama.init_params(cfg, seed=5)
+    mesh = make_mesh({"tp": 4})
+    qtp = llama_tp.shard_params_tp(params, cfg, mesh, "q4_0")
+    q1 = llama.quantize_params(params, "q4_0")
+
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(1, cfg.vocab, (2, 5)), jnp.int32)
+
+    cache_tp = llama_tp.init_cache_tp(cfg, 2, mesh)
+    cache_1 = llama.KVCache.init(cfg, 2)
+    out_tp, cache_tp = llama_tp.forward_tp(qtp, cfg, toks, cache_tp, mesh)
+    out_1, cache_1 = llama.forward(q1, cfg, toks, cache_1)
+    np.testing.assert_allclose(
+        np.asarray(out_tp), np.asarray(out_1), atol=1e-3, rtol=1e-3
+    )
+
+    nxt = jnp.argmax(out_1[:, -1:], -1).astype(jnp.int32)
+    d_tp, _ = llama_tp.forward_tp(qtp, cfg, nxt, cache_tp, mesh)
+    d_1, _ = llama.forward(q1, cfg, nxt, cache_1)
+    np.testing.assert_allclose(
+        np.asarray(d_tp), np.asarray(d_1), atol=1e-3, rtol=1e-3
+    )
