@@ -117,17 +117,29 @@ def flash_decode(
     scale = 1.0 / float(np.sqrt(hd))
 
     grid = (bsz, ns)
-    # index maps receive the scalar-prefetch ref as a trailing argument
+    # Index maps receive the scalar-prefetch ref as a trailing argument.
+    # KV tile indices are CLAMPED to the last tile containing pos[b]: grid
+    # steps past a slot's length re-request the same block, which the
+    # Pallas pipeline dedups into no DMA at all — decode attention cost is
+    # proportional to the slot's ACTUAL sequence length, not max_seq (the
+    # pl.when guard already skips their compute).
     qspec = pl.BlockSpec((1, kv, rep, hd), lambda b, st, pos: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM)
+
+    def _clamp(st, b, pos):
+        return jnp.minimum(st, pos[b] // ts)
+
     if stacked:
         li = int(layer)
         kvspec = pl.BlockSpec(
-            (1, 1, kv, ts, hd), lambda b, st, pos, li=li: (li, b, 0, st, 0),
+            (1, 1, kv, ts, hd),
+            lambda b, st, pos, li=li: (li, b, 0, _clamp(st, b, pos), 0),
             memory_space=pltpu.VMEM)
     else:
-        kvspec = pl.BlockSpec((1, kv, ts, hd), lambda b, st, pos: (b, 0, st, 0),
-                              memory_space=pltpu.VMEM)
+        kvspec = pl.BlockSpec(
+            (1, kv, ts, hd),
+            lambda b, st, pos: (b, 0, _clamp(st, b, pos), 0),
+            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, ts=ts, ns=ns, scale=scale, stacked=stacked),
         grid_spec=pltpu.PrefetchScalarGridSpec(
