@@ -236,9 +236,22 @@ def forward(
             )
         return buf
 
+    def write_cache_all_layers(buf, vals):
+        """Decode-path batched write: ONE dus per slot covers every layer.
+
+        vals: [L, B, KV, 1, hd].  Per-layer dus writes cost ~4 us each
+        (2*L*B of them = 0.5 ms/step at 16 layers); deferring to a single
+        all-layer insert per slot cuts that to 2*B."""
+        for bb in range(b):
+            buf = jax.lax.dynamic_update_slice(
+                buf, vals[:, bb][:, None], (0, bb, 0, pos0[bb], 0)
+            )
+        return buf
+
     new_k, new_v = cache.k, cache.v
     nq = cfg.n_heads * cfg.head_dim
     nkv = cfg.n_kv_heads * cfg.head_dim
+    k_pending, v_pending = [], []  # decode: deferred all-layer batch write
     for li, lyr in enumerate(qparams["layers"]):
         h = rms_norm(x, lyr["attn_norm"], cfg.eps)
         flat = h.reshape(b * t, cfg.dim)
@@ -251,18 +264,23 @@ def forward(
 
         k_t = k.transpose(0, 2, 1, 3).astype(jnp.bfloat16)  # [B, KV, T, hd]
         v_t = v.transpose(0, 2, 1, 3).astype(jnp.bfloat16)
-        new_k = write_cache(new_k, li, k_t)
-        new_v = write_cache(new_v, li, v_t)
         if t == 1:
             # decode: fused flash-decode on the FULL stacked cache (slicing
-            # cache[li] would materialize a per-layer copy for the kernel)
+            # cache[li] would materialize a per-layer copy for the kernel);
+            # the current token's k/v ride as kernel operands so the cache
+            # write defers to ONE batched all-layer insert after the loop
             from ..ops.attention import flash_decode
 
+            k_pending.append(k_t)
+            v_pending.append(v_t)
             qg = q.reshape(b, cfg.n_kv_heads, -1, cfg.head_dim)
             attn = flash_decode(
-                qg, new_k, new_v, positions[:, 0], layer=li
+                qg, new_k, new_v, positions[:, 0], layer=li,
+                k_current=k_t, v_current=v_t,
             ).reshape(b, t, cfg.n_heads * cfg.head_dim)
         else:
+            new_k = write_cache(new_k, li, k_t)
+            new_v = write_cache(new_v, li, v_t)
             attn = _attention(cfg, q, new_k[li], new_v[li], positions)
         x = x + _linear(lyr["wo"], attn.reshape(b * t, -1), act_mode).reshape(b, t, cfg.dim)
 
@@ -272,6 +290,9 @@ def forward(
         ff = silu_mul(gu[:, : cfg.d_ff], gu[:, cfg.d_ff :])
         x = x + _linear(lyr["w_down"], ff, act_mode).reshape(b, t, cfg.dim)
 
+    if k_pending:
+        new_k = write_cache_all_layers(new_k, jnp.stack(k_pending))
+        new_v = write_cache_all_layers(new_v, jnp.stack(v_pending))
     x = rms_norm(x, qparams["final_norm"], cfg.eps)
     logits = _linear(qparams["lm_head"], x.reshape(b * t, cfg.dim), act_mode)
     return logits.reshape(b, t, cfg.vocab), KVCache(new_k, new_v, pos0 + t)

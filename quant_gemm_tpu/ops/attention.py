@@ -34,12 +34,25 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(np.finfo(np.float32).min)
 
 
-def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-            *, ts: int, ns: int, scale: float, stacked: bool):
+def _kernel(*refs, ts: int, ns: int, scale: float, stacked: bool,
+            has_current: bool):
     """Grid (B, S/ts); S innermost; ALL kv heads ride one tile (the cache
     slab per step is [KV, ts, hd] — MB-sized DMAs; a per-head grid measured
     3x slower, DMA-issue-latency bound).  Scratch m/l/acc persist over S.
+
+    With ``has_current``, the just-produced token's k/v arrive as separate
+    operands and are folded into the online softmax at the final step —
+    the cache does NOT need to contain the current token (lets the model
+    defer all cache writes to one batched insert per step).
     """
+    it = iter(refs)
+    pos_ref = next(it)
+    q_ref = next(it)
+    k_ref, v_ref = next(it), next(it)
+    kc_ref, vc_ref = (next(it), next(it)) if has_current else (None, None)
+    o_ref = next(it)
+    m_ref, l_ref, acc_ref = next(it), next(it), next(it)
+
     b = pl.program_id(0)
     s = pl.program_id(1)
 
@@ -49,7 +62,9 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    seq_len = pos_ref[b] + 1  # slots <= pos are valid
+    # cached slots valid: <= pos when the cache already holds the current
+    # token, < pos when it arrives via the kc/vc operands
+    seq_len = pos_ref[b] + (0 if has_current else 1)
 
     @pl.when(s * ts < seq_len)
     def _tile():
@@ -80,8 +95,20 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
     @pl.when(s == ns - 1)
     def _finish():
-        l = l_ref[:, :, :1]
-        o_ref[0] = (acc_ref[:] / jnp.where(l > 0, l, 1.0)).astype(o_ref.dtype)
+        m_prev = m_ref[:, :, :1]
+        l_prev = l_ref[:, :, :1]
+        acc = acc_ref[:]
+        if has_current:
+            q = q_ref[0].astype(jnp.float32) * scale  # [KV, rep, hd]
+            kc = kc_ref[0].astype(jnp.float32)  # [KV, 1, hd]
+            vc = vc_ref[0].astype(jnp.float32)
+            cur = jnp.sum(q * kc, axis=2, keepdims=True)  # [KV, rep, 1]
+            m_new = jnp.maximum(m_prev, cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p_cur = jnp.exp(cur - m_new)
+            l_prev = l_prev * alpha + p_cur
+            acc = acc * alpha + p_cur * vc  # broadcast [KV, 1, hd]
+        o_ref[0] = (acc / jnp.where(l_prev > 0, l_prev, 1.0)).astype(o_ref.dtype)
 
 
 def flash_decode(
@@ -90,6 +117,8 @@ def flash_decode(
     v: jax.Array,  # same layout as k
     pos: jax.Array,  # int32 [B]: position of the current token per slot
     *,
+    k_current: jax.Array | None = None,  # [B, KV, 1, hd] current-token k
+    v_current: jax.Array | None = None,
     layer: int | None = None,
     ts: int = 256,
     interpret: bool | None = None,
@@ -103,12 +132,18 @@ def flash_decode(
     instead of slicing ``cache[li]`` yourself: a host-side slice
     materializes a per-layer copy of the cache just to feed the kernel
     operand, while the layer index in the BlockSpec is free.
+
+    With ``k_current``/``v_current``, the cache is treated as holding only
+    slots < pos and the current token is folded in-kernel — the caller can
+    defer all cache writes to one batched insert per step.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bsz, kv, rep, hd = q.shape
     stacked = k.ndim == 5
     assert stacked == (layer is not None)
+    has_current = k_current is not None
+    assert has_current == (v_current is not None)
     s = k.shape[3] if stacked else k.shape[2]
     ts = min(ts, s)
     while s % ts:
@@ -127,7 +162,10 @@ def flash_decode(
                          memory_space=pltpu.VMEM)
 
     def _clamp(st, b, pos):
-        return jnp.minimum(st, pos[b] // ts)
+        # last tile holding valid cached data (valid slots are < pos when
+        # the current token rides separately, <= pos otherwise)
+        last = pos[b] if not has_current else jnp.maximum(pos[b] - 1, 0)
+        return jnp.minimum(st, last // ts)
 
     if stacked:
         li = int(layer)
@@ -140,12 +178,20 @@ def flash_decode(
             (1, kv, ts, hd),
             lambda b, st, pos: (b, 0, _clamp(st, b, pos), 0),
             memory_space=pltpu.VMEM)
+    operands = [q, k, v]
+    in_specs = [qspec, kvspec, kvspec]
+    if has_current:
+        curspec = pl.BlockSpec((1, kv, 1, hd), lambda b, st, pos: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        operands += [k_current, v_current]
+        in_specs += [curspec, curspec]
     out = pl.pallas_call(
-        functools.partial(_kernel, ts=ts, ns=ns, scale=scale, stacked=stacked),
+        functools.partial(_kernel, ts=ts, ns=ns, scale=scale, stacked=stacked,
+                          has_current=has_current),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[qspec, kvspec, kvspec],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, kv, rep, hd), lambda b, st, pos: (b, 0, 0, 0),
                 memory_space=pltpu.VMEM),
@@ -160,7 +206,7 @@ def flash_decode(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(pos.astype(jnp.int32), q, k, v)
+    )(pos.astype(jnp.int32), *operands)
     return out
 
 
