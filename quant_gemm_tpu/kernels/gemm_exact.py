@@ -172,10 +172,12 @@ def gemm_exact(
     m, k = a_q.qs.shape
     assert k == w.k
     if tn is None:
-        # q4_1/q5_x carry extra m/qh operand planes; tn=4096 exceeds the
-        # 16 MB scoped-VMEM limit for them
-        extra = (w.m_t is not None) or (w.qh_t is not None)
-        tn = 2048 if extra else 4096
+        # tn=2048 measured best-or-tied across the serving GEMM shapes
+        # (short-K shapes need more grid steps to amortize the pipeline
+        # ramp: wqkv 6144x2048 runs 14.5 us at tn=2048 vs 24.3 at 4096);
+        # q4_1/q5_x also carry extra m/qh planes that overflow the 16 MB
+        # scoped VMEM at tn=4096
+        tn = 2048
     is4 = w.packed_t is not None
     # padded packed column space (prepare() zero-pads K to 256-row packs)
     kdim = w.packed_t.shape[0] if is4 else w.qs_t.shape[0]
