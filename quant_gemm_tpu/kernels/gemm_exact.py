@@ -80,39 +80,49 @@ def _expand_bits_int(qh_tile: jax.Array) -> jax.Array:
     return (rep >> amt) & 1
 
 
-def _kernel(*refs, tkb: int, offset: int, has_min: bool, has_qh: bool):
+def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
+            has_min: bool, has_qh: bool):
     """4/5-bit weights.  Ref order:
 
-    packed, d_lo, d_hi, [m_lo, m_hi,] [qh_lo, qh_hi,]
-    qa_lo, qa_hi, da_lo, da_hi, sa_lo, sa_hi, out
+    packed, d_lo, d_hi, [m_lo, m_hi,] [qh_lo, qh_hi,] qa, da, sa, out
+
+    Weight planes arrive as per-grid-step tiles; the small activation-side
+    operands (qa int8 codes, d_a/s_a per-block vectors) arrive as FULL
+    VMEM-resident arrays with constant index maps — fetched once and
+    deduped by the pipeline instead of 6 tiny DMAs per grid step (the tiny
+    fetches cost ~2x the whole-kernel DMA floor on vocab-sized N).  The
+    kernel slices them at the K offset of the current grid step.
     """
     it = iter(refs)
     packed_ref = next(it)
     dlo_ref, dhi_ref = next(it), next(it)
     mlo_ref, mhi_ref = (next(it), next(it)) if has_min else (None, None)
     qhlo_ref, qhhi_ref = (next(it), next(it)) if has_qh else (None, None)
-    qa_lo_ref, qa_hi_ref = next(it), next(it)
-    da_lo_ref, da_hi_ref = next(it), next(it)
-    sa_lo_ref, sa_hi_ref = next(it), next(it)
+    qa_ref = next(it)  # [TM, 2*kdim] int8 (full)
+    da_ref = next(it)  # [nb_p, TM] f32 (full)
+    sa_ref = next(it)
     out_ref = refs[-1]
 
-    @pl.when(pl.program_id(1) == 0)
+    kt = pl.program_id(1)
+
+    @pl.when(kt == 0)
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
     packed = packed_ref[:].astype(jnp.int32)
 
-    def plane(nib_i32, qa_ref, d_ref, m_ref, qh_ref, da_ref, sa_ref):
+    def plane(nib_i32, d_ref, m_ref, qh_ref, koff):
         qw = nib_i32
         if has_qh:
             qw = qw + 16 * _expand_bits_int(qh_ref[:])  # codes 0..31
+        qa = qa_ref[:, pl.ds(koff * tkp, tkp)]  # [TM, tkp]
+        da = da_ref[pl.ds(koff * tkb, tkb), :]  # [tkb, TM]
+        sa = sa_ref[pl.ds(koff * tkb, tkb), :]
         acc = jnp.zeros_like(out_ref)
         d = d_ref[:]  # [tkb, tn] f32
-        da = da_ref[:]  # [tkb, tm] f32
-        sa = sa_ref[:]
         for b in range(tkb):
             sl = slice(b * QK, (b + 1) * QK)
-            sumi = _int_dot(qa_ref[:, sl], qw[sl, :]).astype(jnp.float32)
+            sumi = _int_dot(qa[:, sl], qw[sl, :]).astype(jnp.float32)
             d_w = d[b, :][None, :]  # [1, TN]
             d_a = da[b, :][:, None]  # [TM, 1]
             if has_min:
@@ -125,25 +135,28 @@ def _kernel(*refs, tkb: int, offset: int, has_min: bool, has_qh: bool):
             acc += _f32_dot_bt(sa, m_ref[:])
         return acc
 
-    out_ref[:] += plane(packed & 0x0F, qa_lo_ref, dlo_ref, mlo_ref,
-                        qhlo_ref, da_lo_ref, sa_lo_ref)
-    out_ref[:] += plane(packed >> 4, qa_hi_ref, dhi_ref, mhi_ref,
-                        qhhi_ref, da_hi_ref, sa_hi_ref)
+    out_ref[:] += plane(packed & 0x0F, dlo_ref, mlo_ref, qhlo_ref, kt)
+    out_ref[:] += plane(packed >> 4, dhi_ref, mhi_ref, qhhi_ref, kt + nkt)
 
 
 def _kernel_w8(
-    qs_ref, d_ref, qa_ref, da_ref, sa_ref, out_ref, *, tkb: int, offset: int
+    qs_ref, d_ref, qa_ref, da_ref, sa_ref, out_ref, *,
+    tkb: int, tkp: int, offset: int
 ):
-    @pl.when(pl.program_id(1) == 0)
+    kt = pl.program_id(1)
+
+    @pl.when(kt == 0)
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    qa = qa_ref[:, pl.ds(kt * tkp, tkp)]
+    da = da_ref[pl.ds(kt * tkb, tkb), :]
     acc = jnp.zeros_like(out_ref)
     for b in range(tkb):
         sl = slice(b * QK, (b + 1) * QK)
-        sumi = _int_dot(qa_ref[:, sl], qs_ref[sl, :]).astype(jnp.float32)
+        sumi = _int_dot(qa[:, sl], qs_ref[sl, :]).astype(jnp.float32)
         d_w = d_ref[b, :][None, :]
-        d_a = da_ref[b, :][:, None]
+        d_a = da[b, :][:, None]
         acc += d_w * d_a * sumi
     out_ref[:] += acc
 
@@ -216,14 +229,10 @@ def gemm_exact(
             bs, lambda nt, kt, o=off: (kt + o, nt), memory_space=pltpu.VMEM
         )
 
-    def aspec(bs, off=0):
+    def full_spec(arr):  # whole small operand, fetched once (constant index)
+        nd = arr.ndim
         return pl.BlockSpec(
-            bs, lambda nt, kt, o=off: (0, kt + o), memory_space=pltpu.VMEM
-        )
-
-    def avspec(bs, off=0):  # activation scale vectors [nb, TM]
-        return pl.BlockSpec(
-            bs, lambda nt, kt, o=off: (kt + o, 0), memory_space=pltpu.VMEM
+            arr.shape, lambda nt, kt: (0,) * nd, memory_space=pltpu.VMEM
         )
 
     if is4:
@@ -244,18 +253,13 @@ def gemm_exact(
                 wspec((tkp // 8, tn)),
                 wspec((tkp // 8, tn), off=nkt),
             ]
-        operands += [qa, qa, da_t, da_t, sa_t, sa_t]
-        in_specs += [
-            aspec((tm, tkp)),
-            aspec((tm, tkp), off=nkt),
-            avspec((tkb, tm)),
-            avspec((tkb, tm), off=nkt),
-            avspec((tkb, tm)),
-            avspec((tkb, tm), off=nkt),
-        ]
+        operands += [qa, da_t, sa_t]
+        in_specs += [full_spec(qa), full_spec(da_t), full_spec(sa_t)]
         kernel = functools.partial(
             _kernel,
             tkb=tkb,
+            tkp=tkp,
+            nkt=nkt,
             offset={"q4_0": 8, "q5_0": 16}.get(w.qtype, 0),
             has_min=has_min,
             has_qh=has_qh,
@@ -265,11 +269,11 @@ def gemm_exact(
         in_specs = [
             wspec((tkp, tn)),
             wspec((tkb, tn)),
-            aspec((tm, tkp)),
-            avspec((tkb, tm)),
-            avspec((tkb, tm)),
+            full_spec(qa),
+            full_spec(da_t),
+            full_spec(sa_t),
         ]
-        kernel = functools.partial(_kernel_w8, tkb=tkb, offset=0)
+        kernel = functools.partial(_kernel_w8, tkb=tkb, tkp=tkp, offset=0)
 
     out = pl.pallas_call(
         kernel,
