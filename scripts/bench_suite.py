@@ -69,10 +69,6 @@ def run(fmt: str, shapes, out_path: str | None):
                     "nmse_vs_fp32": nmse,
                 }
             )
-    if out_path:
-        with open(out_path, "w") as f:
-            json.dump(records, f, indent=1)
-        print(f"wrote {out_path}")
     return records
 
 
@@ -85,8 +81,13 @@ def main():
     print(f"device: {jax.devices()[0]}")
     shapes = [4] if args.quick else [1, 2, 3, 4, 5, 8, 512]
     fmts = [args.format] if args.format else ["q4_0", "q8_0"]
+    records = []
     for fmt in fmts:
-        run(fmt, shapes, args.out)
+        records += run(fmt, shapes, args.out)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(records, f, indent=1)
+        print(f"wrote {args.out} ({len(records)} records)")
 
 
 if __name__ == "__main__":
