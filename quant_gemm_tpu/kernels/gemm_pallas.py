@@ -374,7 +374,12 @@ def gemm(
     if isinstance(act, Q8_1Tensor):
         assert not fused_quant
         a = act.qs.astype(jnp.float32) * jax_quant.expand_scale(act.d)
-        a = a.astype(jnp.bfloat16 if mxu_dtype == jnp.bfloat16 else jnp.float32)
+        # fold to bf16 except in f32-HIGHEST accuracy mode: the MXU rounds
+        # f32 operands to bf16 anyway at DEFAULT precision, and bf16 halves
+        # the activation HBM bytes (matters at prefill M)
+        a = a.astype(
+            jnp.float32 if mxu_dtype == jnp.float32 else jnp.bfloat16
+        )
     else:
         a = act
     m, k = a.shape
