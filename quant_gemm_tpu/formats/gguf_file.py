@@ -34,7 +34,7 @@ VERSION = 3
 DEFAULT_ALIGNMENT = 32
 
 GGML_TYPES = {0: "f32", 1: "f16", 2: "q4_0", 3: "q4_1", 6: "q5_0", 7: "q5_1",
-              8: "q8_0", 9: "q8_1"}
+              8: "q8_0", 9: "q8_1", 12: "q4_K"}
 GGML_IDS = {v: k for k, v in GGML_TYPES.items()}
 
 # GGUF metadata value types
@@ -93,6 +93,11 @@ def tensor_nbytes(qtype: str, n_elems: int) -> int:
         return n_elems * 4
     if qtype == "f16":
         return n_elems * 2
+    if qtype == "q4_K":
+        from . import kquants
+
+        assert n_elems % kquants.QK_K == 0
+        return n_elems // kquants.QK_K * kquants.BLOCK_BYTES
     spec = SPECS[qtype]
     assert n_elems % QK == 0
     return n_elems // QK * spec.block_bytes
@@ -154,9 +159,14 @@ class GGUFFile:
             return buf.view(np.float32).reshape(shape)
         if qt == "f16":
             return buf.view(np.float16).reshape(shape)
-        spec = SPECS[qt]
         k = shape[-1]
         lead = shape[:-1]
+        if qt == "q4_K":
+            from . import kquants
+
+            aos = buf.reshape(lead + (k // kquants.QK_K, kquants.BLOCK_BYTES))
+            return kquants.from_bytes(aos)
+        spec = SPECS[qt]
         aos = buf.reshape(lead + (k // QK, spec.block_bytes))
         return gguf_blocks.from_bytes(aos, qt)
 
@@ -175,6 +185,13 @@ def write_gguf(path, tensors: dict, metadata: dict | None = None) -> None:
         if isinstance(t, np.ndarray):
             qt = {np.dtype(np.float32): "f32", np.dtype(np.float16): "f16"}[t.dtype]
             blobs.append((name, t.shape, qt, t.tobytes()))
+        elif t.__class__.__name__ == "Q4_KTensor":
+            from . import kquants
+
+            aos = kquants.to_bytes(t)
+            shape = aos.shape[:-2] + (aos.shape[-2] * kquants.QK_K,)
+            blobs.append((name, shape, "q4_K", aos.tobytes()))
+            continue
         else:
             qt = t.spec.name
             aos = gguf_blocks.to_bytes(t)

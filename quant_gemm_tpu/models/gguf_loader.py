@@ -86,6 +86,10 @@ def _concat_quantized(parts):
 def _prep(t) -> gemm_pallas.PreparedWeight:
     if isinstance(t, np.ndarray):  # float tensor in a quantized slot
         return gemm_pallas.prepare(numpy_ref.quantize_q4_0(np.asarray(t, np.float32)))
+    if t.__class__.__name__ == "Q4_KTensor":  # K-quants: effective q4_1 form
+        from ..formats import kquants
+
+        return gemm_pallas.prepare(kquants.to_effective(t))
     return gemm_pallas.prepare(t)
 
 

@@ -1,0 +1,106 @@
+"""Q4_K super-block format tests: byte layout, roundtrip, kernel path."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from quant_gemm_tpu.formats import gguf_file, kquants, numpy_ref
+from quant_gemm_tpu.harness import datagen
+from quant_gemm_tpu.harness.metrics import ErrorMetrics
+from quant_gemm_tpu.kernels import dispatch, prepare
+from quant_gemm_tpu.ref import gemm as refg
+
+
+def test_block_bytes():
+    assert kquants.BLOCK_BYTES == 144  # 2 + 2 + 12 + 128 (block_q4_K)
+    assert kquants.QK_K == 256
+
+
+def test_scale_pack_roundtrip():
+    rng = np.random.default_rng(0)
+    ls = rng.integers(0, 64, (5, 8)).astype(np.uint8)
+    lm = rng.integers(0, 64, (5, 8)).astype(np.uint8)
+    b = kquants._pack_scales(ls, lm)
+    ls2, lm2 = kquants._unpack_scales(b)
+    np.testing.assert_array_equal(ls, ls2)
+    np.testing.assert_array_equal(lm, lm2)
+
+
+def test_bytes_roundtrip_exact():
+    x = datagen.normal((4, 512), seed=1)
+    t = kquants.quantize_q4_k(x)
+    t2 = kquants.from_bytes(kquants.to_bytes(t))
+    for a, b in zip(t, t2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_quantize_roundtrip_accuracy():
+    """Q4_K should beat q4_0 (it has sub-block mins + super-scales)."""
+    x = datagen.uniform((8, 1024), seed=2)
+    back = kquants.dequantize_q4_k(kquants.quantize_q4_k(x))
+    m = ErrorMetrics.compute(back, x)
+    back40 = numpy_ref.dequantize(numpy_ref.quantize_q4_0(x))
+    m40 = ErrorMetrics.compute(back40, x)
+    assert m.nmse < 4.5e-3, m  # 15 levels over [min,max]: ~3.6e-3 on uniform
+    assert m.nmse < m40.nmse, (m.nmse, m40.nmse)
+
+
+def test_gemm_via_effective_q41():
+    """Q4_K through the kernel ladder (effective per-32 d/m) matches the
+    dequantize-then-dot golden near-exactly, and FP32 within budget."""
+    a = datagen.normal((4, 512), seed=3)
+    w = datagen.normal((384, 512), seed=4)
+    t = kquants.quantize_q4_k(w)
+    wp = prepare(kquants.to_effective(t))
+    assert wp.qtype == "q4_k"
+    a_q = numpy_ref.quantize_q8_1(a)
+    from quant_gemm_tpu.formats import jax_quant
+
+    out = dispatch(wp, jax_quant.device_put(a_q))
+    w_deq = kquants.dequantize_q4_k(t)
+    gold = refg.gemm_fp32(numpy_ref.dequantize(a_q), w_deq)
+    m = ErrorMetrics.compute(out, gold)
+    # exact int dots + f32 effective scales; the kernel's min term uses the
+    # f16-stored Q8_1 s_a (llama.cpp semantics) while this golden sums the
+    # dequantized activations exactly -> f16-rounding envelope ~2e-7
+    assert m.nmse < 1e-6, m
+    m_fp = ErrorMetrics.compute(out, refg.gemm_fp32(a, w))
+    assert m_fp.nmse < 1e-2, m_fp  # ~6e-3 on normal data (q4_0: ~9.5e-3)
+
+
+def test_gguf_q4k_roundtrip(tmp_path):
+    w = datagen.normal((64, 512), seed=5)
+    t = kquants.quantize_q4_k(w)
+    path = tmp_path / "k.gguf"
+    gguf_file.write_gguf(path, {"w.weight": t})
+    gf = gguf_file.GGUFFile(path)
+    assert gf.tensors["w.weight"]["qtype"] == "q4_K"
+    t2 = gf.load("w.weight")
+    for a, b in zip(t, t2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_llamacpp_layout_contract():
+    """Hand-decode one serialized super-block exactly like llama.cpp's
+    dequantize_row_q4_K (d/dmin f16, get_scale_min_k4, per-64 nibbles)."""
+    x = datagen.normal((1, 256), seed=6)
+    t = kquants.quantize_q4_k(x)
+    blk = kquants.to_bytes(t)[0, 0]  # 144 bytes
+    d = np.frombuffer(blk[0:2].tobytes(), np.float16)[0].astype(np.float32)
+    dmin = np.frombuffer(blk[2:4].tobytes(), np.float16)[0].astype(np.float32)
+    sc = blk[4:16]
+    qs = blk[16:144]
+    out = np.zeros(256, np.float32)
+    for j in range(8):  # get_scale_min_k4
+        if j < 4:
+            ls, lm = sc[j] & 63, sc[j + 4] & 63
+        else:
+            ls = (sc[j + 4] & 0xF) | ((sc[j - 4] >> 6) << 4)
+            lm = (sc[j + 4] >> 4) | ((sc[j] >> 6) << 4)
+        dd, mm = d * ls, dmin * lm
+        for i in range(32):
+            idx = j * 32 + i
+            chunk, off = idx // 64, idx % 64
+            byte = qs[chunk * 32 + off % 32]
+            q = (byte & 0xF) if off < 32 else (byte >> 4)
+            out[idx] = dd * q - mm
+    np.testing.assert_allclose(out, kquants.dequantize_q4_k(t)[0], rtol=1e-6)

@@ -124,3 +124,12 @@ def test_tp_serving_matches_single_chip():
     np.testing.assert_allclose(
         np.asarray(d_tp), np.asarray(d_1), atol=1e-3, rtol=1e-3
     )
+
+
+def test_health_check_virtual_mesh():
+    from quant_gemm_tpu.parallel import health
+
+    r = health.check(timeout_s=60.0)
+    assert r.ok, r.row()
+    assert r.n_devices == 8
+    assert r.heartbeat_ms is not None
