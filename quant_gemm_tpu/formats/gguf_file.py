@@ -34,7 +34,7 @@ VERSION = 3
 DEFAULT_ALIGNMENT = 32
 
 GGML_TYPES = {0: "f32", 1: "f16", 2: "q4_0", 3: "q4_1", 6: "q5_0", 7: "q5_1",
-              8: "q8_0", 9: "q8_1", 12: "q4_K"}
+              8: "q8_0", 9: "q8_1", 12: "q4_K", 14: "q6_K"}
 GGML_IDS = {v: k for k, v in GGML_TYPES.items()}
 
 # GGUF metadata value types
@@ -98,6 +98,11 @@ def tensor_nbytes(qtype: str, n_elems: int) -> int:
 
         assert n_elems % kquants.QK_K == 0
         return n_elems // kquants.QK_K * kquants.BLOCK_BYTES
+    if qtype == "q6_K":
+        from . import kquants
+
+        assert n_elems % kquants.QK_K == 0
+        return n_elems // kquants.QK_K * kquants.QK6_BLOCK_BYTES
     spec = SPECS[qtype]
     assert n_elems % QK == 0
     return n_elems // QK * spec.block_bytes
@@ -166,6 +171,11 @@ class GGUFFile:
 
             aos = buf.reshape(lead + (k // kquants.QK_K, kquants.BLOCK_BYTES))
             return kquants.from_bytes(aos)
+        if qt == "q6_K":  # decode-only: per-16 scales don't fit the ladder
+            from . import kquants
+
+            aos = buf.reshape(lead + (k // kquants.QK_K, kquants.QK6_BLOCK_BYTES))
+            return kquants.dequantize_q6_k_bytes(aos).reshape(lead + (k,))
         spec = SPECS[qt]
         aos = buf.reshape(lead + (k // QK, spec.block_bytes))
         return gguf_blocks.from_bytes(aos, qt)

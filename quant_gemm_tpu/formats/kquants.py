@@ -217,3 +217,46 @@ __all__ = [
     "to_bytes",
     "from_bytes",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Q6_K: decode-only support (block_q6_K, 210 B per 256 elements)
+#
+# Real Q4_K_M GGUF models store a few tensors (typically output.weight) as
+# Q6_K.  Its scales are per-16 (not per-32), so it does not map onto the
+# per-32 kernel ladder; the loader decodes it byte-exactly and re-quantizes
+# to a serving format (q8_0 preserves its accuracy class).
+# ---------------------------------------------------------------------------
+
+QK6_BLOCK_BYTES = 210  # 128 ql + 64 qh + 16 scales + 2 d
+
+
+def dequantize_q6_k_bytes(raw: np.ndarray) -> np.ndarray:
+    """AoS uint8 [N, K/256, 210] -> float32 [N, K], llama.cpp
+    dequantize_row_q6_K semantics (6-bit codes, per-16 int8 scales)."""
+    raw = np.asarray(raw, np.uint8)
+    n, nsb, bb = raw.shape
+    assert bb == QK6_BLOCK_BYTES, bb
+    ql = raw[:, :, 0:128].astype(np.int32)
+    qh = raw[:, :, 128:192].astype(np.int32)
+    scales = raw[:, :, 192:208].copy().view(np.int8).astype(np.float32)
+    d = raw[:, :, 208:210].copy().view(np.float16).astype(np.float32)[:, :, 0]
+
+    out = np.zeros((n, nsb, QK_K), np.float32)
+    for half in range(2):  # two 128-element halves
+        lql = ql[:, :, half * 64 : half * 64 + 64]
+        lqh = qh[:, :, half * 32 : half * 32 + 32]
+        base = half * 128
+        q1 = (lql[:, :, :32] & 0xF) | ((lqh & 3) << 4)
+        q2 = (lql[:, :, 32:] & 0xF) | (((lqh >> 2) & 3) << 4)
+        q3 = (lql[:, :, :32] >> 4) | (((lqh >> 4) & 3) << 4)
+        q4 = (lql[:, :, 32:] >> 4) | (((lqh >> 6) & 3) << 4)
+        for seg, q in enumerate((q1, q2, q3, q4)):
+            idx = base + seg * 32
+            sc = np.repeat(
+                scales[:, :, (idx // 16) : (idx // 16) + 2], 16, axis=2
+            )
+            out[:, :, idx : idx + 32] = (
+                d[:, :, None] * sc * (q.astype(np.float32) - 32.0)
+            )
+    return out.reshape(n, nsb * QK_K)
