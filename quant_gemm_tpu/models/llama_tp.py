@@ -195,6 +195,7 @@ def forward_tp(qparams: dict, cfg: llama.LlamaConfig, tokens, cache,
             return buf
 
         new_k, new_v = cache.k, cache.v
+        k_pending, v_pending = [], []  # decode: deferred batch write
         for li, lyr in enumerate(qp["layers"]):
             h = llama.rms_norm(x, lyr["attn_norm"], cfg.eps)
             flat = h.reshape(b * t, cfg.dim)
@@ -206,16 +207,19 @@ def forward_tp(qparams: dict, cfg: llama.LlamaConfig, tokens, cache,
             k = llama.apply_rope(k, positions, rope_cache)
             k_t = k.transpose(0, 2, 1, 3).astype(jnp.bfloat16)
             v_t = v.transpose(0, 2, 1, 3).astype(jnp.bfloat16)
-            new_k = write_cache(new_k, li, k_t)
-            new_v = write_cache(new_v, li, v_t)
             if t == 1:
                 from ..ops.attention import flash_decode
 
+                k_pending.append(k_t)
+                v_pending.append(v_t)
                 qg = q.reshape(b, cfg_local.n_kv_heads, -1, cfg.head_dim)
                 attn = flash_decode(
-                    qg, new_k, new_v, positions[:, 0], layer=li
+                    qg, new_k, new_v, positions[:, 0], layer=li,
+                    k_current=k_t, v_current=v_t,
                 ).reshape(b, t, nq)
             else:
+                new_k = write_cache(new_k, li, k_t)
+                new_v = write_cache(new_v, li, v_t)
                 attn = llama._attention(
                     cfg_local, q, new_k[li], new_v[li], positions
                 )
@@ -232,6 +236,16 @@ def forward_tp(qparams: dict, cfg: llama.LlamaConfig, tokens, cache,
             d_part = llama._linear(_local(lyr["w_down"]), ff, act_mode)
             x = x + jax.lax.psum(d_part, axis).reshape(b, t, cfg.dim)
 
+        if k_pending:
+            kp = jnp.stack(k_pending)  # [L, B, KV_loc, 1, hd]
+            vp = jnp.stack(v_pending)
+            for bb in range(b):
+                new_k = jax.lax.dynamic_update_slice(
+                    new_k, kp[:, bb][:, None], (0, bb, 0, pos0[bb], 0)
+                )
+                new_v = jax.lax.dynamic_update_slice(
+                    new_v, vp[:, bb][:, None], (0, bb, 0, pos0[bb], 0)
+                )
         x = llama.rms_norm(x, qp["final_norm"], cfg.eps)
         logits = llama._linear(
             _local(qp["lm_head"]), x.reshape(b * t, cfg.dim), act_mode
