@@ -93,7 +93,13 @@ def quantize_params(params: dict, qtype: str = "q4_0") -> dict:
     """
     from ..formats import numpy_ref
 
-    quantize = numpy_ref.QUANTIZE[qtype]
+    if qtype == "q4_k":  # K-quant: effective per-32 q4_1 form
+        from ..formats import kquants
+
+        def quantize(w):
+            return kquants.to_effective(kquants.quantize_q4_k(w))
+    else:
+        quantize = numpy_ref.QUANTIZE[qtype]
 
     def prep(w):
         return gemm_pallas.prepare(quantize(np.asarray(w)))

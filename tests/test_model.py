@@ -98,3 +98,22 @@ def test_gguf_roundtrip_serving(tmp_path):
     # embed stored f32 in GGUF vs bf16 directly: allow tiny diff
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
                                atol=1e-2, rtol=1e-2)
+
+
+def test_q4k_model_forward():
+    """The whole model serves in Q4_K (requires dim/d_ff % 256 == 0)."""
+    cfg = llama.LlamaConfig(
+        vocab=128, dim=512, n_layers=2, n_heads=8, n_kv_heads=8, d_ff=1024,
+        max_seq=32,
+    )
+    params = llama.init_params(cfg, seed=7)
+    qk = llama.quantize_params(params, "q4_k")
+    tokens = jnp.asarray(np.array([[3, 9, 4]], dtype=np.int32))
+    out_k, _ = llama.forward(qk, cfg, tokens, llama.KVCache.init(cfg, 1))
+    cache = llama.KVCache.init(cfg, 1)
+    out_f, _ = llama.forward_float(params, cfg, tokens, cache)
+    # quantization error bounded like the q4 family
+    rel = np.linalg.norm(np.asarray(out_k) - np.asarray(out_f)) / np.linalg.norm(
+        np.asarray(out_f)
+    )
+    assert rel < 0.35, rel
