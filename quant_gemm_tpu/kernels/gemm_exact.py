@@ -177,8 +177,8 @@ def gemm_exact(
 
     This is also the fastest *decode* (M <= ~12) serving kernel: raw int
     codes go straight from HBM to int8 MXU dots with no per-element dequant
-    arithmetic, so it runs near the weight-streaming DMA floor.  Wide-N
-    tiles (default tn=4096) maximize the DMA transfer size per grid step.
+    arithmetic, so it runs near the weight-streaming DMA floor.  Default
+    tn=2048 (measured best across serving shapes — see below).
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -201,8 +201,11 @@ def gemm_exact(
     nkt = kdim // tkp
 
     tm = round_up(m, 8)
-    tn = min(tn, round_up(w.n, 128))
-    np_ = round_up(w.n, tn)
+    # N was padded to a 256 multiple at prepare(); pick a dividing tile
+    np_ = (w.packed_t if is4 else w.qs_t).shape[1]
+    tn = min(tn, np_)
+    while np_ % tn:
+        tn //= 2
 
     def padm(x):
         import jax.numpy as _jnp
@@ -210,13 +213,6 @@ def gemm_exact(
         x = _jnp.asarray(x)
         pr = tm - x.shape[0]
         return _jnp.pad(x, ((0, pr), (0, 0))) if pr else x
-
-    def padn(x):
-        import jax.numpy as _jnp
-
-        x = _jnp.asarray(x)
-        pc = np_ - x.shape[1]
-        return _jnp.pad(x, ((0, 0), (0, pc))) if pc else x
 
     qa = pad_activation_k(padm(a_q.qs), k, kdim, is4)
     da_t = pad_scales_k(padm(a_q.d).astype(jnp.float32), k, kdim, is4).T
@@ -238,17 +234,17 @@ def gemm_exact(
     if is4:
         has_min = w.m_t is not None
         has_qh = w.qh_t is not None
-        operands = [padn(w.packed_t), padn(w.d_t), padn(w.d_t)]
+        operands = [w.packed_t, w.d_t, w.d_t]
         in_specs = [
             wspec((tkp, tn)),
             wspec((tkb, tn)),
             wspec((tkb, tn), off=nkt),
         ]
         if has_min:
-            operands += [padn(w.m_t), padn(w.m_t)]
+            operands += [w.m_t, w.m_t]
             in_specs += [wspec((tkb, tn)), wspec((tkb, tn), off=nkt)]
         if has_qh:
-            operands += [padn(w.qh_t), padn(w.qh_t)]
+            operands += [w.qh_t, w.qh_t]
             in_specs += [
                 wspec((tkp // 8, tn)),
                 wspec((tkp // 8, tn), off=nkt),
@@ -265,7 +261,7 @@ def gemm_exact(
             has_qh=has_qh,
         )
     else:
-        operands = [padn(w.qs_t), padn(w.d_t), qa, da_t, sa_t]
+        operands = [w.qs_t, w.d_t, qa, da_t, sa_t]
         in_specs = [
             wspec((tkp, tn)),
             wspec((tkb, tn)),

@@ -116,26 +116,40 @@ def prepare(w_q) -> PreparedWeight:
             axis=1,
         )
 
+    def padrows(x, rows_to):
+        # N is ALSO padded here (to a 256 multiple): kernels then only need
+        # a tile size dividing the stored extent — padding weight planes at
+        # call time materialized a full padded copy per GEMM call
+        x = np.asarray(x)
+        pr = rows_to - x.shape[0]
+        return np.pad(x, ((0, pr), (0, 0))) if pr else x
+
     if spec.bits == 8:
         n, k = np.asarray(w_q.qs).shape
+        np_pad = round_up(n, 256)
         kp = round_up(k, 512)
-        qs = padcols(w_q.qs, kp)
-        d = padcols(np.asarray(w_q.d, np.float32), kp // QK)
+        qs = padrows(padcols(w_q.qs, kp), np_pad)
+        d = padrows(padcols(np.asarray(w_q.d, np.float32), kp // QK), np_pad)
         return PreparedWeight(
             name, n, k, None, jnp.asarray(qs).T, jnp.asarray(d).T, None, None
         )
 
     n, khalf = np.asarray(w_q.packed).shape
+    np_pad = round_up(n, 256)
     khalf_p = round_up(khalf, 256)
-    packed = padcols(w_q.packed, khalf_p)
+    packed = padrows(padcols(w_q.packed, khalf_p), np_pad)
     nbh, nbh_p = khalf // QK, khalf_p // QK
-    d = pad_halves(np.asarray(w_q.d, np.float32), nbh, nbh_p)
+    d = padrows(pad_halves(np.asarray(w_q.d, np.float32), nbh, nbh_p), np_pad)
     m_t = (
-        jnp.asarray(pad_halves(np.asarray(w_q.m, np.float32), nbh, nbh_p)).T
+        jnp.asarray(
+            padrows(pad_halves(np.asarray(w_q.m, np.float32), nbh, nbh_p), np_pad)
+        ).T
         if spec.has_min else None
     )
     qh_t = (
-        jnp.asarray(pad_halves(w_q.qh, khalf // 8, khalf_p // 8)).T
+        jnp.asarray(
+            padrows(pad_halves(w_q.qh, khalf // 8, khalf_p // 8), np_pad)
+        ).T
         if hasattr(w_q, "qh") else None
     )
     return PreparedWeight(
@@ -407,13 +421,12 @@ def gemm(
     mp = round_up(m, 8)
     tm = min(tm, mp)
     mp = round_up(mp, tm)
-    tn = min(tn, round_up(w.n, 128))
-    np_ = round_up(w.n, tn)
+    # N was padded to a 256 multiple at prepare(); pick a dividing tile
+    np_ = (w.packed_t if is4 else w.qs_t).shape[1]
+    tn = min(tn, np_)
+    while np_ % tn:
+        tn //= 2
     nkt = kdim // tkp
-
-    def padn(x):  # pad lane (N) dim
-        pc = np_ - x.shape[1]
-        return jnp.pad(x, ((0, 0), (0, pc))) if pc else x
 
     def padm(x):
         pr = mp - x.shape[0]
@@ -437,17 +450,17 @@ def gemm(
         )
 
     if is4:
-        operands = [padn(w.packed_t), padn(w.d_t), padn(w.d_t)]
+        operands = [w.packed_t, w.d_t, w.d_t]
         in_specs = [
             wspec((tkp, tn)),
             wspec((tkb, tn)),
             wspec((tkb, tn), off_kt=nkt),
         ]
         if w.m_t is not None:
-            operands += [padn(w.m_t), padn(w.m_t)]
+            operands += [w.m_t, w.m_t]
             in_specs += [wspec((tkb, tn)), wspec((tkb, tn), off_kt=nkt)]
         if w.qh_t is not None:
-            operands += [padn(w.qh_t), padn(w.qh_t)]
+            operands += [w.qh_t, w.qh_t]
             in_specs += [
                 wspec((tkp // 8, tn)),
                 wspec((tkp // 8, tn), off_kt=nkt),
@@ -464,7 +477,7 @@ def gemm(
         )
         wbytes = khalf * np_ + (k // QK) * np_ * 2 * (2 if w.m_t is not None else 1)
     else:
-        operands = [padn(w.qs_t), padn(w.d_t), a]
+        operands = [w.qs_t, w.d_t, a]
         in_specs = [
             wspec((tkp, tn)),
             wspec((tkb, tn)),

@@ -178,15 +178,9 @@ def _attention(cfg, q, k_all, v_all, positions):
     kv = k_all.shape[1]
     s = k_all.shape[2]
     rep = h // kv
-    if tq == 1:
-        # decode: fused flash-decode Pallas kernel — one pass over the KV
-        # cache at streaming rate (79 us/layer vs 137 us for the einsum
-        # path on the 8x16x1024x128 serving shape; docs/PERF_NOTES.md)
-        from ..ops.attention import flash_decode
-
-        qg = q.reshape(b, kv, rep, hd)
-        out = flash_decode(qg, k_all, v_all, positions[:, 0])
-        return out.reshape(b, tq, h * hd)
+    # (decode T=1 does NOT route here: forward inlines flash_decode with the
+    # current token's k/v as operands, since the deferred-write contract
+    # means the cache no longer holds the current token at this point)
     # bf16 MXU einsums on TPU; the CPU test backend lacks mixed-precision
     # grouped dots, so it computes in f32
     dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32

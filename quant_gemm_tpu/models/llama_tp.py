@@ -92,7 +92,13 @@ def shard_params_tp(params: dict, cfg: llama.LlamaConfig, mesh: Mesh,
     tp = mesh.shape[axis]
     assert cfg.n_heads % tp == 0 and cfg.n_kv_heads % tp == 0, (cfg, tp)
     assert cfg.d_ff % tp == 0
-    quantize = numpy_ref.QUANTIZE[qtype]
+    if qtype == "q4_k":  # K-quant: effective per-32 q4_1 form
+        from ..formats import kquants
+
+        def quantize(w):
+            return kquants.to_effective(kquants.quantize_q4_k(np.asarray(w)))
+    else:
+        quantize = numpy_ref.QUANTIZE[qtype]
 
     def prep_chunks(chunks):
         return _stack_prepared(
