@@ -207,13 +207,29 @@ def forward(
     *,
     act_mode: str = "q8_1",
     rope_cache=None,
+    tp_ctx=None,
 ) -> tuple[jax.Array, KVCache]:
     """Run T tokens per slot (prefill when T>1, decode when T=1).
 
     Slots advance independently (per-slot ``cache.pos``), which is what the
     continuous-batching server relies on.  Returns (logits [B, T, vocab]
     f32, updated cache).
+
+    ``tp_ctx`` (models.llama_tp.TPContext) makes the SAME loop serve
+    Megatron tensor parallelism inside a shard_map: per-device head/ff
+    widths, a weight unwrapper (strips the stacked device axis), and a
+    psum applied to the row-parallel wo/w_down outputs.  Keeping one loop
+    prevents the single-chip and TP paths from drifting apart.
     """
+    if tp_ctx is None:
+        heads, kv_heads, d_ff = cfg.n_heads, cfg.n_kv_heads, cfg.d_ff
+        get_w = lambda w: w  # noqa: E731
+        reduce_out = lambda y: y  # noqa: E731
+    else:
+        heads, kv_heads, d_ff = tp_ctx.n_heads, tp_ctx.n_kv_heads, tp_ctx.d_ff
+        get_w = tp_ctx.get_w
+        reduce_out = tp_ctx.reduce
+    cfg_attn = cfg._replace(n_heads=heads, n_kv_heads=kv_heads, d_ff=d_ff)
     b, t = tokens.shape
     pos0 = cache.pos  # [B]
     if rope_cache is None:
@@ -249,16 +265,16 @@ def forward(
         return buf
 
     new_k, new_v = cache.k, cache.v
-    nq = cfg.n_heads * cfg.head_dim
-    nkv = cfg.n_kv_heads * cfg.head_dim
+    nq = heads * cfg.head_dim
+    nkv = kv_heads * cfg.head_dim
     k_pending, v_pending = [], []  # decode: deferred all-layer batch write
     for li, lyr in enumerate(qparams["layers"]):
         h = rms_norm(x, lyr["attn_norm"], cfg.eps)
         flat = h.reshape(b * t, cfg.dim)
-        qkv = _linear(lyr["wqkv"], flat, act_mode)  # fused projection
-        q = qkv[:, :nq].reshape(b, t, cfg.n_heads, cfg.head_dim)
-        k = qkv[:, nq : nq + nkv].reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
-        v = qkv[:, nq + nkv :].reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        qkv = _linear(get_w(lyr["wqkv"]), flat, act_mode)  # fused projection
+        q = qkv[:, :nq].reshape(b, t, heads, cfg.head_dim)
+        k = qkv[:, nq : nq + nkv].reshape(b, t, kv_heads, cfg.head_dim)
+        v = qkv[:, nq + nkv :].reshape(b, t, kv_heads, cfg.head_dim)
         q = apply_rope(q, positions, rope_cache)
         k = apply_rope(k, positions, rope_cache)
 
@@ -273,29 +289,31 @@ def forward(
 
             k_pending.append(k_t)
             v_pending.append(v_t)
-            qg = q.reshape(b, cfg.n_kv_heads, -1, cfg.head_dim)
+            qg = q.reshape(b, kv_heads, -1, cfg.head_dim)
             attn = flash_decode(
                 qg, new_k, new_v, positions[:, 0], layer=li,
                 k_current=k_t, v_current=v_t,
-            ).reshape(b, t, cfg.n_heads * cfg.head_dim)
+            ).reshape(b, t, nq)
         else:
             new_k = write_cache(new_k, li, k_t)
             new_v = write_cache(new_v, li, v_t)
-            attn = _attention(cfg, q, new_k[li], new_v[li], positions)
-        x = x + _linear(lyr["wo"], attn.reshape(b * t, -1), act_mode).reshape(b, t, cfg.dim)
+            attn = _attention(cfg_attn, q, new_k[li], new_v[li], positions)
+        o = _linear(get_w(lyr["wo"]), attn.reshape(b * t, -1), act_mode)
+        x = x + reduce_out(o).reshape(b, t, cfg.dim)
 
         h = rms_norm(x, lyr["mlp_norm"], cfg.eps)
         flat = h.reshape(b * t, cfg.dim)
-        gu = _linear(lyr["wgu"], flat, act_mode)  # fused gate/up
-        ff = silu_mul(gu[:, : cfg.d_ff], gu[:, cfg.d_ff :])
-        x = x + _linear(lyr["w_down"], ff, act_mode).reshape(b, t, cfg.dim)
+        gu = _linear(get_w(lyr["wgu"]), flat, act_mode)  # fused gate/up
+        ff = silu_mul(gu[:, :d_ff], gu[:, d_ff:])
+        dn = _linear(get_w(lyr["w_down"]), ff, act_mode)
+        x = x + reduce_out(dn).reshape(b, t, cfg.dim)
 
     if k_pending:
         new_k = write_cache_all_layers(new_k, jnp.stack(k_pending))
         new_v = write_cache_all_layers(new_v, jnp.stack(v_pending))
     x = rms_norm(x, qparams["final_norm"], cfg.eps)
-    logits = _linear(qparams["lm_head"], x.reshape(b * t, cfg.dim), act_mode)
-    return logits.reshape(b, t, cfg.vocab), KVCache(new_k, new_v, pos0 + t)
+    logits = _linear(get_w(qparams["lm_head"]), x.reshape(b * t, cfg.dim), act_mode)
+    return logits.reshape(b, t, -1), KVCache(new_k, new_v, pos0 + t)
 
 
 def forward_float(params: dict, cfg: LlamaConfig, tokens, cache: KVCache):

@@ -156,14 +156,24 @@ def init_cache_tp(cfg: llama.LlamaConfig, batch: int, mesh: Mesh,
     )
 
 
+class TPContext:
+    """Per-device parameters for llama.forward's TP mode: local widths, the
+    stacked-weight unwrapper, and the row-parallel output reduction."""
+
+    def __init__(self, n_heads, n_kv_heads, d_ff, get_w, reduce):
+        self.n_heads = n_heads
+        self.n_kv_heads = n_kv_heads
+        self.d_ff = d_ff
+        self.get_w = get_w
+        self.reduce = reduce
+
+
 def forward_tp(qparams: dict, cfg: llama.LlamaConfig, tokens, cache,
                mesh: Mesh, *, act_mode: str = "q8_1", axis: str = "tp"):
-    """TP forward: same math as llama.forward, two psums per layer."""
+    """TP forward: llama.forward's OWN layer loop run per device under
+    shard_map with a TPContext (two psums per layer, local-head attention).
+    One loop for single-chip and TP keeps the paths from drifting."""
     tp = mesh.shape[axis]
-    cfg_local = cfg._replace(
-        n_heads=cfg.n_heads // tp, n_kv_heads=cfg.n_kv_heads // tp,
-        d_ff=cfg.d_ff // tp,
-    )
     rope_cache = llama.make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base)
 
     def spec_of(leaf):
@@ -177,6 +187,13 @@ def forward_tp(qparams: dict, cfg: llama.LlamaConfig, tokens, cache,
         P(None, None, axis, None, None), P(None, None, axis, None, None),
         P(None),
     )
+    ctx = TPContext(
+        n_heads=cfg.n_heads // tp,
+        n_kv_heads=cfg.n_kv_heads // tp,
+        d_ff=cfg.d_ff // tp,
+        get_w=_local,
+        reduce=lambda y: jax.lax.psum(y, axis),
+    )
 
     @functools.partial(
         shard_map,
@@ -186,79 +203,9 @@ def forward_tp(qparams: dict, cfg: llama.LlamaConfig, tokens, cache,
         check_rep=False,
     )
     def run(qp, toks, cache):
-        b, t = toks.shape
-        pos0 = cache.pos
-        x = qp["embed"][toks].astype(jnp.float32)
-        positions = pos0[:, None] + jnp.arange(t)[None, :]
-        nq = cfg_local.n_heads * cfg.head_dim
-        nkv = cfg_local.n_kv_heads * cfg.head_dim
-
-        def write_cache(buf, li, val_t):
-            for bb in range(b):
-                buf = jax.lax.dynamic_update_slice(
-                    buf, val_t[bb][None, None], (li, bb, 0, pos0[bb], 0)
-                )
-            return buf
-
-        new_k, new_v = cache.k, cache.v
-        k_pending, v_pending = [], []  # decode: deferred batch write
-        for li, lyr in enumerate(qp["layers"]):
-            h = llama.rms_norm(x, lyr["attn_norm"], cfg.eps)
-            flat = h.reshape(b * t, cfg.dim)
-            qkv = llama._linear(_local(lyr["wqkv"]), flat, act_mode)
-            q = qkv[:, :nq].reshape(b, t, cfg_local.n_heads, cfg.head_dim)
-            k = qkv[:, nq:nq + nkv].reshape(b, t, cfg_local.n_kv_heads, cfg.head_dim)
-            v = qkv[:, nq + nkv:].reshape(b, t, cfg_local.n_kv_heads, cfg.head_dim)
-            q = llama.apply_rope(q, positions, rope_cache)
-            k = llama.apply_rope(k, positions, rope_cache)
-            k_t = k.transpose(0, 2, 1, 3).astype(jnp.bfloat16)
-            v_t = v.transpose(0, 2, 1, 3).astype(jnp.bfloat16)
-            if t == 1:
-                from ..ops.attention import flash_decode
-
-                k_pending.append(k_t)
-                v_pending.append(v_t)
-                qg = q.reshape(b, cfg_local.n_kv_heads, -1, cfg.head_dim)
-                attn = flash_decode(
-                    qg, new_k, new_v, positions[:, 0], layer=li,
-                    k_current=k_t, v_current=v_t,
-                ).reshape(b, t, nq)
-            else:
-                new_k = write_cache(new_k, li, k_t)
-                new_v = write_cache(new_v, li, v_t)
-                attn = llama._attention(
-                    cfg_local, q, new_k[li], new_v[li], positions
-                )
-            o_part = llama._linear(
-                _local(lyr["wo"]), attn.reshape(b * t, -1), act_mode
-            )
-            x = x + jax.lax.psum(o_part, axis).reshape(b, t, cfg.dim)
-
-            h = llama.rms_norm(x, lyr["mlp_norm"], cfg.eps)
-            flat = h.reshape(b * t, cfg.dim)
-            gu = llama._linear(_local(lyr["wgu"]), flat, act_mode)
-            dff_l = cfg_local.d_ff
-            ff = llama.silu_mul(gu[:, :dff_l], gu[:, dff_l:])
-            d_part = llama._linear(_local(lyr["w_down"]), ff, act_mode)
-            x = x + jax.lax.psum(d_part, axis).reshape(b, t, cfg.dim)
-
-        if k_pending:
-            kp = jnp.stack(k_pending)  # [L, B, KV_loc, 1, hd]
-            vp = jnp.stack(v_pending)
-            for bb in range(b):
-                new_k = jax.lax.dynamic_update_slice(
-                    new_k, kp[:, bb][:, None], (0, bb, 0, pos0[bb], 0)
-                )
-                new_v = jax.lax.dynamic_update_slice(
-                    new_v, vp[:, bb][:, None], (0, bb, 0, pos0[bb], 0)
-                )
-        x = llama.rms_norm(x, qp["final_norm"], cfg.eps)
-        logits = llama._linear(
-            _local(qp["lm_head"]), x.reshape(b * t, cfg.dim), act_mode
-        )
-        return (
-            logits.reshape(b, t, -1),
-            llama.KVCache(new_k, new_v, pos0 + t),
+        return llama.forward(
+            qp, cfg, toks, cache, act_mode=act_mode, rope_cache=rope_cache,
+            tp_ctx=ctx,
         )
 
     return run(qparams, tokens, cache)
