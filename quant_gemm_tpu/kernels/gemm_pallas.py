@@ -423,9 +423,12 @@ def gemm(
     mp = round_up(mp, tm)
     # N was padded to a 256 multiple at prepare(); pick a dividing tile
     np_ = (w.packed_t if is4 else w.qs_t).shape[1]
+    # largest 128-multiple divisor of the stored extent that is <= tn
+    # (halving would miss e.g. np_=32000 -> tn=1280, settling for 256)
     tn = min(tn, np_)
+    tn -= tn % 128
     while np_ % tn:
-        tn //= 2
+        tn -= 128
     nkt = kdim // tkp
 
     def padm(x):
