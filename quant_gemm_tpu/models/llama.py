@@ -181,6 +181,23 @@ def _attention(cfg, q, k_all, v_all, positions):
     # (decode T=1 does NOT route here: forward inlines flash_decode with the
     # current token's k/v as operands, since the deferred-write contract
     # means the cache no longer holds the current token at this point)
+    if tq >= 64:
+        # long prefill: the dense path materializes [B, H, T, S] f32 scores
+        # (1 GB at T=S=4096); the flash kernel streams the cache instead
+        from ..ops.attention import flash_prefill
+
+        qg = (
+            q.reshape(b, tq, kv, rep, hd)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(b, kv, tq * rep, hd)
+        )
+        out = flash_prefill(qg, k_all, v_all, positions[:, 0], rep=rep)
+        out = (
+            out.reshape(b, kv, tq, rep, hd)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(b, tq, h * hd)
+        )
+        return out
     # bf16 MXU einsums on TPU; the CPU test backend lacks mixed-precision
     # grouped dots, so it computes in f32
     dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32

@@ -210,6 +210,137 @@ def flash_decode(
     return out
 
 
+def _kernel_prefill(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
+                    acc_ref, *, ts: int, ns: int, tq: int, rep: int,
+                    scale: float):
+    """Grid (B, KV, T/tq, S/ts); S innermost.  Query rows are T-major packed
+    (row = t*rep + r); each row's causal limit is pos0[b] + t, computed
+    in-kernel from the scalar-prefetched start positions — no mask operand.
+
+    One kv head per grid step (unlike flash_decode, which rides all heads on
+    one tile): prefill tiles are tq*rep x hd = MB-sized already, so per-head
+    blocks keep VMEM bounded (all-heads blocks OOM scoped vmem at KV=8) and
+    the DMAs stay large enough to hide issue latency.
+    """
+    b = pl.program_id(0)
+    qt = pl.program_id(2)
+    s = pl.program_id(3)
+
+    @pl.when(s == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    r_rows = tq * rep
+    # per-row query position: pos0 + global row index // rep
+    row0 = qt * r_rows
+    max_len = pos_ref[b] + qt * tq + tq  # last row's seq_len
+
+    @pl.when(s * ts < max_len)
+    def _tile():
+        q = q_ref[0, 0].astype(jnp.float32) * scale  # [r_rows, hd]
+        k = k_ref[0, 0].astype(jnp.float32)  # [ts, hd]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [r_rows, ts]
+        span = s * ts + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        row = row0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+        qpos = pos_ref[b] + row // rep
+        scores = jnp.where(span <= qpos, scores, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        m_cur = jnp.max(scores, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:, :1] = m_new
+        pv = jax.lax.dot_general(
+            p, v_ref[0, 0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [r_rows, hd]
+        acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(s == ns - 1)
+    def _finish():
+        l = l_ref[:, :1]
+        o_ref[0, 0] = (acc_ref[:] / jnp.where(l > 0, l, 1.0)).astype(o_ref.dtype)
+
+
+def flash_prefill(
+    q: jax.Array,  # [B, KV, T*rep, hd] T-major grouped query rows
+    k: jax.Array,  # [B, KV, S, hd] cache (must already hold rows < pos0+T)
+    v: jax.Array,
+    pos0: jax.Array,  # int32 [B]: position of the FIRST query token per slot
+    *,
+    rep: int,
+    tq: int = 128,
+    ts: int = 256,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Causal prefill attention, O(tile) memory (no [T, S] materialization).
+
+    Query row ``t*rep + r`` is token ``t`` of head-group member ``r`` and
+    attends cache slots <= pos0 + t.  The einsum path materializes
+    [B, H, T, S] f32 scores (1 GB at T=S=4096); this kernel streams the
+    cache per (slot, query-tile) with the flash recurrence instead.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bsz, kv, rrows, hd = q.shape
+    t = rrows // rep
+    s = k.shape[2]
+    ts = min(ts, s)
+    while s % ts:
+        ts //= 2
+    ns = s // ts
+    tq = min(tq, t)
+    while t % tq:
+        tq //= 2
+    nqt = t // tq
+    scale = 1.0 / float(np.sqrt(hd))
+
+    grid = (bsz, kv, nqt, ns)
+    qspec = pl.BlockSpec(
+        (1, 1, tq * rep, hd), lambda b, g, qt, st, pos: (b, g, qt, 0),
+        memory_space=pltpu.VMEM)
+
+    def _clamp(b, qt, st, pos):
+        last = pos[b] + qt * tq + (tq - 1)
+        return jnp.minimum(st, last // ts)
+
+    kvspec = pl.BlockSpec(
+        (1, 1, ts, hd),
+        lambda b, g, qt, st, pos: (b, g, _clamp(b, qt, st, pos), 0),
+        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel_prefill, ts=ts, ns=ns, tq=tq, rep=rep,
+                          scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[qspec, kvspec, kvspec],
+            out_specs=pl.BlockSpec(
+                (1, 1, tq * rep, hd), lambda b, g, qt, st, pos: (b, g, qt, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((tq * rep, 128), jnp.float32),
+                pltpu.VMEM((tq * rep, 128), jnp.float32),
+                pltpu.VMEM((tq * rep, hd), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, kv, rrows, hd), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(pos0.astype(jnp.int32), q, k, v)
+    return out
+
+
 def flash_decode_ref(q, k, v, pos):
     """Numpy/jnp reference (same math as models.llama._attention at T=1)."""
     bsz, kv, rep, hd = q.shape
@@ -223,4 +354,4 @@ def flash_decode_ref(q, k, v, pos):
     return jnp.einsum("bgrs,bgsd->bgrd", probs, v.astype(jnp.float32))
 
 
-__all__ = ["flash_decode", "flash_decode_ref"]
+__all__ = ["flash_decode", "flash_prefill", "flash_decode_ref"]

@@ -161,3 +161,53 @@ def test_flash_decode_gqa_single_rep():
     out = flash_decode(q, k, v, pos, ts=64)
     ref = flash_decode_ref(q, k, v, pos)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-2)
+
+
+def test_flash_prefill_matches_dense():
+    """Causal prefill kernel vs dense softmax, ragged start positions."""
+    import jax.numpy as jnp
+
+    from quant_gemm_tpu.ops.attention import flash_prefill
+
+    rng = np.random.default_rng(5)
+    b, kv, rep, t, s, hd = 2, 2, 2, 32, 128, 128
+    pos0 = jnp.asarray([0, 50], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, kv, t * rep, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, kv, s, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, kv, s, hd)), jnp.float32)
+    out = flash_prefill(q, k, v, pos0, rep=rep, tq=16, ts=32)
+
+    qn = np.asarray(q).reshape(b, kv, t, rep, hd)
+    sc = np.einsum("bgtrd,bgsd->bgtrs", qn, np.asarray(k)) / np.sqrt(hd)
+    for bb in range(b):
+        mask = np.arange(s)[None, :] > (int(pos0[bb]) + np.arange(t))[:, None]
+        sc[bb][:, np.broadcast_to(mask[:, None, :], (t, rep, s))] = -1e30
+    p = np.exp(sc - sc.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bgtrs,bgsd->bgtrd", p, np.asarray(v)).reshape(
+        b, kv, t * rep, hd
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=3e-5)
+
+
+def test_model_prefill_flash_path():
+    """T >= 64 prefill routes through flash_prefill; result must match the
+    dense einsum path (T < 64) run in two halves."""
+    import jax.numpy as jnp
+
+    from quant_gemm_tpu.models import llama
+
+    cfg = llama.LlamaConfig(vocab=64, dim=128, n_layers=1, n_heads=2,
+                            n_kv_heads=2, d_ff=256, max_seq=128)
+    params = llama.init_params(cfg, seed=8)
+    qp = llama.quantize_params(params, "q4_0")
+    rng = np.random.default_rng(1)
+    toks = jnp.asarray(rng.integers(1, cfg.vocab, (1, 64)), jnp.int32)
+
+    out_flash, _ = llama.forward(qp, cfg, toks, llama.KVCache.init(cfg, 1))
+    c = llama.KVCache.init(cfg, 1)
+    out_a, c = llama.forward(qp, cfg, toks[:, :32], c)
+    out_b, c = llama.forward(qp, cfg, toks[:, 32:], c)
+    dense = np.concatenate([np.asarray(out_a), np.asarray(out_b)], axis=1)
+    np.testing.assert_allclose(np.asarray(out_flash), dense, atol=2e-3,
+                               rtol=2e-3)
