@@ -34,7 +34,8 @@ VERSION = 3
 DEFAULT_ALIGNMENT = 32
 
 GGML_TYPES = {0: "f32", 1: "f16", 2: "q4_0", 3: "q4_1", 6: "q5_0", 7: "q5_1",
-              8: "q8_0", 9: "q8_1", 12: "q4_K", 14: "q6_K"}
+              8: "q8_0", 9: "q8_1", 10: "q2_K", 11: "q3_K", 12: "q4_K",
+              13: "q5_K", 14: "q6_K"}
 GGML_IDS = {v: k for k, v in GGML_TYPES.items()}
 
 # GGUF metadata value types
@@ -93,16 +94,16 @@ def tensor_nbytes(qtype: str, n_elems: int) -> int:
         return n_elems * 4
     if qtype == "f16":
         return n_elems * 2
-    if qtype == "q4_K":
+    if qtype.endswith("_K"):
         from . import kquants
 
+        per_block = {"q2_K": kquants.QK2_BLOCK_BYTES,
+                     "q3_K": kquants.QK3_BLOCK_BYTES,
+                     "q4_K": kquants.BLOCK_BYTES,
+                     "q5_K": kquants.QK5_BLOCK_BYTES,
+                     "q6_K": kquants.QK6_BLOCK_BYTES}[qtype]
         assert n_elems % kquants.QK_K == 0
-        return n_elems // kquants.QK_K * kquants.BLOCK_BYTES
-    if qtype == "q6_K":
-        from . import kquants
-
-        assert n_elems % kquants.QK_K == 0
-        return n_elems // kquants.QK_K * kquants.QK6_BLOCK_BYTES
+        return n_elems // kquants.QK_K * per_block
     spec = SPECS[qtype]
     assert n_elems % QK == 0
     return n_elems // QK * spec.block_bytes
@@ -171,20 +172,47 @@ class GGUFFile:
 
             aos = buf.reshape(lead + (k // kquants.QK_K, kquants.BLOCK_BYTES))
             return kquants.from_bytes(aos)
-        if qt == "q6_K":  # decode-only: per-16 scales don't fit the ladder
+        if qt == "q5_K":
             from . import kquants
 
-            aos = buf.reshape(lead + (k // kquants.QK_K, kquants.QK6_BLOCK_BYTES))
-            return kquants.dequantize_q6_k_bytes(aos).reshape(lead + (k,))
+            aos = buf.reshape(
+                lead + (k // kquants.QK_K, kquants.QK5_BLOCK_BYTES)
+            )
+            return kquants.from_bytes_q5_k(aos)
+        if qt in ("q2_K", "q3_K", "q6_K"):
+            # decode-only: per-16 scales don't fit the per-32 ladder
+            from . import kquants
+
+            per_block = {"q2_K": kquants.QK2_BLOCK_BYTES,
+                         "q3_K": kquants.QK3_BLOCK_BYTES,
+                         "q6_K": kquants.QK6_BLOCK_BYTES}[qt]
+            decode = {"q2_K": kquants.dequantize_q2_k_bytes,
+                      "q3_K": kquants.dequantize_q3_k_bytes,
+                      "q6_K": kquants.dequantize_q6_k_bytes}[qt]
+            aos = buf.reshape(lead + (k // kquants.QK_K, per_block))
+            return decode(aos).reshape(lead + (k,))
         spec = SPECS[qt]
         aos = buf.reshape(lead + (k // QK, spec.block_bytes))
         return gguf_blocks.from_bytes(aos, qt)
 
 
+class RawTensor:
+    """Pre-serialized tensor payload for :func:`write_gguf` — carries ggml
+    block bytes verbatim (e.g. q2_K/q3_K/q6_K data produced elsewhere)."""
+
+    def __init__(self, qtype: str, shape: tuple, data: bytes):
+        assert qtype in GGML_IDS, qtype
+        n_elems = int(np.prod(shape))
+        assert len(data) == tensor_nbytes(qtype, n_elems), (qtype, shape)
+        self.qtype = qtype
+        self.shape = tuple(shape)
+        self.data = data
+
+
 def write_gguf(path, tensors: dict, metadata: dict | None = None) -> None:
     """Write containers / float arrays to a GGUF v3 file.
 
-    ``tensors``: {name: SoA container | float32/float16 ndarray}.
+    ``tensors``: {name: SoA container | float32/float16 ndarray | RawTensor}.
     """
     metadata = dict(metadata or {})
     metadata.setdefault("general.alignment", DEFAULT_ALIGNMENT)
@@ -192,7 +220,9 @@ def write_gguf(path, tensors: dict, metadata: dict | None = None) -> None:
 
     blobs: list[tuple[str, tuple, str, bytes]] = []
     for name, t in tensors.items():
-        if isinstance(t, np.ndarray):
+        if isinstance(t, RawTensor):
+            blobs.append((name, t.shape, t.qtype, t.data))
+        elif isinstance(t, np.ndarray):
             qt = {np.dtype(np.float32): "f32", np.dtype(np.float16): "f16"}[t.dtype]
             blobs.append((name, t.shape, qt, t.tobytes()))
         elif t.__class__.__name__ == "Q4_KTensor":
@@ -201,6 +231,13 @@ def write_gguf(path, tensors: dict, metadata: dict | None = None) -> None:
             aos = kquants.to_bytes(t)
             shape = aos.shape[:-2] + (aos.shape[-2] * kquants.QK_K,)
             blobs.append((name, shape, "q4_K", aos.tobytes()))
+            continue
+        elif t.__class__.__name__ == "Q5_KTensor":
+            from . import kquants
+
+            aos = kquants.to_bytes_q5_k(t)
+            shape = aos.shape[:-2] + (aos.shape[-2] * kquants.QK_K,)
+            blobs.append((name, shape, "q5_K", aos.tobytes()))
             continue
         else:
             qt = t.spec.name
@@ -235,4 +272,5 @@ def write_gguf(path, tensors: dict, metadata: dict | None = None) -> None:
             f.write(b"\0" * pad)
 
 
-__all__ = ["GGUFFile", "write_gguf", "GGML_TYPES", "tensor_nbytes"]
+__all__ = ["GGUFFile", "write_gguf", "RawTensor", "GGML_TYPES",
+           "tensor_nbytes"]

@@ -206,16 +206,262 @@ def from_bytes(raw: np.ndarray) -> Q4_KTensor:
     return Q4_KTensor(d, dmin, ls8.reshape(n, -1), lm8.reshape(n, -1), packed)
 
 
+# ---------------------------------------------------------------------------
+# Q5_K: full support (block_q5_K, 176 B per 256 elements)
+#
+# Same super-block structure as Q4_K (d/dmin f16 + eight 6-bit (scale, min)
+# pairs) with 5-bit codes: low nibbles in qs[128] (per-64 interleave like
+# Q4_K), 5th bits in qh[32] (byte l bit 2c   -> element 64c + l,
+#                                    bit 2c+1 -> element 64c + 32 + l).
+# Dequant of sub-block j: x = d*ls[j]*q - dmin*lm[j], q in [0, 31] — the
+# per-32 effective (d', m') form with 5-bit codes, i.e. exactly the q5_1
+# kernel shape (planar packed low nibbles + planar qh plane), so Q5_K rides
+# the whole q5_1 ladder including the exact int8-MXU decode kernel.
+# ---------------------------------------------------------------------------
+
+QK5_BLOCK_BYTES = 176  # 2 + 2 + 12 + 32 + 128
+
+
+class Q5_KTensor(NamedTuple):
+    """SoA Q5_K: super-scales, 6-bit sub-scales, planar low codes + 5th bits."""
+
+    d: np.ndarray  # f16 [N, K/256]
+    dmin: np.ndarray  # f16 [N, K/256]
+    ls: np.ndarray  # u8 [N, K/32]
+    lm: np.ndarray  # u8 [N, K/32]
+    packed: np.ndarray  # u8 [N, K/2] planar low nibbles
+    qh: np.ndarray  # u8 [N, K/8] planar 5th bits
+
+    @property
+    def k(self) -> int:
+        return self.packed.shape[-1] * 2
+
+
+class EffectiveQ51(NamedTuple):
+    """Per-32 effective (d', m') view of a Q5_K tensor — q5_1-shaped, f32
+    scales; feeds gemm_pallas.prepare() / the kernel ladder directly."""
+
+    packed: np.ndarray  # u8 [N, K/2] planar low nibbles
+    qh: np.ndarray  # u8 [N, K/8] planar 5th bits
+    d: np.ndarray  # f32 [N, K/32]
+    m: np.ndarray  # f32 [N, K/32]
+
+    @property
+    def spec(self):
+        return _EffSpec("q5_k", 5, True, False, 0)
+
+
+def _codes5(t: Q5_KTensor) -> np.ndarray:
+    """[N, K] natural-order codes 0..31."""
+    lo = (t.packed & 0x0F).astype(np.int32)
+    hi = (t.packed >> 4).astype(np.int32)
+    low4 = np.concatenate([lo, hi], axis=-1)
+    shifts = np.arange(8, dtype=np.uint8)
+    bits = ((t.qh[..., None] >> shifts) & 1).reshape(t.qh.shape[:-1] + (-1,))
+    return low4 + 16 * bits.astype(np.int32)
+
+
+def quantize_q5_k(x: np.ndarray) -> Q5_KTensor:
+    """float [N, K] -> Q5_K (K % 256 == 0).  Format-exact, simple encoder
+    (per-sub-block min/max; llama.cpp's make_qkx2_quants search differs)."""
+    x = np.asarray(x, np.float32)
+    n, k = x.shape
+    assert k % QK_K == 0, k
+    xs = x.reshape(n, k // QK, QK)
+    mn = np.minimum(xs.min(axis=2), 0.0)
+    mx = xs.max(axis=2)
+    scale = (mx - mn) / 31.0
+    minv = -mn
+
+    sup_scale = scale.reshape(n, -1, NSB).max(axis=2)
+    sup_min = minv.reshape(n, -1, NSB).max(axis=2)
+    d = (sup_scale / 63.0).astype(np.float16)
+    dmin = (sup_min / 63.0).astype(np.float16)
+    d32 = d.astype(np.float32)
+    dmin32 = dmin.astype(np.float32)
+
+    def six_bit(vals, sup):
+        rep = np.repeat(sup, NSB, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor(vals / np.where(rep > 0, rep, 1.0) + 0.5)
+        return np.clip(np.where(rep > 0, q, 0), 0, 63).astype(np.uint8)
+
+    ls = six_bit(scale, d32)
+    lm = six_bit(minv, dmin32)
+
+    d_eff = np.repeat(d32, NSB, axis=1) * ls
+    m_eff = np.repeat(dmin32, NSB, axis=1) * lm
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.floor(
+            (xs + m_eff[:, :, None]) / np.where(d_eff > 0, d_eff, 1.0)[:, :, None]
+            + 0.5
+        )
+    codes = np.clip(np.where(d_eff[:, :, None] > 0, q, 0), 0, 31).astype(np.uint8)
+    codes = codes.reshape(n, k)
+    half = k // 2
+    packed = ((codes[:, :half] & 0xF) | ((codes[:, half:] & 0xF) << 4)).astype(
+        np.uint8
+    )
+    bits = (codes >> 4).reshape(n, k // 8, 8)
+    qh = (bits << np.arange(8, dtype=np.uint8)).sum(axis=-1).astype(np.uint8)
+    return Q5_KTensor(d, dmin, ls, lm, packed, qh)
+
+
+def to_effective_q5_k(t: Q5_KTensor) -> EffectiveQ51:
+    """Per-32 effective scales: d' = d*ls (f32), m' = -dmin*lm (f32)."""
+    d32 = np.repeat(t.d.astype(np.float32), NSB, axis=1) * t.ls
+    m32 = -(np.repeat(t.dmin.astype(np.float32), NSB, axis=1) * t.lm)
+    return EffectiveQ51(
+        t.packed, t.qh, d32.astype(np.float32), m32.astype(np.float32)
+    )
+
+
+def dequantize_q5_k(t: Q5_KTensor) -> np.ndarray:
+    eff = to_effective_q5_k(t)
+    n = t.packed.shape[0]
+    k = t.k
+    codes = _codes5(t).reshape(n, k // QK, QK).astype(np.float32)
+    return (codes * eff.d[:, :, None] + eff.m[:, :, None]).reshape(n, k)
+
+
+def to_bytes_q5_k(t: Q5_KTensor) -> np.ndarray:
+    """SoA -> AoS uint8 [N, K/256, 176] (bit-identical to block_q5_K)."""
+    n = t.packed.shape[0]
+    k = t.k
+    nsb = k // QK_K
+    out = np.zeros((n, nsb, QK5_BLOCK_BYTES), np.uint8)
+    out[:, :, 0:2] = t.d.reshape(n, nsb, 1).view(np.uint8).reshape(n, nsb, 2)
+    out[:, :, 2:4] = t.dmin.reshape(n, nsb, 1).view(np.uint8).reshape(n, nsb, 2)
+    out[:, :, 4:16] = _pack_scales(
+        t.ls.reshape(n, nsb, 8), t.lm.reshape(n, nsb, 8)
+    )
+    codes = _codes5(t).reshape(n, nsb, 4, 2, 32)  # [..., chunk, half, 32]
+    hi = ((codes >> 4) & 1).astype(np.uint8)
+    qh = np.zeros((n, nsb, 32), np.uint8)
+    for c in range(4):
+        qh |= (hi[:, :, c, 0, :] << (2 * c)) | (hi[:, :, c, 1, :] << (2 * c + 1))
+    out[:, :, 16:48] = qh
+    low4 = (codes & 0xF).astype(np.uint8)
+    out[:, :, 48:176] = (
+        low4[:, :, :, 0, :] | (low4[:, :, :, 1, :] << 4)
+    ).reshape(n, nsb, 128)
+    return out
+
+
+def from_bytes_q5_k(raw: np.ndarray) -> Q5_KTensor:
+    """AoS uint8 [N, K/256, 176] -> SoA (accepts llama.cpp-written bytes)."""
+    raw = np.asarray(raw, np.uint8)
+    n, nsb, bb = raw.shape
+    assert bb == QK5_BLOCK_BYTES, bb
+    k = nsb * QK_K
+    d = raw[:, :, 0:2].copy().view(np.float16).reshape(n, nsb)
+    dmin = raw[:, :, 2:4].copy().view(np.float16).reshape(n, nsb)
+    ls8, lm8 = _unpack_scales(raw[:, :, 4:16])
+    qh_aos = raw[:, :, 16:48].astype(np.int32)  # [n, nsb, 32]
+    qs = raw[:, :, 48:176].reshape(n, nsb, 4, 32)
+    codes = np.zeros((n, nsb, 4, 2, 32), np.int32)
+    codes[:, :, :, 0, :] = qs & 0x0F
+    codes[:, :, :, 1, :] = qs >> 4
+    for c in range(4):
+        codes[:, :, c, 0, :] |= ((qh_aos >> (2 * c)) & 1) << 4
+        codes[:, :, c, 1, :] |= ((qh_aos >> (2 * c + 1)) & 1) << 4
+    codes = codes.reshape(n, k)
+    half = k // 2
+    packed = (
+        (codes[:, :half] & 0xF) | ((codes[:, half:] & 0xF) << 4)
+    ).astype(np.uint8)
+    bits = ((codes >> 4) & 1).reshape(n, k // 8, 8)
+    qh = (bits << np.arange(8)).sum(axis=-1).astype(np.uint8)
+    return Q5_KTensor(
+        d, dmin, ls8.reshape(n, -1), lm8.reshape(n, -1), packed, qh
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2_K / Q3_K: decode-only (per-16 scales don't fit the per-32 ladder;
+# like Q6_K, the loader decodes byte-exactly and re-quantizes for serving)
+# ---------------------------------------------------------------------------
+
+QK2_BLOCK_BYTES = 84  # 16 scales + 64 qs + 2 d + 2 dmin
+QK3_BLOCK_BYTES = 110  # 32 hmask + 64 qs + 12 scales + 2 d
+
+# element e of a 256-super-block lives in 2-bit plane: byte
+# (e//128)*32 + e%32 at shift 2*((e%128)//32)  (llama.cpp q2_K/q3_K layout)
+_E = np.arange(QK_K)
+_Q2_BYTE = (_E // 128) * 32 + (_E % 32)
+_Q2_SHIFT = 2 * ((_E % 128) // 32)
+
+
+def dequantize_q2_k_bytes(raw: np.ndarray) -> np.ndarray:
+    """AoS uint8 [N, K/256, 84] -> float32 [N, K], llama.cpp
+    dequantize_row_q2_K semantics (2-bit codes, per-16 4-bit scale/min)."""
+    raw = np.asarray(raw, np.uint8)
+    n, nsb, bb = raw.shape
+    assert bb == QK2_BLOCK_BYTES, bb
+    scales = raw[:, :, 0:16].astype(np.int32)  # sc & 0xF | m << 4
+    qs = raw[:, :, 16:80].astype(np.int32)
+    d = raw[:, :, 80:82].copy().view(np.float16).astype(np.float32)[:, :, 0]
+    dmin = raw[:, :, 82:84].copy().view(np.float16).astype(np.float32)[:, :, 0]
+
+    q = (qs[:, :, _Q2_BYTE] >> _Q2_SHIFT) & 3  # [n, nsb, 256]
+    sc = scales[:, :, _E // 16]
+    out = d[:, :, None] * (sc & 0xF) * q - dmin[:, :, None] * (sc >> 4)
+    return out.astype(np.float32).reshape(n, nsb * QK_K)
+
+
+def _q3_scales(s12: np.ndarray) -> np.ndarray:
+    """[..., 12] packed bytes -> [..., 16] int 6-bit scales (0..63), the
+    llama.cpp kmask1/kmask2 aux unpacking expressed per byte."""
+    s = s12.astype(np.int32)
+    i = np.arange(4)
+    w0 = (s[..., i] & 0xF) | ((s[..., 8 + i] & 3) << 4)
+    w1 = (s[..., 4 + i] & 0xF) | (((s[..., 8 + i] >> 2) & 3) << 4)
+    w2 = (s[..., i] >> 4) | (((s[..., 8 + i] >> 4) & 3) << 4)
+    w3 = (s[..., 4 + i] >> 4) | (((s[..., 8 + i] >> 6) & 3) << 4)
+    return np.concatenate([w0, w1, w2, w3], axis=-1)
+
+
+def dequantize_q3_k_bytes(raw: np.ndarray) -> np.ndarray:
+    """AoS uint8 [N, K/256, 110] -> float32 [N, K], llama.cpp
+    dequantize_row_q3_K semantics (2+1-bit codes, per-16 6-bit scales)."""
+    raw = np.asarray(raw, np.uint8)
+    n, nsb, bb = raw.shape
+    assert bb == QK3_BLOCK_BYTES, bb
+    hmask = raw[:, :, 0:32].astype(np.int32)
+    qs = raw[:, :, 32:96].astype(np.int32)
+    sc16 = _q3_scales(raw[:, :, 96:108])  # [n, nsb, 16]
+    d = raw[:, :, 108:110].copy().view(np.float16).astype(np.float32)[:, :, 0]
+
+    q = (qs[:, :, _Q2_BYTE] >> _Q2_SHIFT) & 3
+    hbit = (hmask[:, :, _E % 32] >> (_E // 32)) & 1
+    q = q - np.where(hbit, 0, 4)  # high bit SET means no -4 offset
+    sc = sc16[:, :, _E // 16] - 32
+    out = d[:, :, None] * sc * q
+    return out.astype(np.float32).reshape(n, nsb * QK_K)
+
+
 __all__ = [
     "QK_K",
     "BLOCK_BYTES",
+    "QK5_BLOCK_BYTES",
+    "QK2_BLOCK_BYTES",
+    "QK3_BLOCK_BYTES",
     "Q4_KTensor",
+    "Q5_KTensor",
     "EffectiveQ41",
+    "EffectiveQ51",
     "quantize_q4_k",
+    "quantize_q5_k",
     "dequantize_q4_k",
+    "dequantize_q5_k",
     "to_effective",
+    "to_effective_q5_k",
     "to_bytes",
     "from_bytes",
+    "to_bytes_q5_k",
+    "from_bytes_q5_k",
+    "dequantize_q2_k_bytes",
+    "dequantize_q3_k_bytes",
 ]
 
 

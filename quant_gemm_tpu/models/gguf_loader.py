@@ -90,6 +90,10 @@ def _prep(t) -> gemm_pallas.PreparedWeight:
         from ..formats import kquants
 
         return gemm_pallas.prepare(kquants.to_effective(t))
+    if t.__class__.__name__ == "Q5_KTensor":  # K-quants: effective q5_1 form
+        from ..formats import kquants
+
+        return gemm_pallas.prepare(kquants.to_effective_q5_k(t))
     return gemm_pallas.prepare(t)
 
 

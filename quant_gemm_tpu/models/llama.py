@@ -98,6 +98,11 @@ def quantize_params(params: dict, qtype: str = "q4_0") -> dict:
 
         def quantize(w):
             return kquants.to_effective(kquants.quantize_q4_k(w))
+    elif qtype == "q5_k":  # K-quant: effective per-32 q5_1 form
+        from ..formats import kquants
+
+        def quantize(w):
+            return kquants.to_effective_q5_k(kquants.quantize_q5_k(w))
     else:
         quantize = numpy_ref.QUANTIZE[qtype]
 

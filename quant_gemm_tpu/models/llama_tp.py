@@ -97,6 +97,13 @@ def shard_params_tp(params: dict, cfg: llama.LlamaConfig, mesh: Mesh,
 
         def quantize(w):
             return kquants.to_effective(kquants.quantize_q4_k(np.asarray(w)))
+    elif qtype == "q5_k":  # K-quant: effective per-32 q5_1 form
+        from ..formats import kquants
+
+        def quantize(w):
+            return kquants.to_effective_q5_k(
+                kquants.quantize_q5_k(np.asarray(w))
+            )
     else:
         quantize = numpy_ref.QUANTIZE[qtype]
 

@@ -157,3 +157,239 @@ def test_gguf_loader_q6k_lm_head(tmp_path):
     x = kquants.dequantize_q6_k_bytes(raw)
     assert x.shape == (64, 512)
     assert np.isfinite(x).all()
+
+
+# ---------------------------------------------------------------------------
+# Q5_K
+# ---------------------------------------------------------------------------
+
+
+def test_q5k_block_bytes():
+    assert kquants.QK5_BLOCK_BYTES == 176  # 2 + 2 + 12 + 32 + 128
+
+
+def test_q5k_bytes_roundtrip_exact():
+    x = datagen.normal((4, 512), seed=21)
+    t = kquants.quantize_q5_k(x)
+    t2 = kquants.from_bytes_q5_k(kquants.to_bytes_q5_k(t))
+    for a, b in zip(t, t2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_q5k_quantize_roundtrip_accuracy():
+    """Q5_K (31 levels + sub-block mins) should beat both q5_0 and q4_k."""
+    x = datagen.uniform((8, 1024), seed=22)
+    back = kquants.dequantize_q5_k(kquants.quantize_q5_k(x))
+    m = ErrorMetrics.compute(back, x)
+    m50 = ErrorMetrics.compute(
+        numpy_ref.dequantize(numpy_ref.quantize_q5_0(x)), x
+    )
+    m4k = ErrorMetrics.compute(
+        kquants.dequantize_q4_k(kquants.quantize_q4_k(x)), x
+    )
+    assert m.nmse < 1.1e-3, m
+    assert m.nmse < m50.nmse, (m.nmse, m50.nmse)
+    assert m.nmse < m4k.nmse, (m.nmse, m4k.nmse)
+
+
+def test_q5k_gemm_via_effective_q51():
+    """Q5_K through the kernel ladder (effective per-32 d/m + qh plane)
+    matches the dequantize-then-dot golden near-exactly."""
+    a = datagen.normal((4, 512), seed=23)
+    w = datagen.normal((384, 512), seed=24)
+    t = kquants.quantize_q5_k(w)
+    wp = prepare(kquants.to_effective_q5_k(t))
+    assert wp.qtype == "q5_k"
+    assert wp.qh_t is not None
+    a_q = numpy_ref.quantize_q8_1(a)
+    from quant_gemm_tpu.formats import jax_quant
+
+    out = dispatch(wp, jax_quant.device_put(a_q))
+    w_deq = kquants.dequantize_q5_k(t)
+    gold = refg.gemm_fp32(numpy_ref.dequantize(a_q), w_deq)
+    m = ErrorMetrics.compute(out, gold)
+    assert m.nmse < 1e-6, m
+    m_fp = ErrorMetrics.compute(out, refg.gemm_fp32(a, w))
+    assert m_fp.nmse < 6e-3, m_fp  # 5-bit + mins: tighter than q4_k
+
+
+def test_gguf_q5k_roundtrip(tmp_path):
+    w = datagen.normal((64, 512), seed=25)
+    t = kquants.quantize_q5_k(w)
+    path = tmp_path / "k5.gguf"
+    gguf_file.write_gguf(path, {"w.weight": t})
+    gf = gguf_file.GGUFFile(path)
+    assert gf.tensors["w.weight"]["qtype"] == "q5_K"
+    t2 = gf.load("w.weight")
+    for a, b in zip(t, t2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_q5k_llamacpp_layout_contract():
+    """Hand-decode one serialized super-block exactly like llama.cpp's
+    dequantize_row_q5_K (per-64 nibbles, qh bit pairs u1/u2 per chunk)."""
+    x = datagen.normal((1, 256), seed=26)
+    t = kquants.quantize_q5_k(x)
+    blk = kquants.to_bytes_q5_k(t)[0, 0]  # 176 bytes
+    d = np.frombuffer(blk[0:2].tobytes(), np.float16)[0].astype(np.float32)
+    dmin = np.frombuffer(blk[2:4].tobytes(), np.float16)[0].astype(np.float32)
+    sc = blk[4:16]
+    qh = blk[16:48]
+    ql = blk[48:176]
+    out = np.zeros(256, np.float32)
+    u1, u2 = 1, 2
+    y = 0
+    for c in range(4):  # 64-element chunks; two sub-blocks each
+        for j2, u in ((2 * c, u1), (2 * c + 1, u2)):
+            if j2 < 4:
+                ls, lm = sc[j2] & 63, sc[j2 + 4] & 63
+            else:
+                ls = (sc[j2 + 4] & 0xF) | ((sc[j2 - 4] >> 6) << 4)
+                lm = (sc[j2 + 4] >> 4) | ((sc[j2] >> 6) << 4)
+            dd, mm = d * ls, dmin * lm
+            for l in range(32):
+                byte = ql[c * 32 + l]
+                q = (byte & 0xF) if j2 % 2 == 0 else (byte >> 4)
+                if qh[l] & u:
+                    q += 16
+                out[y] = dd * q - mm
+                y += 1
+        u1 <<= 2
+        u2 <<= 2
+    np.testing.assert_allclose(out, kquants.dequantize_q5_k(t)[0], rtol=1e-6,
+                               atol=1e-7)
+
+
+def test_q5k_model_serving():
+    """quantize_params(qtype='q5_k') serves a whole model."""
+    import jax.numpy as _jnp
+
+    from quant_gemm_tpu.models import llama
+
+    cfg = llama.LlamaConfig(vocab=64, dim=256, n_layers=1, n_heads=2,
+                            n_kv_heads=2, d_ff=256, max_seq=32)
+    params = llama.init_params(cfg, seed=27)
+    qp = llama.quantize_params(params, "q5_k")
+    toks = _jnp.asarray(np.random.default_rng(3).integers(1, 64, (1, 8)),
+                        _jnp.int32)
+    out, _ = llama.forward(qp, cfg, toks, llama.KVCache.init(cfg, 1))
+    ref, _ = llama.forward_float(params, cfg, toks, llama.KVCache.init(cfg, 1))
+    m = ErrorMetrics.compute(out, ref)
+    assert m.nmse < 2e-2, m
+
+
+# ---------------------------------------------------------------------------
+# Q2_K / Q3_K decode
+# ---------------------------------------------------------------------------
+
+
+def test_q2k_decode_llamacpp_semantics():
+    """Random block_q2_K bytes vs a scalar transcription of llama.cpp
+    dequantize_row_q2_K (2-bit codes, per-16 4|4-bit scale/min bytes)."""
+    rng = np.random.default_rng(30)
+    n, nsb = 2, 3
+    raw = rng.integers(0, 256, (n, nsb, 84)).astype(np.uint8)
+    for off in (80, 82):  # keep d/dmin finite
+        v = np.full((n, nsb), 0.01, np.float16)
+        raw[:, :, off:off + 2] = v.view(np.uint8).reshape(n, nsb, 2)
+
+    out = kquants.dequantize_q2_k_bytes(raw)
+
+    for ni in range(n):
+        for si in range(nsb):
+            blk = raw[ni, si]
+            scales, q = blk[0:16], blk[16:80]
+            d = float(blk[80:82].copy().view(np.float16)[0])
+            dmin = float(blk[82:84].copy().view(np.float16)[0])
+            y = np.zeros(256, np.float32)
+            yi = 0
+            qoff = 0
+            is_ = 0
+            for nn in range(0, 256, 128):
+                shift = 0
+                for j in range(4):
+                    for half in range(2):
+                        sc = scales[is_]
+                        is_ += 1
+                        dl, ml = d * (sc & 0xF), dmin * (sc >> 4)
+                        for l in range(half * 16, half * 16 + 16):
+                            y[yi] = dl * ((q[qoff + l] >> shift) & 3) - ml
+                            yi += 1
+                    shift += 2
+                qoff += 32
+            np.testing.assert_allclose(
+                out[ni, si * 256 : (si + 1) * 256], y, rtol=1e-6, atol=1e-7
+            )
+
+
+def test_q3k_decode_llamacpp_semantics():
+    """Random block_q3_K bytes vs a scalar transcription of llama.cpp
+    dequantize_row_q3_K (kmask aux scale unpack, hmask high bits)."""
+    rng = np.random.default_rng(31)
+    n, nsb = 2, 3
+    raw = rng.integers(0, 256, (n, nsb, 110)).astype(np.uint8)
+    v = np.full((n, nsb), 0.01, np.float16)
+    raw[:, :, 108:110] = v.view(np.uint8).reshape(n, nsb, 2)
+
+    out = kquants.dequantize_q3_k_bytes(raw)
+
+    kmask1, kmask2 = 0x03030303, 0x0F0F0F0F
+    for ni in range(n):
+        for si in range(nsb):
+            blk = raw[ni, si]
+            hm, qs = blk[0:32], blk[32:96]
+            d_all = float(blk[108:110].copy().view(np.float16)[0])
+            aux = list(np.frombuffer(blk[96:108].tobytes(), np.uint32))
+            tmp = int(aux[2])
+            a = [0] * 4
+            a[0] = (int(aux[0]) & kmask2) | (((tmp >> 0) & kmask1) << 4)
+            a[1] = (int(aux[1]) & kmask2) | (((tmp >> 2) & kmask1) << 4)
+            a[2] = ((int(aux[0]) >> 4) & kmask2) | (((tmp >> 4) & kmask1) << 4)
+            a[3] = ((int(aux[1]) >> 4) & kmask2) | (((tmp >> 6) & kmask1) << 4)
+            sc16 = np.array(a, np.uint32).view(np.uint8).astype(np.int32)
+            y = np.zeros(256, np.float32)
+            yi = 0
+            qoff = 0
+            m = 1
+            is_ = 0
+            for nn in range(0, 256, 128):
+                shift = 0
+                for j in range(4):
+                    for half in range(2):
+                        dl = d_all * (int(sc16[is_]) - 32)
+                        is_ += 1
+                        for l in range(half * 16, half * 16 + 16):
+                            qv = (int(qs[qoff + l]) >> shift) & 3
+                            if not (int(hm[l]) & m):
+                                qv -= 4
+                            y[yi] = dl * qv
+                            yi += 1
+                    shift += 2
+                    m <<= 1  # hmask bit advances per 32-group (8 bits/byte)
+                qoff += 32
+            np.testing.assert_allclose(
+                out[ni, si * 256 : (si + 1) * 256], y, rtol=1e-6, atol=1e-7
+            )
+
+
+def test_gguf_q2k_q3k_load_as_float(tmp_path):
+    """q2_K/q3_K tensors in a GGUF load as dequantized float arrays."""
+    rng = np.random.default_rng(32)
+    for qt, bb in (("q2_K", 84), ("q3_K", 110)):
+        raw = rng.integers(0, 256, (8, 2, bb)).astype(np.uint8)
+        offs = {"q2_K": (80, 82), "q3_K": (108,)}[qt]  # d (and dmin)
+        v = np.full((8, 2), 0.01, np.float16)
+        for off in offs:
+            raw[:, :, off:off + 2] = v.view(np.uint8).reshape(8, 2, 2)
+        path = tmp_path / f"{qt}.gguf"
+        gguf_file.write_gguf(
+            path, {"w.weight": gguf_file.RawTensor(qt, (8, 512), raw.tobytes())}
+        )
+        gf = gguf_file.GGUFFile(path)
+        assert gf.tensors["w.weight"]["qtype"] == qt
+        x = gf.load("w.weight")
+        decode = {"q2_K": kquants.dequantize_q2_k_bytes,
+                  "q3_K": kquants.dequantize_q3_k_bytes}[qt]
+        np.testing.assert_array_equal(x, decode(raw))
+        assert x.shape == (8, 512)
+        assert np.isfinite(x).all()
