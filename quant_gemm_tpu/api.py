@@ -11,10 +11,11 @@ the reference's *weight-first* convention::
 
 Internally everything converts to the SoA planar containers and runs on the
 TPU kernel ladder (framework-native code should use those directly; this
-module exists so reference users can port scripts unchanged, minus torch).
+module exists so reference users can port scripts unchanged).
 
-Input arrays may be numpy or jax; outputs are jax arrays on the default
-device.
+Input arrays may be numpy, jax, or **torch** tensors (the reference's API is
+a PyTorch extension — torch in means torch comes back out); numpy/jax inputs
+return numpy (quantize/dequantize) or jax (gemm) arrays as before.
 """
 
 from __future__ import annotations
@@ -24,6 +25,26 @@ import numpy as np
 from .formats import gguf, numpy_ref
 from .formats.blocks import QK, SPECS
 from .kernels import dispatch
+
+
+def _is_torch(x) -> bool:
+    return type(x).__module__.partition(".")[0] == "torch"
+
+
+def _as_array(x) -> np.ndarray:
+    """numpy | jax | torch -> numpy (zero-copy where the backend allows)."""
+    if _is_torch(x):
+        return x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def _wrap(out, *inputs):
+    """Return torch if any input was torch, else the array unchanged."""
+    if any(_is_torch(x) for x in inputs):
+        import torch
+
+        return torch.from_numpy(np.ascontiguousarray(np.asarray(out)))
+    return out
 
 BLOCK_Q4_0_BYTES = 18
 BLOCK_Q8_1_BYTES = 36
@@ -42,9 +63,9 @@ def quantize(x, qtype: str) -> np.ndarray:
     """Quantize float ``[..., K]`` to AoS block bytes ``[..., K/32, B]``."""
     if qtype not in SPECS:
         raise ValueError(f"unknown quant type {qtype!r}; have {sorted(SPECS)}")
-    _check_k(x, f"quantize_{qtype}")
-    x = np.asarray(x, np.float32)
-    return gguf.to_bytes(numpy_ref.QUANTIZE[qtype](x))
+    xa = _as_array(x).astype(np.float32)
+    _check_k(xa, f"quantize_{qtype}")
+    return _wrap(gguf.to_bytes(numpy_ref.QUANTIZE[qtype](xa)), x)
 
 
 def quantize_q4_0(x) -> np.ndarray:
@@ -59,15 +80,15 @@ def quantize_q8_1(x) -> np.ndarray:
 
 def dequantize(x_q, qtype: str, K: int) -> np.ndarray:
     spec = SPECS[qtype]
-    x_q = np.asarray(x_q)
-    if x_q.dtype != np.uint8:
-        raise ValueError(f"dequantize_{qtype}: expected uint8, got {x_q.dtype}")
-    if x_q.shape[-2:] != (K // QK, spec.block_bytes):
+    xa = _as_array(x_q)
+    if xa.dtype != np.uint8:
+        raise ValueError(f"dequantize_{qtype}: expected uint8, got {xa.dtype}")
+    if xa.shape[-2:] != (K // QK, spec.block_bytes):
         raise ValueError(
             f"dequantize_{qtype}: expected [..., {K // QK}, {spec.block_bytes}], "
-            f"got {x_q.shape}"
+            f"got {xa.shape}"
         )
-    return numpy_ref.dequantize(gguf.from_bytes(x_q, qtype))
+    return _wrap(numpy_ref.dequantize(gguf.from_bytes(xa, qtype)), x_q)
 
 
 def dequantize_q4_0(x_q, K: int) -> np.ndarray:
@@ -80,8 +101,9 @@ def gemm_q4_0_q8_1(weight_q, activation_q, M: int, N: int, K: int):
 
     Validation mirrors bindings.cpp:49-91 (numel/shape/dtype checks).
     """
-    weight_q = np.asarray(weight_q)
-    activation_q = np.asarray(activation_q)
+    w_in, a_in = weight_q, activation_q
+    weight_q = _as_array(weight_q)
+    activation_q = _as_array(activation_q)
     nb = K // QK
     if weight_q.dtype != np.uint8 or activation_q.dtype != np.uint8:
         raise ValueError("gemm_q4_0_q8_1: block tensors must be uint8")
@@ -98,7 +120,7 @@ def gemm_q4_0_q8_1(weight_q, activation_q, M: int, N: int, K: int):
     a = gguf.from_bytes(activation_q.reshape(N, nb, BLOCK_Q8_1_BYTES), "q8_1")
     # project convention is activation-first: C_proj[N, M]; transpose back.
     out = dispatch(w, a)
-    return out.T
+    return _wrap(out.T, w_in, a_in)
 
 
 __all__ = [

@@ -65,3 +65,29 @@ def test_validation_errors():
         api.gemm_q4_0_q8_1(wq, aq, 4, 2, 128)
     with pytest.raises(ValueError, match="unknown quant type"):
         api.quantize(x, "q6_k")
+
+
+def test_torch_tensor_interop():
+    """torch.Tensor in -> torch.Tensor out (the reference API is a torch
+    extension; ported scripts hand us torch tensors)."""
+    torch = pytest.importorskip("torch")
+    from quant_gemm_tpu import api
+
+    rng = np.random.default_rng(7)
+    w = torch.from_numpy(rng.standard_normal((64, 128)).astype(np.float32))
+    a = torch.from_numpy(rng.standard_normal((4, 128)).astype(np.float32))
+    w_q = api.quantize_q4_0(w)
+    a_q = api.quantize_q8_1(a)
+    assert isinstance(w_q, torch.Tensor) and w_q.dtype == torch.uint8
+    assert tuple(w_q.shape) == (64, 4, 18)
+    assert isinstance(a_q, torch.Tensor) and tuple(a_q.shape) == (4, 4, 36)
+
+    back = api.dequantize_q4_0(w_q, 128)
+    assert isinstance(back, torch.Tensor)
+
+    out = api.gemm_q4_0_q8_1(w_q, a_q, 64, 4, 128)
+    assert isinstance(out, torch.Tensor)
+    assert tuple(out.shape) == (64, 4)
+    # numerics match the numpy-input path exactly
+    out_np = api.gemm_q4_0_q8_1(w_q.numpy(), a_q.numpy(), 64, 4, 128)
+    np.testing.assert_allclose(out.numpy(), np.asarray(out_np), rtol=1e-6)
