@@ -1,0 +1,76 @@
+"""Batched token sampling for the serving loop.
+
+The reference has no serving loop at all (SURVEY.md: "no serving loop, no
+model runtime"); this module is part of the beyond-parity serving runtime.
+Design constraints, TPU-first:
+
+* ONE jittable program for the whole slot batch — per-slot temperature,
+  top-k, and top-p are **dynamic** [B] operands, so mixed sampling configs
+  in one continuous batch never trigger recompiles.
+* Per-request determinism independent of batch composition: each request
+  carries its own PRNG key, and the step key is ``fold_in(request_key,
+  position)`` — the token a request samples at position p is the same
+  whatever else shares the batch.
+* ``temperature <= 0`` means greedy for that slot (exact argmax, no PRNG).
+
+Both filters reduce to a per-row logit threshold computed in sorted space
+(one descending sort per step), then a single masked categorical.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float("-inf")
+
+
+def filter_logits(scaled: jax.Array, top_k: jax.Array,
+                  top_p: jax.Array) -> jax.Array:
+    """Mask ``scaled`` [B, V] to the per-row top-k / nucleus(top-p) set.
+
+    ``top_k`` int32 [B] (<= 0 disables), ``top_p`` f32 [B] (>= 1 disables).
+    Ties at the threshold are kept (same choice llama.cpp makes).
+    """
+    v = scaled.shape[-1]
+    sorted_desc = jnp.flip(jnp.sort(scaled, axis=-1), axis=-1)
+    # top-k threshold: the k-th largest value
+    idx = jnp.clip(top_k - 1, 0, v - 1)
+    thr_k = jnp.take_along_axis(sorted_desc, idx[:, None], axis=-1)[:, 0]
+    thr_k = jnp.where(top_k > 0, thr_k, NEG_INF)
+    # top-p threshold: smallest prefix of the sorted distribution whose
+    # mass reaches p; exclusive cumsum keeps at least the first entry
+    probs = jax.nn.softmax(sorted_desc, axis=-1)
+    cum_excl = jnp.cumsum(probs, axis=-1) - probs
+    keep = cum_excl < jnp.clip(top_p, 0.0, 1.0)[:, None]
+    jstar = jnp.maximum(jnp.sum(keep, axis=-1) - 1, 0)
+    thr_p = jnp.take_along_axis(sorted_desc, jstar[:, None], axis=-1)[:, 0]
+    thr_p = jnp.where(top_p < 1.0, thr_p, NEG_INF)
+    thr = jnp.maximum(thr_k, thr_p)
+    return jnp.where(scaled >= thr[:, None], scaled, NEG_INF)
+
+
+def sample(
+    logits: jax.Array,  # [B, V]
+    keys: jax.Array,  # [B, 2] uint32 per-request base keys
+    positions: jax.Array,  # int32 [B] — folded into the key per step
+    temperature: jax.Array,  # f32 [B]; <= 0 = greedy
+    top_k: jax.Array | None = None,  # int32 [B]; <= 0 = off
+    top_p: jax.Array | None = None,  # f32 [B]; >= 1 = off
+) -> jax.Array:
+    """Sample one token per row; jittable, fully dynamic per-row config."""
+    b = logits.shape[0]
+    t = jnp.asarray(temperature, jnp.float32)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits.astype(jnp.float32) / jnp.maximum(t, 1e-6)[:, None]
+    tk = (jnp.zeros(b, jnp.int32) if top_k is None
+          else jnp.asarray(top_k, jnp.int32))
+    tp = (jnp.ones(b, jnp.float32) if top_p is None
+          else jnp.asarray(top_p, jnp.float32))
+    filtered = filter_logits(scaled, tk, tp)
+    step_keys = jax.vmap(jax.random.fold_in)(keys, positions.astype(jnp.int32))
+    drawn = jax.vmap(jax.random.categorical)(step_keys, filtered)
+    return jnp.where(t <= 0.0, greedy, drawn.astype(jnp.int32))
+
+
+__all__ = ["sample", "filter_logits"]

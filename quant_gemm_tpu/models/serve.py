@@ -7,27 +7,32 @@ decode shape (M = n_slots) regardless of request arrival order.
 
 Single jit'd programs:
 
-* prefill: one request -> (slot-cache slab, first token), bucketed prompt
-  lengths to bound recompilation;
+* prefill: one request -> (slot-cache slab, last-position logits), bucketed
+  prompt lengths to bound recompilation;
 * decode step: one batched forward of [n_slots, 1] tokens with per-slot
-  positions (llama.KVCache.pos is a vector).
+  positions (llama.KVCache.pos is a vector) + batched sampling.
 
-Greedy sampling; inactive slots run masked garbage (their writes land at a
-clamped position and are fully overwritten on the next prefill).
+Sampling is per-request (models/sampling.py): temperature / top-k / top-p
+ride the decode jit as dynamic [n_slots] operands (mixed configs never
+recompile), each request samples from its own seeded PRNG key folded with
+the token position — so a request's output is deterministic regardless of
+what else shares the batch.  Default temperature 0 = greedy.  Inactive
+slots run masked garbage (their writes land at a clamped position and are
+fully overwritten on the next prefill).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..utils import round_up
-from . import llama
+from . import llama, sampling
 
 
 @dataclasses.dataclass
@@ -35,12 +40,16 @@ class Request:
     rid: int
     prompt: list
     max_new: int
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    seed: Optional[int] = None
     generated: list = dataclasses.field(default_factory=list)
     done: bool = False
 
 
 class Server:
-    """Continuous-batching greedy decoder over fixed slots."""
+    """Continuous-batching decoder over fixed slots (greedy by default)."""
 
     def __init__(
         self,
@@ -71,16 +80,25 @@ class Server:
             logits, c1 = llama.forward(
                 qparams, cfg, tokens, c1, act_mode=act_mode, rope_cache=self._rope
             )
-            last = jnp.argmax(logits[0, length - 1], axis=-1).astype(jnp.int32)
-            return c1.k[:, 0], c1.v[:, 0], last
+            return c1.k[:, 0], c1.v[:, 0], logits[0, length - 1]
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def _decode(qparams, tokens, cache):
+        def _decode(qparams, tokens, cache, keys, temps, topk, topp):
             logits, cache = llama.forward(
                 qparams, cfg, tokens, cache, act_mode=act_mode, rope_cache=self._rope
             )
-            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            nxt = sampling.sample(
+                logits[:, -1], keys, cache.pos, temps, topk, topp
+            )
             return nxt, cache
+
+        @functools.partial(jax.jit)
+        def _sample_one(logits, key, position, temp, topk, topp):
+            return sampling.sample(
+                logits[None], key[None], jnp.asarray([position]),
+                jnp.asarray([temp]), jnp.asarray([topk]),
+                jnp.asarray([topp]),
+            )[0]
 
         @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
         def _insert(cache_k, cache_v, pos, slot, k1, v1, length):
@@ -99,12 +117,27 @@ class Server:
         self._prefill = _prefill
         self._insert = _insert
         self._decode = _decode
+        self._sample_one = _sample_one
         self._pending_tok = np.zeros(n_slots, np.int32)
+        self._temps = np.zeros(n_slots, np.float32)
+        self._topk = np.zeros(n_slots, np.int32)
+        self._topp = np.ones(n_slots, np.float32)
+        self._keys = jnp.zeros((n_slots, 2), jnp.uint32)
 
     # -- request lifecycle ---------------------------------------------------
 
-    def submit(self, prompt: list, max_new: int = 16) -> int:
-        r = Request(self._next_rid, list(prompt), max_new)
+    def submit(
+        self,
+        prompt: list,
+        max_new: int = 16,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        seed: Optional[int] = None,
+    ) -> int:
+        r = Request(self._next_rid, list(prompt), max_new,
+                    temperature=temperature, top_k=top_k, top_p=top_p,
+                    seed=seed)
         self._next_rid += 1
         self.queue.append(r)
         return r.rid
@@ -117,7 +150,7 @@ class Server:
             t = max(self.bucket, round_up(len(r.prompt), self.bucket))
             padded = np.zeros((1, t), np.int32)
             padded[0, : len(r.prompt)] = r.prompt
-            k1, v1, first = self._prefill(
+            k1, v1, last_logits = self._prefill(
                 self.qparams, jnp.asarray(padded), len(r.prompt), t=t
             )
             ck, cv, cpos = self._insert(
@@ -125,7 +158,15 @@ class Server:
                 jnp.int32(s), k1, v1, jnp.int32(len(r.prompt)),
             )
             self.cache = llama.KVCache(ck, cv, cpos)
-            tok = int(first)
+            rkey = jax.random.PRNGKey(r.seed if r.seed is not None else r.rid)
+            self._keys = self._keys.at[s].set(rkey)
+            self._temps[s] = r.temperature
+            self._topk[s] = r.top_k
+            self._topp[s] = r.top_p
+            tok = int(self._sample_one(
+                last_logits, rkey, len(r.prompt) - 1, r.temperature,
+                r.top_k, r.top_p,
+            ))
             r.generated.append(tok)
             self._pending_tok[s] = tok
             self.slots[s] = r
@@ -140,7 +181,11 @@ class Server:
         if not active:
             return {}
         tokens = jnp.asarray(self._pending_tok[:, None])
-        nxt, self.cache = self._decode(self.qparams, tokens, self.cache)
+        nxt, self.cache = self._decode(
+            self.qparams, tokens, self.cache, self._keys,
+            jnp.asarray(self._temps), jnp.asarray(self._topk),
+            jnp.asarray(self._topp),
+        )
         nxt = np.asarray(nxt)
         out = {}
         for s in active:

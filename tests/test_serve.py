@@ -57,3 +57,55 @@ def test_step_returns_tokens(qparams):
         if not out:
             break
     assert len(srv.finished[rid].generated) == 4
+
+
+def test_sampled_decode_deterministic_per_request(qparams):
+    """temperature > 0: same seed -> same tokens, independent of batch
+    composition; different seeds diverge; tokens stay in-vocab."""
+    def run(extra_load):
+        srv = serve.Server(qparams, CFG, n_slots=2)
+        rid = srv.submit([5, 6, 7], max_new=6, temperature=0.9, seed=123)
+        if extra_load:
+            srv.submit([9, 1], max_new=6, temperature=0.4, seed=7)
+        res = srv.run_until_done()
+        return res[rid]
+
+    alone = run(False)
+    batched = run(True)
+    assert alone == batched, (alone, batched)
+    assert all(0 <= t < CFG.vocab for t in alone)
+
+    srv = serve.Server(qparams, CFG, n_slots=2)
+    r2 = srv.submit([5, 6, 7], max_new=6, temperature=0.9, seed=124)
+    other = srv.run_until_done()[r2]
+    # astronomically unlikely to match over 6 draws at temp 0.9
+    assert other != alone, other
+
+
+def test_topk1_equals_greedy(qparams):
+    """top_k=1 collapses sampling to argmax whatever the temperature."""
+    prompt = [3, 14, 15]
+    srv = serve.Server(qparams, CFG, n_slots=1)
+    rid = srv.submit(prompt, max_new=5, temperature=1.5, top_k=1, seed=0)
+    got = srv.run_until_done()[rid]
+    assert got == _solo(qparams, prompt, 5), got
+
+
+def test_sampling_filters():
+    """filter_logits masks exactly the top-k / nucleus set per row."""
+    import jax.numpy as jnp
+
+    from quant_gemm_tpu.models.sampling import filter_logits
+
+    logits = jnp.asarray([[0.0, 1.0, 2.0, 3.0], [0.0, 1.0, 2.0, 3.0]])
+    # row 0: top_k=2 keeps {2, 3}; row 1: off
+    out = np.asarray(
+        filter_logits(logits, jnp.asarray([2, 0]), jnp.asarray([1.0, 1.0]))
+    )
+    assert np.isneginf(out[0, :2]).all() and (out[0, 2:] == [2.0, 3.0]).all()
+    assert (out[1] == [0.0, 1.0, 2.0, 3.0]).all()
+    # top_p tiny keeps only the argmax (plus ties)
+    out = np.asarray(
+        filter_logits(logits, jnp.asarray([0, 0]), jnp.asarray([1e-6, 1.0]))
+    )
+    assert np.isneginf(out[0, :3]).all() and out[0, 3] == 3.0
