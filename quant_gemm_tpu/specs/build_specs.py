@@ -72,6 +72,50 @@ EPILOGUES = {
 
 NMSE = {"q4_0": 0.015, "q4_1": 0.015, "q5_0": 0.01, "q5_1": 0.01, "q8_0": 0.005}
 
+KQUANT_SPECS = {
+    "q4_k": {
+        "superblock_size": 256,
+        "bytes_per_superblock": 144,
+        "bits_per_element": 4.5,
+        "quantize": ("per 32-sub-block: d' = d*ls[j], m' = -dmin*lm[j] with "
+                     "6-bit (ls, lm) pairs and f16 super-scales (d, dmin); "
+                     "q = clip(rint((x + dmin*lm)/d'), 0, 15)"),
+        "dequantize": "x = d*ls[j]*q - dmin*lm[j]",
+        "serialized": "block_q4_K: d f16 | dmin f16 | scales[12] | qs[128]",
+    },
+    "q5_k": {
+        "superblock_size": 256,
+        "bytes_per_superblock": 176,
+        "bits_per_element": 5.5,
+        "quantize": "as q4_k with 5-bit codes (clip 0..31), qh 5th-bit plane",
+        "dequantize": "x = d*ls[j]*q - dmin*lm[j], q in [0, 31]",
+        "serialized": ("block_q5_K: d f16 | dmin f16 | scales[12] | qh[32] | "
+                       "qs[128]"),
+    },
+}
+
+
+def _kquant_def(qtype: str) -> dict:
+    return {
+        "name": f"quantize_{qtype}",
+        "op_type": "quantize_kquant",
+        "description": (
+            f"float32 [..., K] -> {qtype} super-blocks (K % 256 == 0); "
+            "serves on the exact int8-MXU kernel via per-32 effective scales"
+        ),
+        "axes": {"K": {"type": "var"}, "QK_K": {"type": "const", "value": 256}},
+        "constraints": ["K % QK_K == 0"],
+        "inputs": {"x": {"shape": ["R", "K"], "dtype": "float32"}},
+        "outputs": {"y": {"shape": ["R", "K"], "dtype": qtype}},
+        "quantization_spec": {qtype: KQUANT_SPECS[qtype]},
+        "accuracy": {
+            "metric": "roundtrip_nmse",
+            "threshold": {"q4_k": 4.5e-3, "q5_k": 1.1e-3}[qtype],
+            "data": "uniform(-1, 1), seed 42",
+        },
+        "params": {"R": 8, "K": 1024},
+    }
+
 GEMM_AXES = {
     "M": {"type": "var", "description": "tokens (batch x sequence)"},
     "N": {"type": "var", "description": "output features"},
@@ -225,6 +269,43 @@ def build() -> dict[str, dict]:
                              "(~5e-4); interpret mode reaches 1e-6"},
         "params": {"B": 4, "KV": 2, "REP": 4, "S": 256, "HD": 128},
     }
+    defs["attention/flash_prefill"] = {
+        "name": "flash_prefill",
+        "op_type": "attention",
+        "description": (
+            "Causal prefill attention over T-major grouped query rows "
+            "(row t*REP + r = token t of GQA member r) against a "
+            "[B, KV, S, hd] cache; query token t attends cache slots "
+            "<= pos0[b] + t.  Online-softmax streaming, O(tile) memory "
+            "(no [T, S] score materialization)"
+        ),
+        "axes": {
+            "B": {"type": "var", "description": "batch slots"},
+            "KV": {"type": "var", "description": "kv heads"},
+            "REP": {"type": "var", "description": "GQA group width (H / KV)"},
+            "T": {"type": "var", "description": "query tokens per slot"},
+            "S": {"type": "var", "description": "cache length (static)"},
+            "HD": {"type": "const", "value": 128, "description": "head dim"},
+        },
+        "constraints": ["pos0[b] + T <= S"],
+        "inputs": {
+            "q": {"shape": ["B", "KV", "T*REP", "HD"], "dtype": "float32"},
+            "k": {"shape": ["B", "KV", "S", "HD"], "dtype": "bfloat16"},
+            "v": {"shape": ["B", "KV", "S", "HD"], "dtype": "bfloat16"},
+            "pos0": {"shape": ["B"], "dtype": "int32",
+                     "description": "position of the first query token"},
+        },
+        "outputs": {"o": {"shape": ["B", "KV", "T*REP", "HD"],
+                          "dtype": "float32"}},
+        "accuracy": {"metric": "max_abs_err_vs_dense_softmax",
+                     "threshold": 1e-2, "data": "normal(0, 1), f32 cache",
+                     "note": "MXU default-precision rounding dominates on "
+                             "TPU (~5e-3, below the dense bf16 path's own "
+                             "error); interpret mode reaches 1e-6"},
+        "params": {"B": 2, "KV": 2, "REP": 2, "T": 32, "S": 128, "HD": 128},
+    }
+    for q in ("q4_k", "q5_k"):
+        defs[f"quantization/quantize_{q}"] = _kquant_def(q)
     return defs
 
 
@@ -255,6 +336,29 @@ SOLUTIONS = {
             "per-32-block int8 MXU dots + compensation epilogue (reference "
             "parity); ALSO the serving decode default (M<=12): 9.9 TFLOPS at "
             "4096x4x14336 with tn=4096/tkp=512, bit-exact vs the int golden"
+        ),
+    },
+    "flash_prefill_pallas": {
+        "name": "flash_prefill_pallas",
+        "op_type": "attention",
+        "language": "python/pallas",
+        "target": ["tpu-v5e"],
+        "entry_point": "quant_gemm_tpu.ops.attention::flash_prefill",
+        "description": (
+            "causal streaming prefill attention, one kv head per grid "
+            "step; 4.1x the dense einsum path at T=S=4096 (3.7 vs 15.1 ms, "
+            "kv=8 rep=4 hd=128) in O(tile) memory"
+        ),
+    },
+    "kquant_effective_serving": {
+        "name": "kquant_effective_serving",
+        "op_type": "quantize_kquant",
+        "language": "python/numpy + pallas",
+        "target": ["tpu-v5e", "tpu-v5p"],
+        "entry_point": "quant_gemm_tpu.formats.kquants::to_effective",
+        "description": (
+            "Q4_K/Q5_K per-32 effective (d*ls, -dmin*lm) scale mapping "
+            "onto the q4_1/q5_1 exact int8-MXU kernel path"
         ),
     },
     "flash_decode_pallas": {

@@ -115,19 +115,59 @@ def _run_elementop(d: dict, params: dict) -> SpecResult:
 
 
 def _run_attention(d: dict, params: dict) -> SpecResult:
-    from ..ops.attention import flash_decode, flash_decode_ref
+    from ..ops.attention import flash_decode, flash_decode_ref, flash_prefill
 
     b, kv, rep = params["B"], params["KV"], params["REP"]
     s, hd = params["S"], params["HD"]
-    q = jnp.asarray(datagen.normal((b, kv, rep, hd), seed=42))
     k = jnp.asarray(datagen.normal((b, kv, s, hd), seed=43))
     v = jnp.asarray(datagen.normal((b, kv, s, hd), seed=44))
-    pos = jnp.asarray(np.linspace(0, s - 1, b).astype(np.int32))
-    out = np.asarray(flash_decode(q, k, v, pos, ts=64))
-    ref = np.asarray(flash_decode_ref(q, k, v, pos))
+    if d["name"] == "flash_prefill":
+        t = params["T"]
+        q = jnp.asarray(datagen.normal((b, kv, t * rep, hd), seed=42))
+        pos0 = jnp.asarray(np.linspace(0, s - t, b).astype(np.int32))
+        out = np.asarray(flash_prefill(q, k, v, pos0, rep=rep, tq=16, ts=32))
+        qn = np.asarray(q).reshape(b, kv, t, rep, hd)
+        sc = np.einsum("bgtrd,bgsd->bgtrs", qn, np.asarray(k),
+                       dtype=np.float32) / np.sqrt(hd)
+        p0 = np.asarray(pos0)
+        mask = (np.arange(s)[None, None, :]
+                > (p0[:, None] + np.arange(t))[:, :, None])
+        sc = np.where(mask[:, None, :, None, :], -np.inf, sc)
+        sc -= sc.max(-1, keepdims=True)
+        pr = np.exp(sc)
+        pr /= pr.sum(-1, keepdims=True)
+        ref = np.einsum("bgtrs,bgsd->bgtrd", pr,
+                        np.asarray(v)).reshape(b, kv, t * rep, hd)
+    else:
+        q = jnp.asarray(datagen.normal((b, kv, rep, hd), seed=42))
+        pos = jnp.asarray(np.linspace(0, s - 1, b).astype(np.int32))
+        out = np.asarray(flash_decode(q, k, v, pos, ts=64))
+        ref = np.asarray(flash_decode_ref(q, k, v, pos))
     err = float(np.abs(out - ref).max())
     thr = d["accuracy"]["threshold"]
     return SpecResult(d["name"], d["accuracy"]["metric"], err, thr, err < thr)
+
+
+def _run_kquant(d: dict, params: dict) -> SpecResult:
+    from ..formats import kquants
+
+    r, k = params["R"], params["K"]
+    qtype = d["outputs"]["y"]["dtype"]
+    x = datagen.uniform((r, k), seed=42)
+    if qtype == "q4_k":
+        t = kquants.quantize_q4_k(x)
+        back = kquants.dequantize_q4_k(t)
+        rt = kquants.from_bytes(kquants.to_bytes(t))
+    else:
+        t = kquants.quantize_q5_k(x)
+        back = kquants.dequantize_q5_k(t)
+        rt = kquants.from_bytes_q5_k(kquants.to_bytes_q5_k(t))
+    for a, b2 in zip(t, rt):  # serialized form must round-trip bit-exactly
+        assert np.array_equal(np.asarray(a), np.asarray(b2)), qtype
+    metrics = ErrorMetrics.compute(back, x)
+    thr = d["accuracy"]["threshold"]
+    return SpecResult(d["name"], d["accuracy"]["metric"], metrics.nmse, thr,
+                      metrics.nmse < thr)
 
 
 def run_spec(path, impl: str | None = None, params: dict | None = None) -> SpecResult:
@@ -139,6 +179,8 @@ def run_spec(path, impl: str | None = None, params: dict | None = None) -> SpecR
         return _run_gemm(d, impl or "pallas_f32", p)
     if op == "quantize":
         return _run_quantize(d, p)
+    if op == "quantize_kquant":
+        return _run_kquant(d, p)
     if op == "attention":
         return _run_attention(d, p)
     return _run_elementop(d, p)
