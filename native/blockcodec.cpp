@@ -17,6 +17,9 @@
 // Layouts are row-major [rows, K]; planar outputs [rows, K/2] etc.
 
 #include <cmath>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
@@ -72,6 +75,9 @@ extern "C" {
 void qgt_quantize_q4_0(const float* x, int64_t rows, int64_t k,
                        uint8_t* packed /*[rows, k/2]*/, uint16_t* d /*[rows, k/32]*/) {
     const int64_t nb = k / QK, kh = k / 2;
+    #ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
     for (int64_t r = 0; r < rows; r++) {
         const float* row = x + r * k;
         // temp codes in natural order, then planar pack
@@ -100,6 +106,9 @@ void qgt_quantize_q4_0(const float* x, int64_t rows, int64_t k,
 void qgt_quantize_q8_0(const float* x, int64_t rows, int64_t k,
                        int8_t* qs /*[rows, k]*/, uint16_t* d) {
     const int64_t nb = k / QK;
+    #ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
     for (int64_t r = 0; r < rows; r++) {
         for (int64_t b = 0; b < nb; b++) {
             const float* blk = x + r * k + b * QK;
@@ -139,6 +148,9 @@ void qgt_quantize_q8_1(const float* x, int64_t rows, int64_t k,
 void qgt_dequantize_q4_0(const uint8_t* packed, const uint16_t* d,
                          int64_t rows, int64_t k, float* out) {
     const int64_t nb = k / QK, kh = k / 2;
+    #ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
     for (int64_t r = 0; r < rows; r++) {
         for (int64_t c = 0; c < k; c++) {
             uint8_t byte = packed[r * kh + (c < kh ? c : c - kh)];
@@ -152,6 +164,9 @@ void qgt_dequantize_q4_0(const uint8_t* packed, const uint16_t* d,
 void qgt_dequantize_q8_0(const int8_t* qs, const uint16_t* d,
                          int64_t rows, int64_t k, float* out) {
     const int64_t nb = k / QK;
+    #ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
     for (int64_t r = 0; r < rows; r++)
         for (int64_t c = 0; c < k; c++)
             out[r * k + c] = (float)qs[r * k + c] * f16_val(d[r * nb + c / QK]);
@@ -166,6 +181,9 @@ void qgt_dequantize_q8_0(const int8_t* qs, const uint16_t* d,
 void qgt_q4_0_aos_to_planar(const uint8_t* aos /*[rows, nb, 18]*/, int64_t rows,
                             int64_t k, uint8_t* packed, uint16_t* d) {
     const int64_t nb = k / QK, kh = k / 2;
+    #ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
     for (int64_t r = 0; r < rows; r++) {
         for (int64_t b = 0; b < nb; b++) {
             const uint8_t* blk = aos + (r * nb + b) * 18;
@@ -186,6 +204,9 @@ void qgt_q4_0_aos_to_planar(const uint8_t* aos /*[rows, nb, 18]*/, int64_t rows,
 void qgt_q4_0_planar_to_aos(const uint8_t* packed, const uint16_t* d,
                             int64_t rows, int64_t k, uint8_t* aos) {
     const int64_t nb = k / QK, kh = k / 2;
+    #ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
     for (int64_t r = 0; r < rows; r++) {
         for (int64_t b = 0; b < nb; b++) {
             uint8_t* blk = aos + (r * nb + b) * 18;
@@ -202,6 +223,130 @@ void qgt_q4_0_planar_to_aos(const uint8_t* packed, const uint16_t* d,
     }
 }
 
-int qgt_version(void) { return 1; }
+// ---------------------------------------------------------------------------
+// K-quant super-blocks (QK_K = 256): AoS (llama.cpp bytes) -> planar SoA.
+// The model-LOAD direction — real Q4_K_M / Q5_K_M GGUF checkpoints are
+// multi-GB of these blocks and the decode is pure byte shuffling, so it
+// runs here at memcpy-class speed instead of through numpy fancy indexing.
+// Layouts per compat-with-llama.cpp (see formats/kquants.py):
+//   block_q4_K (144 B): d f16 | dmin f16 | scales[12] | qs[128]
+//   block_q5_K (176 B): d f16 | dmin f16 | scales[12] | qh[32] | qs[128]
+// scales[12] packs eight 6-bit (ls, lm) pairs (get_scale_min_k4); qs is
+// per-64-chunk interleaved (byte l of chunk c = elems 64c+l / 64c+32+l);
+// q5 qh byte l carries bits 2c / 2c+1 for those two elements.
+// Planar outputs follow the project layout: packed byte c of a row holds
+// codes c (lo nibble) and c+K/2 (hi); qh bit c%8 of byte c/8 is elem c.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int QK_K = 256;
+
+inline void scale_min_k4(const uint8_t* sc, int j, uint8_t* ls, uint8_t* lm) {
+    if (j < 4) {
+        *ls = sc[j] & 63;
+        *lm = sc[j + 4] & 63;
+    } else {
+        *ls = (sc[j + 4] & 0xF) | ((sc[j - 4] >> 6) << 4);
+        *lm = (sc[j + 4] >> 4) | ((sc[j] >> 6) << 4);
+    }
+}
+
+// OR a 32-element nibble run into the planar row (zero-initialized by the
+// caller; every column is written exactly once, so |= needs no mask).
+// `get` extracts the 4-bit code from source byte l.  K % 256 == 0 keeps a
+// 32-run entirely on one side of the kh split, so the branch hoists out.
+template <typename Get>
+inline void or_nibble_run(uint8_t* row, int64_t kh, int64_t base,
+                          const uint8_t* src, Get get) {
+    if (base < kh) {
+        uint8_t* p = row + base;
+        for (int l = 0; l < 32; l++) p[l] |= get(src[l]);
+    } else {
+        uint8_t* p = row + (base - kh);
+        for (int l = 0; l < 32; l++) p[l] |= (uint8_t)(get(src[l]) << 4);
+    }
+}
+
+}  // namespace
+
+void qgt_q4_k_aos_to_planar(const uint8_t* aos /*[rows, nsb, 144]*/,
+                            int64_t rows, int64_t k, uint8_t* packed,
+                            uint16_t* d, uint16_t* dmin, uint8_t* ls,
+                            uint8_t* lm) {
+    const int64_t nsb = k / QK_K, kh = k / 2;
+    #ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t r = 0; r < rows; r++) {
+        uint8_t* prow = packed + r * kh;
+        for (int64_t sb = 0; sb < nsb; sb++) {
+            const uint8_t* blk = aos + (r * nsb + sb) * 144;
+            std::memcpy(&d[r * nsb + sb], blk, 2);
+            std::memcpy(&dmin[r * nsb + sb], blk + 2, 2);
+            for (int j = 0; j < 8; j++)
+                scale_min_k4(blk + 4, j, &ls[(r * nsb + sb) * 8 + j],
+                             &lm[(r * nsb + sb) * 8 + j]);
+            const uint8_t* qs = blk + 16;
+            for (int c = 0; c < 4; c++) {
+                int64_t base = sb * QK_K + c * 64;
+                or_nibble_run(prow, kh, base, qs + c * 32,
+                              [](uint8_t b) -> uint8_t { return b & 0x0F; });
+                or_nibble_run(prow, kh, base + 32, qs + c * 32,
+                              [](uint8_t b) -> uint8_t { return b >> 4; });
+            }
+        }
+    }
+}
+
+void qgt_q5_k_aos_to_planar(const uint8_t* aos /*[rows, nsb, 176]*/,
+                            int64_t rows, int64_t k, uint8_t* packed,
+                            uint8_t* qh_out, uint16_t* d, uint16_t* dmin,
+                            uint8_t* ls, uint8_t* lm) {
+    const int64_t nsb = k / QK_K, kh = k / 2, k8 = k / 8;
+    #ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t r = 0; r < rows; r++) {
+        uint8_t* prow = packed + r * kh;
+        uint8_t* hrow = qh_out + r * k8;
+        for (int64_t sb = 0; sb < nsb; sb++) {
+            const uint8_t* blk = aos + (r * nsb + sb) * 176;
+            std::memcpy(&d[r * nsb + sb], blk, 2);
+            std::memcpy(&dmin[r * nsb + sb], blk + 2, 2);
+            for (int j = 0; j < 8; j++)
+                scale_min_k4(blk + 4, j, &ls[(r * nsb + sb) * 8 + j],
+                             &lm[(r * nsb + sb) * 8 + j]);
+            const uint8_t* qh = blk + 16;
+            const uint8_t* qs = blk + 48;
+            for (int c = 0; c < 4; c++) {
+                int64_t base = sb * QK_K + c * 64;
+                or_nibble_run(prow, kh, base, qs + c * 32,
+                              [](uint8_t b) -> uint8_t { return b & 0x0F; });
+                or_nibble_run(prow, kh, base + 32, qs + c * 32,
+                              [](uint8_t b) -> uint8_t { return b >> 4; });
+                // 5th bits: the two 32-runs stay byte-aligned (base % 8 ==
+                // 0).  Gather bit `shift` of 8 qh bytes into one output
+                // byte with the multiply trick: y = (v >> shift) & LSBS has
+                // the wanted bits at positions 8i; y * GATHER sums them
+                // into bits 56..63 (GATHER bit 56-7i per i, carry-free).
+                constexpr uint64_t LSBS = 0x0101010101010101ULL;
+                constexpr uint64_t GATHER = 0x0102040810204080ULL;
+                for (int half = 0; half < 2; half++) {
+                    uint8_t* hb = hrow + (base + half * 32) / 8;
+                    const int shift = 2 * c + half;
+                    for (int l8 = 0; l8 < 4; l8++) {
+                        uint64_t v;
+                        std::memcpy(&v, qh + l8 * 8, 8);
+                        hb[l8] |= (uint8_t)((((v >> shift) & LSBS) * GATHER)
+                                            >> 56);
+                    }
+                }
+            }
+        }
+    }
+}
+
+int qgt_version(void) { return 2; }
 
 }  // extern "C"

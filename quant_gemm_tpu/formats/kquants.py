@@ -188,7 +188,15 @@ def to_bytes(t: Q4_KTensor) -> np.ndarray:
 
 
 def from_bytes(raw: np.ndarray) -> Q4_KTensor:
-    """AoS uint8 [N, K/256, 144] -> SoA (accepts llama.cpp-written bytes)."""
+    """AoS uint8 [N, K/256, 144] -> SoA (accepts llama.cpp-written bytes).
+
+    Routes through the native C++ codec when built (model-load hot path —
+    bit-identical, asserted by tests/test_native.py); numpy fallback below.
+    """
+    from .. import native
+
+    if native.kquants_available():
+        return native.q4_k_from_aos(raw)
     raw = np.asarray(raw, np.uint8)
     n, nsb, bb = raw.shape
     assert bb == BLOCK_BYTES, bb
@@ -349,7 +357,14 @@ def to_bytes_q5_k(t: Q5_KTensor) -> np.ndarray:
 
 
 def from_bytes_q5_k(raw: np.ndarray) -> Q5_KTensor:
-    """AoS uint8 [N, K/256, 176] -> SoA (accepts llama.cpp-written bytes)."""
+    """AoS uint8 [N, K/256, 176] -> SoA (accepts llama.cpp-written bytes).
+
+    Routes through the native C++ codec when built; numpy fallback below.
+    """
+    from .. import native
+
+    if native.kquants_available():
+        return native.q5_k_from_aos(raw)
     raw = np.asarray(raw, np.uint8)
     n, nsb, bb = raw.shape
     assert bb == QK5_BLOCK_BYTES, bb

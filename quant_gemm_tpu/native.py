@@ -52,6 +52,13 @@ def _load():
     lib.qgt_dequantize_q8_0.argtypes = [i8p, u16p, i64, i64, f32p]
     lib.qgt_q4_0_aos_to_planar.argtypes = [u8p, i64, i64, u8p, u16p]
     lib.qgt_q4_0_planar_to_aos.argtypes = [u8p, u16p, i64, i64, u8p]
+    if hasattr(lib, "qgt_q4_k_aos_to_planar"):
+        lib.qgt_q4_k_aos_to_planar.argtypes = [
+            u8p, i64, i64, u8p, u16p, u16p, u8p, u8p
+        ]
+        lib.qgt_q5_k_aos_to_planar.argtypes = [
+            u8p, i64, i64, u8p, u8p, u16p, u16p, u8p, u8p
+        ]
     lib.qgt_version.restype = ctypes.c_int
     _lib = lib
     return lib
@@ -145,13 +152,59 @@ def q4_0_to_aos(t: Q4_0Tensor) -> np.ndarray:
     return aos
 
 
+def kquants_available() -> bool:
+    try:
+        return _load().qgt_version() >= 2
+    except NativeUnavailable:
+        return False
+
+
+def q4_k_from_aos(aos: np.ndarray):
+    """AoS block_q4_K bytes [rows, nsb, 144] -> Q4_KTensor (GGUF import)."""
+    from .formats.kquants import Q4_KTensor, QK_K
+
+    aos = np.ascontiguousarray(aos, np.uint8)
+    rows, nsb, bb = aos.shape
+    assert bb == 144, bb
+    k = nsb * QK_K
+    packed = np.zeros((rows, k // 2), np.uint8)
+    d = np.empty((rows, nsb), np.uint16)
+    dmin = np.empty((rows, nsb), np.uint16)
+    ls = np.empty((rows, nsb * 8), np.uint8)
+    lm = np.empty((rows, nsb * 8), np.uint8)
+    _load().qgt_q4_k_aos_to_planar(aos, rows, k, packed, d, dmin, ls, lm)
+    return Q4_KTensor(d.view(np.float16), dmin.view(np.float16), ls, lm, packed)
+
+
+def q5_k_from_aos(aos: np.ndarray):
+    """AoS block_q5_K bytes [rows, nsb, 176] -> Q5_KTensor (GGUF import)."""
+    from .formats.kquants import Q5_KTensor, QK_K
+
+    aos = np.ascontiguousarray(aos, np.uint8)
+    rows, nsb, bb = aos.shape
+    assert bb == 176, bb
+    k = nsb * QK_K
+    packed = np.zeros((rows, k // 2), np.uint8)
+    qh = np.zeros((rows, k // 8), np.uint8)
+    d = np.empty((rows, nsb), np.uint16)
+    dmin = np.empty((rows, nsb), np.uint16)
+    ls = np.empty((rows, nsb * 8), np.uint8)
+    lm = np.empty((rows, nsb * 8), np.uint8)
+    _load().qgt_q5_k_aos_to_planar(aos, rows, k, packed, qh, d, dmin, ls, lm)
+    return Q5_KTensor(d.view(np.float16), dmin.view(np.float16), ls, lm,
+                      packed, qh)
+
+
 __all__ = [
     "available",
+    "kquants_available",
     "quantize_q4_0",
     "quantize_q8_0",
     "quantize_q8_1",
     "dequantize",
     "q4_0_from_aos",
     "q4_0_to_aos",
+    "q4_k_from_aos",
+    "q5_k_from_aos",
     "NativeUnavailable",
 ]

@@ -54,3 +54,54 @@ def test_native_faster_than_numpy():
     t_np = time.perf_counter() - t0
     # don't assert a ratio (CI variance); just record both are sane
     assert t_c < 5.0 and t_np < 30.0, (t_c, t_np)
+
+
+def test_native_kquant_decode_bitexact():
+    """C++ q4_K/q5_K AoS->SoA decoders vs the numpy reference, bit for bit
+    (random bytes exercise every scale-packing and nibble path)."""
+    if not native.kquants_available():
+        pytest.skip("native codec not built")
+    from quant_gemm_tpu.formats import kquants
+
+    rng = np.random.default_rng(40)
+    raw4 = rng.integers(0, 256, (16, 4, 144)).astype(np.uint8)
+    raw5 = rng.integers(0, 256, (16, 4, 176)).astype(np.uint8)
+
+    def np_q4(raw):  # numpy path, bypassing the native routing
+        import unittest.mock as mock
+
+        with mock.patch.object(native, "kquants_available", lambda: False):
+            return kquants.from_bytes(raw)
+
+    def np_q5(raw):
+        import unittest.mock as mock
+
+        with mock.patch.object(native, "kquants_available", lambda: False):
+            return kquants.from_bytes_q5_k(raw)
+
+    for nat, ref in ((native.q4_k_from_aos(raw4), np_q4(raw4)),
+                     (native.q5_k_from_aos(raw5), np_q5(raw5))):
+        for a, b in zip(nat, ref):
+            np.testing.assert_array_equal(
+                np.asarray(a).view(np.uint8), np.asarray(b).view(np.uint8)
+            )
+
+
+def test_native_kquant_roundtrip_through_encoder():
+    """quantize_q4_k/q5_k -> to_bytes -> native decode == original SoA."""
+    if not native.kquants_available():
+        pytest.skip("native codec not built")
+    from quant_gemm_tpu.formats import kquants
+    from quant_gemm_tpu.harness import datagen
+
+    x = datagen.normal((8, 512), seed=41)
+    t4 = kquants.quantize_q4_k(x)
+    n4 = native.q4_k_from_aos(kquants.to_bytes(t4))
+    for a, b in zip(t4, n4):
+        np.testing.assert_array_equal(np.asarray(a).view(np.uint8),
+                                      np.asarray(b).view(np.uint8))
+    t5 = kquants.quantize_q5_k(x)
+    n5 = native.q5_k_from_aos(kquants.to_bytes_q5_k(t5))
+    for a, b in zip(t5, n5):
+        np.testing.assert_array_equal(np.asarray(a).view(np.uint8),
+                                      np.asarray(b).view(np.uint8))
