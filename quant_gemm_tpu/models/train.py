@@ -38,45 +38,65 @@ def fake_quant_ste(w: jax.Array, qtype: str = "q4_0") -> jax.Array:
     return w + jax.lax.stop_gradient(fq - w)
 
 
-def _train_forward(params, cfg: LlamaConfig, tokens, qtype: str):
-    """Full-sequence causal forward with fake-quantized linears."""
-    b, t = tokens.shape
+def _layer(lyr, x, cfg: LlamaConfig, rc, qtype: str):
+    """One transformer block with fake-quantized linears."""
+    b, t, _ = x.shape
 
-    def lin(w, x):
+    def lin(w, h):
         wq = fake_quant_ste(w, qtype)
-        return jnp.dot(x, wq.T, preferred_element_type=jnp.float32)
+        return jnp.dot(h, wq.T, preferred_element_type=jnp.float32)
 
+    positions = jnp.arange(t)
+    h = rms_norm(x, lyr["attn_norm"], cfg.eps)
+    flat = h.reshape(b * t, cfg.dim)
+    q = lin(lyr["wq"], flat).reshape(b, t, cfg.n_heads, cfg.head_dim)
+    k = lin(lyr["wk"], flat).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+    v = lin(lyr["wv"], flat).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+    q = apply_rope(q, positions[None, :], rc)
+    k = apply_rope(k, positions[None, :], rc)
+    # _attention takes cache-layout k/v: [B, KV, S, hd]
+    attn = _attention(
+        cfg,
+        q,
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        jnp.broadcast_to(jnp.arange(t)[None, :], (b, t)),
+    )
+    x = x + lin(lyr["wo"], attn.reshape(b * t, -1)).reshape(b, t, cfg.dim)
+    h = rms_norm(x, lyr["mlp_norm"], cfg.eps)
+    flat = h.reshape(b * t, cfg.dim)
+    ff = silu_mul(lin(lyr["w_gate"], flat), lin(lyr["w_up"], flat))
+    return x + lin(lyr["w_down"], ff).reshape(b, t, cfg.dim)
+
+
+def _train_forward(params, cfg: LlamaConfig, tokens, qtype: str,
+                   remat: bool = False):
+    """Full-sequence causal forward with fake-quantized linears.
+
+    ``remat=True`` wraps each block in ``jax.checkpoint``: activations are
+    recomputed in the backward pass instead of stored — the standard
+    HBM-for-FLOPs trade that lets long-sequence QAT batches fit (per-layer
+    live memory drops from O(L·b·t·dim) to O(b·t·dim) + one block).
+    """
+    b, t = tokens.shape
     rc = make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base)
     x = params["embed"][tokens].astype(jnp.float32)
-    positions = jnp.arange(t)
+    blk = functools.partial(_layer, cfg=cfg, rc=rc, qtype=qtype)
+    if remat:
+        blk = jax.checkpoint(blk)
     for lyr in params["layers"]:
-        h = rms_norm(x, lyr["attn_norm"], cfg.eps)
-        flat = h.reshape(b * t, cfg.dim)
-        q = lin(lyr["wq"], flat).reshape(b, t, cfg.n_heads, cfg.head_dim)
-        k = lin(lyr["wk"], flat).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
-        v = lin(lyr["wv"], flat).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
-        q = apply_rope(q, positions[None, :], rc)
-        k = apply_rope(k, positions[None, :], rc)
-        # _attention takes cache-layout k/v: [B, KV, S, hd]
-        attn = _attention(
-            cfg,
-            q,
-            k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3),
-            jnp.broadcast_to(jnp.arange(t)[None, :], (b, t)),
-        )
-        x = x + lin(lyr["wo"], attn.reshape(b * t, -1)).reshape(b, t, cfg.dim)
-        h = rms_norm(x, lyr["mlp_norm"], cfg.eps)
-        flat = h.reshape(b * t, cfg.dim)
-        ff = silu_mul(lin(lyr["w_gate"], flat), lin(lyr["w_up"], flat))
-        x = x + lin(lyr["w_down"], ff).reshape(b, t, cfg.dim)
+        x = blk(lyr, x)
     x = rms_norm(x, params["final_norm"], cfg.eps)
-    return lin(params["lm_head"], x.reshape(b * t, cfg.dim)).reshape(b, t, cfg.vocab)
+    wq = fake_quant_ste(params["lm_head"], qtype)
+    return jnp.dot(
+        x.reshape(b * t, cfg.dim), wq.T, preferred_element_type=jnp.float32
+    ).reshape(b, t, cfg.vocab)
 
 
-def loss_fn(params, cfg: LlamaConfig, tokens, qtype: str = "q4_0"):
+def loss_fn(params, cfg: LlamaConfig, tokens, qtype: str = "q4_0",
+            remat: bool = False):
     """Next-token cross-entropy."""
-    logits = _train_forward(params, cfg, tokens[:, :-1], qtype)
+    logits = _train_forward(params, cfg, tokens[:, :-1], qtype, remat=remat)
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
@@ -88,6 +108,102 @@ def train_step(params, cfg: LlamaConfig, tokens, lr: float = 1e-3, qtype: str = 
     loss, grads = jax.value_and_grad(loss_fn)(params, cfg, tokens, qtype)
     new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
     return new_params, loss
+
+
+# ---------------------------------------------------------------------------
+# optax training state (AdamW etc.), gradient accumulation, checkpointing
+# ---------------------------------------------------------------------------
+
+
+def make_optimizer(name: str = "adamw", lr: float = 1e-3, **kw):
+    """optax transform by name ('adamw' | 'adam' | 'sgd' | 'lion')."""
+    import optax
+
+    fns = {"adamw": optax.adamw, "adam": optax.adam, "sgd": optax.sgd,
+           "lion": optax.lion}
+    return fns[name](lr, **kw)
+
+
+def make_state_step(params, cfg: LlamaConfig, mesh: Mesh | None = None,
+                    optimizer: str = "adamw", lr: float = 1e-3,
+                    qtype: str = "q4_0", remat: bool = False,
+                    accum_steps: int = 1):
+    """Full QAT trainer: returns (params, opt_state, step_fn).
+
+    ``step_fn(params, opt_state, tokens) -> (params, opt_state, loss)``,
+    donated in/out.  With ``mesh``, params get the Megatron dp×tp layout
+    (`param_shardings`) and the optimizer state inherits it by GSPMD
+    propagation (mu/nu mirror the params, scalars replicate) — no hand
+    sharding of optax internals.  ``accum_steps > 1`` splits the batch into
+    microbatches accumulated in a ``lax.scan`` loop (grad averaging exact).
+    """
+    import optax
+
+    tx = make_optimizer(optimizer, lr)
+    if mesh is not None:
+        pshard = param_shardings(params, mesh)
+        params = jax.tree.map(
+            lambda x, s: jax.device_put(jnp.asarray(x), s), params, pshard,
+            is_leaf=lambda x: isinstance(x, np.ndarray),
+        )
+        dshard = NamedSharding(mesh, P("dp", None))
+    else:
+        # copy: the returned params feed a donating step_fn, so they must
+        # not alias caller-held arrays (donation would invalidate them)
+        params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        dshard = None
+    opt_state = jax.jit(tx.init)(params)
+
+    def grads_of(params, tokens):
+        if accum_steps == 1:
+            return jax.value_and_grad(loss_fn)(params, cfg, tokens, qtype,
+                                               remat)
+        micro = tokens.reshape(accum_steps, -1, tokens.shape[-1])
+
+        def body(carry, mb):
+            loss_acc, g_acc = carry
+            loss, g = jax.value_and_grad(loss_fn)(params, cfg, mb, qtype,
+                                                  remat)
+            return (loss_acc + loss,
+                    jax.tree.map(jnp.add, g_acc, g)), None
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        (loss_sum, g_sum), _ = jax.lax.scan(body, (0.0, zeros), micro)
+        scale = 1.0 / accum_steps
+        return loss_sum * scale, jax.tree.map(lambda g: g * scale, g_sum)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, tokens):
+        if dshard is not None:
+            tokens = jax.lax.with_sharding_constraint(tokens, dshard)
+        loss, grads = grads_of(params, tokens)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return params, opt_state, step
+
+
+def save_train_state(path, params, opt_state, step: int = 0) -> None:
+    """Checkpoint params + optimizer state + step counter to one .npz."""
+    leaves = jax.tree.leaves((params, opt_state))
+    np.savez(
+        path, __step__=np.int64(step),
+        **{f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)},
+    )
+
+
+def load_train_state(path, params_template, opt_state_template):
+    """Restore (params, opt_state, step) saved by :func:`save_train_state`.
+
+    Templates (e.g. fresh ``init_params`` + ``tx.init``) supply the pytree
+    structure; leaves are restored in flattening order.
+    """
+    data = np.load(path)
+    treedef = jax.tree.structure((params_template, opt_state_template))
+    leaves = [data[f"leaf_{i}"] for i in range(treedef.num_leaves)]
+    params, opt_state = jax.tree.unflatten(treedef, leaves)
+    return params, opt_state, int(data["__step__"])
 
 
 # ---------------------------------------------------------------------------
@@ -153,4 +269,8 @@ __all__ = [
     "train_step",
     "param_shardings",
     "make_sharded_step",
+    "make_optimizer",
+    "make_state_step",
+    "save_train_state",
+    "load_train_state",
 ]
