@@ -138,6 +138,9 @@ def weight_bytes(qtype: str, n: int, k: int, f32_scales: bool = True) -> int:
         "q5_0": k // 2 + k // 8 + nb * scale_b,
         "q5_1": k // 2 + k // 8 + 2 * nb * scale_b,
         "q8_0": k + nb * scale_b,
+        # K-quants serve as effective q4_1/q5_1 with f32 (d, m) per 32
+        "q4_k": k // 2 + 2 * nb * 4,
+        "q5_k": k // 2 + k // 8 + 2 * nb * 4,
     }[qtype]
     return n * per
 

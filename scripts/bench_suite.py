@@ -35,7 +35,16 @@ def run(fmt: str, shapes, out_path: str | None):
     records = []
     for n_feat, k in [(4096, 14336), (4096, 4096)]:
         w = datagen.normal((n_feat, k), seed=2)
-        w_q = numpy_ref.QUANTIZE[fmt](w)
+        if fmt == "q4_k":
+            from quant_gemm_tpu.formats import kquants
+
+            w_q = kquants.to_effective(kquants.quantize_q4_k(w))
+        elif fmt == "q5_k":
+            from quant_gemm_tpu.formats import kquants
+
+            w_q = kquants.to_effective_q5_k(kquants.quantize_q5_k(w))
+        else:
+            w_q = numpy_ref.QUANTIZE[fmt](w)
         wp = jax.device_put(gemm_pallas.prepare(w_q))
         wb = bm.weight_bytes(fmt, n_feat, k)
         for m in shapes:
@@ -75,7 +84,8 @@ def run(fmt: str, shapes, out_path: str | None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--format", default=None, help="q4_0|q4_1|q5_0|q5_1|q8_0")
+    ap.add_argument("--format", default=None,
+                    help="q4_0|q4_1|q5_0|q5_1|q8_0|q4_k|q5_k")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     print(f"device: {jax.devices()[0]}")
