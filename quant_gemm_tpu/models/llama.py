@@ -418,6 +418,52 @@ def greedy_decode(
     return jnp.concatenate([tok[:, None], toks.T], axis=1), cache
 
 
+def sample_decode(
+    qparams: dict,
+    cfg: LlamaConfig,
+    prompt: jax.Array,  # [B, T0]
+    steps: int,
+    *,
+    key: jax.Array,  # base PRNG key (jax.random.PRNGKey)
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    act_mode: str = "q8_1",
+):
+    """Prefill then decode ``steps`` sampled tokens (jit-able).
+
+    The whole batch shares one temperature/top-k/top-p config; per-row keys
+    are split off ``key`` and folded with the position each step (the same
+    scheme the continuous-batching server uses per request).  temperature=0
+    reduces to :func:`greedy_decode` exactly.
+    """
+    from . import sampling
+
+    b, t0 = prompt.shape
+    keys = jax.random.split(key, b)
+    temps = jnp.full((b,), temperature, jnp.float32)
+    topk = jnp.full((b,), top_k, jnp.int32)
+    topp = jnp.full((b,), top_p, jnp.float32)
+    cache = KVCache.init(cfg, b)
+    rc = make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base)
+    logits, cache = forward(qparams, cfg, prompt, cache, act_mode=act_mode,
+                            rope_cache=rc)
+    tok = sampling.sample(logits[:, -1], keys, cache.pos - 1, temps, topk,
+                          topp)
+
+    def body(carry, _):
+        tok, cache = carry
+        logits, cache = forward(
+            qparams, cfg, tok[:, None], cache, act_mode=act_mode, rope_cache=rc
+        )
+        nxt = sampling.sample(logits[:, -1], keys, cache.pos - 1, temps,
+                              topk, topp)
+        return (nxt, cache), nxt
+
+    (_, cache), toks = jax.lax.scan(body, (tok, cache), None, length=steps - 1)
+    return jnp.concatenate([tok[:, None], toks.T], axis=1), cache
+
+
 __all__ = [
     "LlamaConfig",
     "init_params",
@@ -425,5 +471,6 @@ __all__ = [
     "forward",
     "forward_float",
     "greedy_decode",
+    "sample_decode",
     "KVCache",
 ]

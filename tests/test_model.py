@@ -117,3 +117,33 @@ def test_q4k_model_forward():
         np.asarray(out_f)
     )
     assert rel < 0.35, rel
+
+
+def test_sample_decode():
+    """sample_decode: temp=0 == greedy; temp>0 deterministic per key and
+    in-vocab."""
+    import jax
+
+    from quant_gemm_tpu.models import llama
+
+    cfg = llama.LlamaConfig(vocab=64, dim=128, n_layers=1, n_heads=2,
+                            n_kv_heads=2, d_ff=256, max_seq=32)
+    qp = llama.quantize_params(llama.init_params(cfg, seed=3), "q8_0")
+    prompt = jnp.asarray([[3, 7, 9], [5, 2, 8]], jnp.int32)
+    key = jax.random.PRNGKey(11)
+
+    greedy, _ = llama.greedy_decode(qp, cfg, prompt, steps=5)
+    zero_t, _ = llama.sample_decode(qp, cfg, prompt, steps=5, key=key,
+                                    temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(zero_t))
+
+    s1, _ = llama.sample_decode(qp, cfg, prompt, steps=5, key=key,
+                                temperature=0.9, top_k=16)
+    s2, _ = llama.sample_decode(qp, cfg, prompt, steps=5, key=key,
+                                temperature=0.9, top_k=16)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    assert (np.asarray(s1) >= 0).all() and (np.asarray(s1) < cfg.vocab).all()
+    s3, _ = llama.sample_decode(qp, cfg, prompt, steps=5,
+                                key=jax.random.PRNGKey(12), temperature=0.9,
+                                top_k=16)
+    assert not np.array_equal(np.asarray(s1), np.asarray(s3))
