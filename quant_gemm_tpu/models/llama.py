@@ -155,15 +155,37 @@ class KVCache(NamedTuple):
     with the earlier ``[L, B, S, KV, hd]`` layout XLA re-laid-out the full
     multi-hundred-MB cache every step (measured 4.1 -> 1.1 ms/step on a 0.7B
     model just from this layout + the no-materialization GQA einsum below).
+
+    ``qtype='q8'`` stores k/v as int8 with one f32 scale per (layer, slot,
+    head, token) vector (``ks``/``vs`` [L, B, KV, S]) — HALF the bf16
+    cache's bytes, which dominate the decode step's HBM floor.  The flash
+    kernels never dequantize the slabs: the k scale factors out of the hd
+    contraction (applied on scores), the v scale folds into the softmax
+    weights p before the pv dot.
     """
 
-    k: jax.Array  # [L, B, n_kv, max_seq, head_dim] bf16
+    k: jax.Array  # [L, B, n_kv, max_seq, head_dim] bf16 | int8
     v: jax.Array
     pos: jax.Array  # int32 [B]: tokens already cached, per slot
+    ks: jax.Array | None = None  # [L, B, n_kv, max_seq] f32 (q8 only)
+    vs: jax.Array | None = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.ks is not None
 
     @staticmethod
-    def init(cfg: LlamaConfig, batch: int) -> "KVCache":
+    def init(cfg: LlamaConfig, batch: int, qtype: str = "bf16") -> "KVCache":
         shape = (cfg.n_layers, batch, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
+        if qtype == "q8":
+            return KVCache(
+                jnp.zeros(shape, jnp.int8),
+                jnp.zeros(shape, jnp.int8),
+                jnp.zeros((batch,), jnp.int32),
+                jnp.zeros(shape[:-1], jnp.float32),
+                jnp.zeros(shape[:-1], jnp.float32),
+            )
+        assert qtype == "bf16", qtype
         return KVCache(
             jnp.zeros(shape, jnp.bfloat16),
             jnp.zeros(shape, jnp.bfloat16),
@@ -171,13 +193,23 @@ class KVCache(NamedTuple):
         )
 
 
-def _attention(cfg, q, k_all, v_all, positions):
+def _quant_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[..., hd] f32 -> (int8 codes, f32 scale [...]): per-vector amax/127."""
+    amax = jnp.max(jnp.abs(x), axis=-1)
+    scale = (amax / 127.0).astype(jnp.float32)
+    inv = jnp.where(scale > 0, 1.0 / scale, 0.0)
+    codes = jnp.round(x * inv[..., None]).astype(jnp.int8)
+    return codes, scale
+
+
+def _attention(cfg, q, k_all, v_all, positions, ks=None, vs=None):
     """q: [B, T, H, hd]; k_all/v_all: [B, KV, S, hd] (full cache buffers).
 
     ``positions``: [B, T] global position of each query token.  Causal:
     query at position p attends to cache slots <= p (per slot/row).
     GQA runs as a grouped einsum (q reshaped to [B, T, KV, rep, hd]) so the
-    cache is never repeated/materialized.
+    cache is never repeated/materialized.  ``ks``/``vs`` [B, KV, S]: int8
+    cache scales (see KVCache).
     """
     b, tq, h, hd = q.shape
     kv = k_all.shape[1]
@@ -196,7 +228,8 @@ def _attention(cfg, q, k_all, v_all, positions):
             .transpose(0, 2, 1, 3, 4)
             .reshape(b, kv, tq * rep, hd)
         )
-        out = flash_prefill(qg, k_all, v_all, positions[:, 0], rep=rep)
+        out = flash_prefill(qg, k_all, v_all, positions[:, 0], rep=rep,
+                            k_scale=ks, v_scale=vs)
         out = (
             out.reshape(b, kv, tq, rep, hd)
             .transpose(0, 2, 1, 3, 4)
@@ -211,9 +244,13 @@ def _attention(cfg, q, k_all, v_all, positions):
         "btgrd,bgsd->bgrts", qg, k_all.astype(dt),
         preferred_element_type=jnp.float32,
     ) / np.sqrt(hd).astype(np.float32)  # [B, KV, rep, T, S]
+    if ks is not None:  # int8 cache: k scale factors out of the hd dot
+        scores = scores * ks[:, :, None, None, :]
     mask = jnp.arange(s)[None, None, :] <= positions[:, :, None]  # [B, T, S]
     scores = jnp.where(mask[:, None, None], scores, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(scores, axis=-1)
+    if vs is not None:  # v scale folds into the softmax weights
+        probs = probs * vs[:, :, None, None, :]
     out = jnp.einsum(
         "bgrts,bgsd->btgrd", probs.astype(dt), v_all.astype(dt),
         preferred_element_type=jnp.float32,
@@ -286,10 +323,27 @@ def forward(
             )
         return buf
 
+    def write_scales(buf, li, val):  # val [B, KV, T] into [L, B, KV, S]
+        for bb in range(b):
+            buf = jax.lax.dynamic_update_slice(
+                buf, val[bb][None, None], (li, bb, 0, pos0[bb])
+            )
+        return buf
+
+    def write_scales_all_layers(buf, vals):  # vals [L, B, KV, 1]
+        for bb in range(b):
+            buf = jax.lax.dynamic_update_slice(
+                buf, vals[:, bb][:, None], (0, bb, 0, pos0[bb])
+            )
+        return buf
+
+    quant_cache = cache.quantized
     new_k, new_v = cache.k, cache.v
+    new_ks, new_vs = cache.ks, cache.vs
     nq = heads * cfg.head_dim
     nkv = kv_heads * cfg.head_dim
     k_pending, v_pending = [], []  # decode: deferred all-layer batch write
+    ks_pending, vs_pending = [], []
     for li, lyr in enumerate(qparams["layers"]):
         h = rms_norm(x, lyr["attn_norm"], cfg.eps)
         flat = h.reshape(b * t, cfg.dim)
@@ -302,6 +356,9 @@ def forward(
 
         k_t = k.transpose(0, 2, 1, 3).astype(jnp.bfloat16)  # [B, KV, T, hd]
         v_t = v.transpose(0, 2, 1, 3).astype(jnp.bfloat16)
+        if quant_cache:
+            kq_t, ks_t = _quant_kv(k.transpose(0, 2, 1, 3))
+            vq_t, vs_t = _quant_kv(v.transpose(0, 2, 1, 3))
         if t == 1:
             # decode: fused flash-decode on the FULL stacked cache (slicing
             # cache[li] would materialize a per-layer copy for the kernel);
@@ -309,17 +366,34 @@ def forward(
             # write defers to ONE batched all-layer insert after the loop
             from ..ops.attention import flash_decode
 
-            k_pending.append(k_t)
-            v_pending.append(v_t)
+            if quant_cache:
+                k_pending.append(kq_t)
+                v_pending.append(vq_t)
+                ks_pending.append(ks_t)
+                vs_pending.append(vs_t)
+            else:
+                k_pending.append(k_t)
+                v_pending.append(v_t)
             qg = q.reshape(b, kv_heads, -1, cfg.head_dim)
             attn = flash_decode(
                 qg, new_k, new_v, positions[:, 0], layer=li,
                 k_current=k_t, v_current=v_t,
+                k_scale=new_ks, v_scale=new_vs,
             ).reshape(b, t, nq)
         else:
-            new_k = write_cache(new_k, li, k_t)
-            new_v = write_cache(new_v, li, v_t)
-            attn = _attention(cfg_attn, q, new_k[li], new_v[li], positions)
+            if quant_cache:
+                new_k = write_cache(new_k, li, kq_t)
+                new_v = write_cache(new_v, li, vq_t)
+                new_ks = write_scales(new_ks, li, ks_t)
+                new_vs = write_scales(new_vs, li, vs_t)
+            else:
+                new_k = write_cache(new_k, li, k_t)
+                new_v = write_cache(new_v, li, v_t)
+            attn = _attention(
+                cfg_attn, q, new_k[li], new_v[li], positions,
+                ks=new_ks[li] if quant_cache else None,
+                vs=new_vs[li] if quant_cache else None,
+            )
         o = _linear(get_w(lyr["wo"]), attn.reshape(b * t, -1), act_mode)
         x = x + reduce_out(o).reshape(b, t, cfg.dim)
 
@@ -333,9 +407,13 @@ def forward(
     if k_pending:
         new_k = write_cache_all_layers(new_k, jnp.stack(k_pending))
         new_v = write_cache_all_layers(new_v, jnp.stack(v_pending))
+    if ks_pending:
+        new_ks = write_scales_all_layers(new_ks, jnp.stack(ks_pending))
+        new_vs = write_scales_all_layers(new_vs, jnp.stack(vs_pending))
     x = rms_norm(x, qparams["final_norm"], cfg.eps)
     logits = _linear(get_w(qparams["lm_head"]), x.reshape(b * t, cfg.dim), act_mode)
-    return logits.reshape(b, t, -1), KVCache(new_k, new_v, pos0 + t)
+    return logits.reshape(b, t, -1), KVCache(new_k, new_v, pos0 + t,
+                                             new_ks, new_vs)
 
 
 def forward_float(params: dict, cfg: LlamaConfig, tokens, cache: KVCache):

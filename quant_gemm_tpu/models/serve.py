@@ -59,6 +59,7 @@ class Server:
         act_mode: str = "q8_1",
         prefill_bucket: int = 16,
         eos_id: Optional[int] = None,
+        cache_qtype: str = "bf16",
     ):
         self.qparams = qparams
         self.cfg = cfg
@@ -66,7 +67,8 @@ class Server:
         self.act_mode = act_mode
         self.bucket = prefill_bucket
         self.eos_id = eos_id
-        self.cache = llama.KVCache.init(cfg, n_slots)
+        self.cache_qtype = cache_qtype
+        self.cache = llama.KVCache.init(cfg, n_slots, cache_qtype)
         self.slots: list[Optional[Request]] = [None] * n_slots
         self.queue: list[Request] = []
         self.finished: dict[int, Request] = {}
@@ -76,11 +78,13 @@ class Server:
         @functools.partial(jax.jit, static_argnames=("t",))
         def _prefill(qparams, tokens, length, t):
             # tokens [1, t] padded; only `length` real.  Use a fresh B=1 cache.
-            c1 = llama.KVCache.init(cfg, 1)
+            c1 = llama.KVCache.init(cfg, 1, cache_qtype)
             logits, c1 = llama.forward(
                 qparams, cfg, tokens, c1, act_mode=act_mode, rope_cache=self._rope
             )
-            return c1.k[:, 0], c1.v[:, 0], logits[0, length - 1]
+            scales = ((c1.ks[:, 0], c1.vs[:, 0]) if c1.quantized
+                      else (None, None))
+            return c1.k[:, 0], c1.v[:, 0], scales, logits[0, length - 1]
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def _decode(qparams, tokens, cache, keys, temps, topk, topp):
@@ -100,19 +104,30 @@ class Server:
                 jnp.asarray([topp]),
             )[0]
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
-        def _insert(cache_k, cache_v, pos, slot, k1, v1, length):
+        @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=())
+        def _insert(cache, slot, k1, v1, scales, length):
             # donated in-place slot insert (a functional .at[].set on the
             # full cache copied hundreds of MB per admitted request)
-            return (
-                jax.lax.dynamic_update_slice(
-                    cache_k, k1[:, None], (0, slot, 0, 0, 0)
+            new = cache._replace(
+                k=jax.lax.dynamic_update_slice(
+                    cache.k, k1[:, None], (0, slot, 0, 0, 0)
                 ),
-                jax.lax.dynamic_update_slice(
-                    cache_v, v1[:, None], (0, slot, 0, 0, 0)
+                v=jax.lax.dynamic_update_slice(
+                    cache.v, v1[:, None], (0, slot, 0, 0, 0)
                 ),
-                pos.at[slot].set(length),
+                pos=cache.pos.at[slot].set(length),
             )
+            if cache.quantized:
+                ks1, vs1 = scales
+                new = new._replace(
+                    ks=jax.lax.dynamic_update_slice(
+                        cache.ks, ks1[:, None], (0, slot, 0, 0)
+                    ),
+                    vs=jax.lax.dynamic_update_slice(
+                        cache.vs, vs1[:, None], (0, slot, 0, 0)
+                    ),
+                )
+            return new
 
         self._prefill = _prefill
         self._insert = _insert
@@ -150,14 +165,13 @@ class Server:
             t = max(self.bucket, round_up(len(r.prompt), self.bucket))
             padded = np.zeros((1, t), np.int32)
             padded[0, : len(r.prompt)] = r.prompt
-            k1, v1, last_logits = self._prefill(
+            k1, v1, scales, last_logits = self._prefill(
                 self.qparams, jnp.asarray(padded), len(r.prompt), t=t
             )
-            ck, cv, cpos = self._insert(
-                self.cache.k, self.cache.v, self.cache.pos,
-                jnp.int32(s), k1, v1, jnp.int32(len(r.prompt)),
+            self.cache = self._insert(
+                self.cache, jnp.int32(s), k1, v1, scales,
+                jnp.int32(len(r.prompt)),
             )
-            self.cache = llama.KVCache(ck, cv, cpos)
             rkey = jax.random.PRNGKey(r.seed if r.seed is not None else r.rid)
             self._keys = self._keys.at[s].set(rkey)
             self._temps[s] = r.temperature

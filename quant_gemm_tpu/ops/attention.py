@@ -35,7 +35,7 @@ NEG_INF = float(np.finfo(np.float32).min)
 
 
 def _kernel(*refs, ts: int, ns: int, scale: float, stacked: bool,
-            has_current: bool):
+            has_current: bool, quant: bool):
     """Grid (B, S/ts); S innermost; ALL kv heads ride one tile (the cache
     slab per step is [KV, ts, hd] — MB-sized DMAs; a per-head grid measured
     3x slower, DMA-issue-latency bound).  Scratch m/l/acc persist over S.
@@ -49,6 +49,7 @@ def _kernel(*refs, ts: int, ns: int, scale: float, stacked: bool,
     pos_ref = next(it)
     q_ref = next(it)
     k_ref, v_ref = next(it), next(it)
+    ks_ref, vs_ref = (next(it), next(it)) if quant else (None, None)
     kc_ref, vc_ref = (next(it), next(it)) if has_current else (None, None)
     o_ref = next(it)
     m_ref, l_ref, acc_ref = next(it), next(it), next(it)
@@ -74,6 +75,12 @@ def _kernel(*refs, ts: int, ns: int, scale: float, stacked: bool,
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [KV, rep, ts]
+        if quant:
+            # int8 cache: per-token k scale factors out of the hd
+            # contraction, so it applies as one [KV, 1, ts] multiply on the
+            # scores instead of per-element dequant of the k slab
+            ks = (ks_ref[0, 0] if stacked else ks_ref[0])  # [KV, ts] f32
+            scores = scores * ks[:, None, :]
         span = s * ts + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
         scores = jnp.where(span < seq_len, scores, NEG_INF)
 
@@ -87,6 +94,10 @@ def _kernel(*refs, ts: int, ns: int, scale: float, stacked: bool,
         )
         m_ref[:, :, :1] = m_new
         vslab = (v_ref[0, 0] if stacked else v_ref[0]).astype(jnp.float32)
+        if quant:
+            # per-token v scale folds into p (the s-contraction weights)
+            vs = (vs_ref[0, 0] if stacked else vs_ref[0])  # [KV, ts] f32
+            p = p * vs[:, None, :]
         pv = jax.lax.dot_general(
             p, vslab, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -119,11 +130,18 @@ def flash_decode(
     *,
     k_current: jax.Array | None = None,  # [B, KV, 1, hd] current-token k
     v_current: jax.Array | None = None,
+    k_scale: jax.Array | None = None,  # [.., KV, S] per-token scales (int8 cache)
+    v_scale: jax.Array | None = None,
     layer: int | None = None,
     ts: int = 256,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Causal decode attention; returns [B, KV, rep, hd] f32.
+
+    With ``k_scale``/``v_scale`` the cache is int8 with per-token-vector
+    scales (models.llama.KVCache qtype='q8'): the k scale factors out of
+    the hd contraction (applied on scores), the v scale folds into p —
+    half the cache DMA of bf16 for one extra [KV, ts] multiply per tile.
 
     Query at position p attends to cache slots <= p.  ``rep`` is the GQA
     group width (H / KV); pass rep = H/KV views of q grouped per kv head.
@@ -144,6 +162,8 @@ def flash_decode(
     assert stacked == (layer is not None)
     has_current = k_current is not None
     assert has_current == (v_current is not None)
+    quant = k_scale is not None
+    assert quant == (v_scale is not None)
     s = k.shape[3] if stacked else k.shape[2]
     ts = min(ts, s)
     while s % ts:
@@ -180,6 +200,20 @@ def flash_decode(
             memory_space=pltpu.VMEM)
     operands = [q, k, v]
     in_specs = [qspec, kvspec, kvspec]
+    if quant:
+        if stacked:
+            li = int(layer)
+            sspec = pl.BlockSpec(
+                (1, 1, kv, ts),
+                lambda b, st, pos, li=li: (li, b, 0, _clamp(st, b, pos)),
+                memory_space=pltpu.VMEM)
+        else:
+            sspec = pl.BlockSpec(
+                (1, kv, ts),
+                lambda b, st, pos: (b, 0, _clamp(st, b, pos)),
+                memory_space=pltpu.VMEM)
+        operands += [k_scale, v_scale]
+        in_specs += [sspec, sspec]
     if has_current:
         curspec = pl.BlockSpec((1, kv, 1, hd), lambda b, st, pos: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM)
@@ -187,7 +221,7 @@ def flash_decode(
         in_specs += [curspec, curspec]
     out = pl.pallas_call(
         functools.partial(_kernel, ts=ts, ns=ns, scale=scale, stacked=stacked,
-                          has_current=has_current),
+                          has_current=has_current, quant=quant),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -210,9 +244,8 @@ def flash_decode(
     return out
 
 
-def _kernel_prefill(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
-                    acc_ref, *, ts: int, ns: int, tq: int, rep: int,
-                    scale: float):
+def _kernel_prefill(pos_ref, q_ref, k_ref, v_ref, *rest, ts: int, ns: int,
+                    tq: int, rep: int, scale: float, quant: bool):
     """Grid (B, KV, T/tq, S/ts); S innermost.  Query rows are T-major packed
     (row = t*rep + r); each row's causal limit is pos0[b] + t, computed
     in-kernel from the scalar-prefetched start positions — no mask operand.
@@ -222,6 +255,9 @@ def _kernel_prefill(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
     blocks keep VMEM bounded (all-heads blocks OOM scoped vmem at KV=8) and
     the DMAs stay large enough to hide issue latency.
     """
+    it = iter(rest)
+    ks_ref, vs_ref = (next(it), next(it)) if quant else (None, None)
+    o_ref, m_ref, l_ref, acc_ref = tuple(it)
     b = pl.program_id(0)
     qt = pl.program_id(2)
     s = pl.program_id(3)
@@ -245,6 +281,9 @@ def _kernel_prefill(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [r_rows, ts]
+        if quant:
+            # int8 cache: per-token k scale applies on the scores row
+            scores = scores * ks_ref[0, 0][None, :]
         span = s * ts + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         row = row0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
         qpos = pos_ref[b] + row // rep
@@ -257,6 +296,8 @@ def _kernel_prefill(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
         p = jnp.exp(scores - m_new)
         l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[:, :1] = m_new
+        if quant:
+            p = p * vs_ref[0, 0][None, :]  # v scale folds into p
         pv = jax.lax.dot_general(
             p, v_ref[0, 0].astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -276,11 +317,16 @@ def flash_prefill(
     pos0: jax.Array,  # int32 [B]: position of the FIRST query token per slot
     *,
     rep: int,
+    k_scale: jax.Array | None = None,  # [B, KV, S] per-token scales (int8)
+    v_scale: jax.Array | None = None,
     tq: int = 128,
     ts: int = 256,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Causal prefill attention, O(tile) memory (no [T, S] materialization).
+
+    ``k_scale``/``v_scale`` enable the int8 quantized cache (see
+    flash_decode): scale application folds into scores / p.
 
     Query row ``t*rep + r`` is token ``t`` of head-group member ``r`` and
     attends cache slots <= pos0 + t.  The einsum path materializes
@@ -289,6 +335,8 @@ def flash_prefill(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    quant = k_scale is not None
+    assert quant == (v_scale is not None)
     bsz, kv, rrows, hd = q.shape
     t = rrows // rep
     s = k.shape[2]
@@ -315,13 +363,22 @@ def flash_prefill(
         (1, 1, ts, hd),
         lambda b, g, qt, st, pos: (b, g, _clamp(b, qt, st, pos), 0),
         memory_space=pltpu.VMEM)
+    operands = [q, k, v]
+    in_specs = [qspec, kvspec, kvspec]
+    if quant:
+        sspec = pl.BlockSpec(
+            (1, 1, ts),
+            lambda b, g, qt, st, pos: (b, g, _clamp(b, qt, st, pos)),
+            memory_space=pltpu.VMEM)
+        operands += [k_scale, v_scale]
+        in_specs += [sspec, sspec]
     out = pl.pallas_call(
         functools.partial(_kernel_prefill, ts=ts, ns=ns, tq=tq, rep=rep,
-                          scale=scale),
+                          scale=scale, quant=quant),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[qspec, kvspec, kvspec],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, 1, tq * rep, hd), lambda b, g, qt, st, pos: (b, g, qt, 0),
                 memory_space=pltpu.VMEM),
@@ -337,7 +394,7 @@ def flash_prefill(
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(pos0.astype(jnp.int32), q, k, v)
+    )(pos0.astype(jnp.int32), *operands)
     return out
 
 

@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--seq", type=int, default=1024)
     ap.add_argument("--prefill", type=int, default=512)
+    ap.add_argument("--kv", default="bf16", choices=["bf16", "q8"],
+                    help="KV cache precision")
+    ap.add_argument("--ctx", type=int, default=0,
+                    help="pre-filled context length per slot for the decode "
+                         "bench (cache-read cost is proportional to it)")
     args = ap.parse_args()
 
     cfg = llama.LlamaConfig(
@@ -71,7 +76,21 @@ def main():
           f"{floor_us:.0f} us floor", flush=True)
 
     rope = llama.make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base)
-    cache = llama.KVCache.init(cfg, args.slots)
+
+    def fresh_cache():
+        c = llama.KVCache.init(cfg, args.slots, args.kv)
+        if args.ctx:
+            c = c._replace(pos=jnp.full((args.slots,), args.ctx, jnp.int32))
+        return c
+
+    cache = fresh_cache()
+    if args.ctx:
+        kv_bytes_elem = 1 + 4 / cfg.head_dim if args.kv == "q8" else 2
+        cache_bytes = (2 * args.layers * args.slots * cfg.n_kv_heads
+                       * args.ctx * cfg.head_dim * kv_bytes_elem)
+        print(f"cache read per step ({args.kv}, ctx {args.ctx}): "
+              f"{cache_bytes/1e9:.3f} GB -> {cache_bytes/900e3:.0f} us floor",
+              flush=True)
 
     @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("n",))
     def decode_loop(qp, cache, toks, n):
@@ -97,7 +116,7 @@ def main():
     for n in (n_lo, n_hi):
         best = float("inf")
         for _ in range(3):
-            c = llama.KVCache.init(cfg, args.slots)
+            c = fresh_cache()
             jax.block_until_ready(c.k)
             t0 = time.time()
             nxt, _ = decode_loop(qparams, c, toks, n=n)

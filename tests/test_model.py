@@ -147,3 +147,37 @@ def test_sample_decode():
                                 key=jax.random.PRNGKey(12), temperature=0.9,
                                 top_k=16)
     assert not np.array_equal(np.asarray(s1), np.asarray(s3))
+
+
+def test_q8_kv_cache_matches_bf16():
+    """int8 KV cache (per-vector scales): prefill + decode stay close to the
+    bf16-cache path, and greedy continuation agrees."""
+    from quant_gemm_tpu.harness.metrics import ErrorMetrics
+    from quant_gemm_tpu.models import llama
+
+    cfg = llama.LlamaConfig(vocab=64, dim=128, n_layers=2, n_heads=4,
+                            n_kv_heads=2, d_ff=256, max_seq=64)
+    qp = llama.quantize_params(llama.init_params(cfg, seed=4), "q8_0")
+    rng = np.random.default_rng(6)
+    toks = jnp.asarray(rng.integers(1, 64, (2, 12)), jnp.int32)
+
+    lb, cb = llama.forward(qp, cfg, toks, llama.KVCache.init(cfg, 2))
+    lq, cq = llama.forward(qp, cfg, toks, llama.KVCache.init(cfg, 2, "q8"))
+    assert cq.k.dtype == jnp.int8 and cq.ks is not None
+    m = ErrorMetrics.compute(np.asarray(lq), np.asarray(lb))
+    assert m.nmse < 1e-3, m  # int8 per-vector cache noise
+
+    # decode continues from the quantized cache
+    nxt = jnp.argmax(lb[:, -1], -1)[:, None].astype(jnp.int32)
+    db, _ = llama.forward(qp, cfg, nxt, cb)
+    dq, _ = llama.forward(qp, cfg, nxt, cq)
+    m = ErrorMetrics.compute(np.asarray(dq), np.asarray(db))
+    assert m.nmse < 1e-3, m
+
+    # long prefill (flash_prefill route, T >= 64): q8 vs bf16
+    cfg2 = cfg._replace(max_seq=160)
+    toks2 = jnp.asarray(rng.integers(1, 64, (1, 96)), jnp.int32)
+    l2b, _ = llama.forward(qp, cfg2, toks2, llama.KVCache.init(cfg2, 1))
+    l2q, _ = llama.forward(qp, cfg2, toks2, llama.KVCache.init(cfg2, 1, "q8"))
+    m = ErrorMetrics.compute(np.asarray(l2q), np.asarray(l2b))
+    assert m.nmse < 1e-3, m
