@@ -319,8 +319,8 @@ def flash_prefill(
     rep: int,
     k_scale: jax.Array | None = None,  # [B, KV, S] per-token scales (int8)
     v_scale: jax.Array | None = None,
-    tq: int = 128,
-    ts: int = 256,
+    tq: int = 256,
+    ts: int = 1024,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Causal prefill attention, O(tile) memory (no [T, S] materialization).
@@ -332,6 +332,11 @@ def flash_prefill(
     attends cache slots <= pos0 + t.  The einsum path materializes
     [B, H, T, S] f32 scores (1 GB at T=S=4096); this kernel streams the
     cache per (slot, query-tile) with the flash recurrence instead.
+
+    Tile defaults from an on-chip sweep at T=S=4096 (kv=8, rep=4, hd=128):
+    ts=1024 is 2.6x faster than ts=256 (1.40 vs 3.65 ms — bigger KV slabs
+    amortize the per-tile recurrence); tq=256 edges tq=128.  Net 10.8x the
+    dense einsum path at that shape, 2.5x at T=1024/S=2048 (0.27 ms).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
