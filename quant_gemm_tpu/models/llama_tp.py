@@ -152,14 +152,17 @@ def shard_params_tp(params: dict, cfg: llama.LlamaConfig, mesh: Mesh,
 
 
 def init_cache_tp(cfg: llama.LlamaConfig, batch: int, mesh: Mesh,
-                  axis: str = "tp") -> llama.KVCache:
-    """KV cache sharded on the kv-head axis."""
-    cache = llama.KVCache.init(cfg, batch)
+                  axis: str = "tp", qtype: str = "bf16") -> llama.KVCache:
+    """KV cache sharded on the kv-head axis (bf16 or int8 per-token q8)."""
+    cache = llama.KVCache.init(cfg, batch, qtype)
     spec = NamedSharding(mesh, P(None, None, axis, None, None))
+    sspec = NamedSharding(mesh, P(None, None, axis, None))
     return llama.KVCache(
         jax.device_put(cache.k, spec),
         jax.device_put(cache.v, spec),
         jax.device_put(cache.pos, NamedSharding(mesh, P(None))),
+        jax.device_put(cache.ks, sspec) if cache.quantized else None,
+        jax.device_put(cache.vs, sspec) if cache.quantized else None,
     )
 
 
@@ -190,9 +193,10 @@ def forward_tp(qparams: dict, cfg: llama.LlamaConfig, tokens, cache,
         return P(*([None] * leaf.ndim))
 
     param_specs = jax.tree.map(spec_of, qparams)
+    sspec = P(None, None, axis, None) if cache.quantized else None
     cache_specs = llama.KVCache(
         P(None, None, axis, None, None), P(None, None, axis, None, None),
-        P(None),
+        P(None), sspec, sspec,
     )
     ctx = TPContext(
         n_heads=cfg.n_heads // tp,

@@ -133,3 +133,30 @@ def test_health_check_virtual_mesh():
     assert r.ok, r.row()
     assert r.n_devices == 8
     assert r.heartbeat_ms is not None
+
+
+def test_tp_serving_q8_cache():
+    """Megatron TP decode with the int8 KV cache (kv-head-sharded scales)."""
+    import jax
+
+    from quant_gemm_tpu.models import llama, llama_tp
+    from quant_gemm_tpu.parallel.sharding import make_mesh
+
+    devices = jax.devices()[:4]
+    if len(devices) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = make_mesh({"tp": 4}, devices)
+    cfg = llama.LlamaConfig(vocab=64, dim=256, n_layers=1, n_heads=4,
+                            n_kv_heads=4, d_ff=512, max_seq=32)
+    params = llama.init_params(cfg, seed=2)
+    sp = llama_tp.shard_params_tp(params, cfg, mesh, "q4_0")
+    toks = jnp.asarray([[3], [9]], jnp.int32)
+
+    cache_b = llama_tp.init_cache_tp(cfg, 2, mesh)
+    lg_b, _ = llama_tp.forward_tp(sp, cfg, toks, cache_b, mesh)
+    cache_q = llama_tp.init_cache_tp(cfg, 2, mesh, qtype="q8")
+    assert cache_q.k.dtype.name == "int8"
+    lg_q, cache_q2 = llama_tp.forward_tp(sp, cfg, toks, cache_q, mesh)
+    assert cache_q2.ks is not None
+    np.testing.assert_allclose(np.asarray(lg_q), np.asarray(lg_b),
+                               rtol=2e-2, atol=2e-2)
