@@ -43,7 +43,10 @@ def _wrap(out, *inputs):
     if any(_is_torch(x) for x in inputs):
         import torch
 
-        return torch.from_numpy(np.ascontiguousarray(np.asarray(out)))
+        arr = np.ascontiguousarray(np.asarray(out))
+        if not arr.flags.writeable:  # jax arrays are read-only views;
+            arr = arr.copy()         # torch tensors must own writable memory
+        return torch.from_numpy(arr)
     return out
 
 BLOCK_Q4_0_BYTES = 18

@@ -202,7 +202,8 @@ def _quant_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return codes, scale
 
 
-def _attention(cfg, q, k_all, v_all, positions, ks=None, vs=None):
+def _attention(cfg, q, k_all, v_all, positions, ks=None, vs=None,
+               differentiable=False):
     """q: [B, T, H, hd]; k_all/v_all: [B, KV, S, hd] (full cache buffers).
 
     ``positions``: [B, T] global position of each query token.  Causal:
@@ -210,6 +211,10 @@ def _attention(cfg, q, k_all, v_all, positions, ks=None, vs=None):
     GQA runs as a grouped einsum (q reshaped to [B, T, KV, rep, hd]) so the
     cache is never repeated/materialized.  ``ks``/``vs`` [B, KV, S]: int8
     cache scales (see KVCache).
+
+    ``differentiable=True`` (the QAT trainer) forces the dense einsum path:
+    the Pallas flash_prefill kernel has no JVP rule, so grads through a
+    T >= 64 prefill would raise NotImplementedError.
     """
     b, tq, h, hd = q.shape
     kv = k_all.shape[1]
@@ -218,7 +223,7 @@ def _attention(cfg, q, k_all, v_all, positions, ks=None, vs=None):
     # (decode T=1 does NOT route here: forward inlines flash_decode with the
     # current token's k/v as operands, since the deferred-write contract
     # means the cache no longer holds the current token at this point)
-    if tq >= 64:
+    if tq >= 64 and not differentiable:
         # long prefill: the dense path materializes [B, H, T, S] f32 scores
         # (1 GB at T=S=4096); the flash kernel streams the cache instead
         from ..ops.attention import flash_prefill

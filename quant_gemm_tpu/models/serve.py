@@ -91,8 +91,11 @@ class Server:
             logits, cache = llama.forward(
                 qparams, cfg, tokens, cache, act_mode=act_mode, rope_cache=self._rope
             )
+            # fold position = the sampled token's own position (pos - 1
+            # after the forward advanced it) — same scheme as
+            # llama.sample_decode, so replays match across entry points
             nxt = sampling.sample(
-                logits[:, -1], keys, cache.pos, temps, topk, topp
+                logits[:, -1], keys, cache.pos - 1, temps, topk, topp
             )
             return nxt, cache
 

@@ -85,14 +85,18 @@ def speculative_greedy_decode(
 
     while min(len(o) for o in out) < steps:
         # --- draft proposes k tokens (greedy, from its own cache) ---------
+        # k+1 forwards: the extra one writes props[k-1]'s k/v into the
+        # draft cache (otherwise a fully-accepted round would advance pos
+        # past a never-written slot, and the zero k/v hole would poison
+        # every later draft round's attention)
         proposals = []
         tok = last
         cache_d_round = cache_d
-        for _ in range(k):
+        for _ in range(k + 1):
             lg, cache_d_round = fwd_d(qp_draft, tok[:, None], cache_d_round)
             tok = _greedy(lg[:, -1])
             proposals.append(tok)
-        props = jnp.stack(proposals, axis=1)  # [B, k]
+        props = jnp.stack(proposals[:k], axis=1)  # [B, k]
         props_np = np.asarray(props)
 
         # --- target verifies the whole block in one forward ---------------

@@ -54,13 +54,15 @@ def _layer(lyr, x, cfg: LlamaConfig, rc, qtype: str):
     v = lin(lyr["wv"], flat).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
     q = apply_rope(q, positions[None, :], rc)
     k = apply_rope(k, positions[None, :], rc)
-    # _attention takes cache-layout k/v: [B, KV, S, hd]
+    # _attention takes cache-layout k/v: [B, KV, S, hd]; differentiable=
+    # True keeps the einsum path (the flash kernel has no autodiff rule)
     attn = _attention(
         cfg,
         q,
         k.transpose(0, 2, 1, 3),
         v.transpose(0, 2, 1, 3),
         jnp.broadcast_to(jnp.arange(t)[None, :], (b, t)),
+        differentiable=True,
     )
     x = x + lin(lyr["wo"], attn.reshape(b * t, -1)).reshape(b, t, cfg.dim)
     h = rms_norm(x, lyr["mlp_norm"], cfg.eps)

@@ -118,3 +118,14 @@ def test_sharded_state_step():
     # optimizer state inherited the param sharding by propagation
     mu = jax.tree.leaves(opt)[1]  # some param-shaped leaf
     assert hasattr(mu, "sharding")
+
+
+def test_grads_flow_through_long_sequences(params):
+    """T >= 64 prefill routes inference through the Pallas flash kernel,
+    which has no autodiff rule; training must keep the einsum path
+    (regression: value_and_grad raised NotImplementedError at t >= 65)."""
+    toks = _tokens(batch=1, t=72, seed=9)
+    cfg = CFG._replace(max_seq=128)
+    loss, grads = jax.value_and_grad(train.loss_fn)(params, cfg, toks)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads))
