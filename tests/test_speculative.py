@@ -34,14 +34,13 @@ def test_matches_target_greedy(models):
 
 
 def test_perfect_draft_accepts_most(models):
-    """Draft == target: proposals should mostly match, driving several
-    tokens per target call.
+    """Draft == target: proposals should (almost) all match, driving
+    ~k+1 tokens per target call.
 
-    Not every round reaches k+1: the draft decodes through the T=1 path
-    (flash-decode + exact decode kernel) while verification runs the
-    T=k+1 block path — near-tied logits can argmax differently between the
-    two numeric paths.  Output equality with plain greedy still holds
-    (the verify pass is the arbiter); only the acceptance RATE moves."""
+    The occasional miss is numeric: the draft decodes through the T=1 path
+    while verification runs the T=k+1 block path, and near-tied logits can
+    argmax differently between the two.  Output equality with plain greedy
+    still holds (the verify pass is the arbiter)."""
     qp_t, _ = models
     prompt = jnp.asarray([[7, 9, 2]], jnp.int32)
     steps, k = 12, 3
@@ -50,4 +49,5 @@ def test_perfect_draft_accepts_most(models):
     )
     want, _ = llama.greedy_decode(qp_t, CFG_T, prompt, steps=steps)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-    assert rate >= 1.5, rate  # measured 2.0 (max for this config: 2.4)
+    assert rate >= 2.5, rate  # measured 3.25 (2.0 before the
+    #                           draft-cache-hole fix)
