@@ -60,6 +60,7 @@ class Server:
         prefill_bucket: int = 16,
         eos_id: Optional[int] = None,
         cache_qtype: str = "bf16",
+        max_prefill_chunk: Optional[int] = None,
     ):
         self.qparams = qparams
         self.cfg = cfg
@@ -68,6 +69,9 @@ class Server:
         self.bucket = prefill_bucket
         self.eos_id = eos_id
         self.cache_qtype = cache_qtype
+        # long prompts prefill in chunks of this size (defaults to 8
+        # buckets) -> bounded set of compiled prefill programs
+        self.max_chunk = max_prefill_chunk or prefill_bucket * 8
         self.cache = llama.KVCache.init(cfg, n_slots, cache_qtype)
         self.slots: list[Optional[Request]] = [None] * n_slots
         self.queue: list[Request] = []
@@ -75,16 +79,40 @@ class Server:
         self._next_rid = 0
         self._rope = llama.make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base)
 
-        @functools.partial(jax.jit, static_argnames=("t",))
-        def _prefill(qparams, tokens, length, t):
-            # tokens [1, t] padded; only `length` real.  Use a fresh B=1 cache.
-            c1 = llama.KVCache.init(cfg, 1, cache_qtype)
+        @functools.partial(jax.jit, static_argnames=("t",), donate_argnums=(2,))
+        def _prefill_step(qparams, tokens, c1, length, t):
+            # tokens [1, t] padded; only `length` real (continues from
+            # c1.pos — long prompts arrive as bucket-sized chunks, so the
+            # number of compiled prefill programs is bounded by the bucket
+            # count, not the prompt-length distribution)
             logits, c1 = llama.forward(
                 qparams, cfg, tokens, c1, act_mode=act_mode, rope_cache=self._rope
             )
+            return c1, logits[0, length - 1]
+
+        def _prefill(qparams, prompt):
+            """Chunked prefill of one request -> (slot slabs, last logits)."""
+            c1 = llama.KVCache.init(cfg, 1, cache_qtype)
+            chunk = self.max_chunk
+            off = 0
+            while off < len(prompt):
+                part = prompt[off : off + chunk]
+                t = max(self.bucket, round_up(len(part), self.bucket))
+                padded = np.zeros((1, t), np.int32)
+                padded[0, : len(part)] = part
+                # the padded tail writes garbage past the real tokens; pos
+                # must only advance by the REAL length so the next chunk
+                # overwrites it
+                c1, last = _prefill_step(
+                    qparams, jnp.asarray(padded), c1, len(part), t=t
+                )
+                c1 = c1._replace(
+                    pos=jnp.full((1,), off + len(part), jnp.int32)
+                )
+                off += len(part)
             scales = ((c1.ks[:, 0], c1.vs[:, 0]) if c1.quantized
                       else (None, None))
-            return c1.k[:, 0], c1.v[:, 0], scales, logits[0, length - 1]
+            return c1.k[:, 0], c1.v[:, 0], scales, last
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def _decode(qparams, tokens, cache, keys, temps, topk, topp):
@@ -165,11 +193,8 @@ class Server:
             if self.slots[s] is not None or not self.queue:
                 continue
             r = self.queue.pop(0)
-            t = max(self.bucket, round_up(len(r.prompt), self.bucket))
-            padded = np.zeros((1, t), np.int32)
-            padded[0, : len(r.prompt)] = r.prompt
             k1, v1, scales, last_logits = self._prefill(
-                self.qparams, jnp.asarray(padded), len(r.prompt), t=t
+                self.qparams, r.prompt
             )
             self.cache = self._insert(
                 self.cache, jnp.int32(s), k1, v1, scales,

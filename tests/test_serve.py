@@ -134,3 +134,16 @@ def test_q8_cache_serving_consistent(qparams):
         bf = _solo(qparams, prompt, 5)
         agree = sum(a == b for a, b in zip(results[rid], bf))
         assert agree >= 3, (results[rid], bf)
+
+
+def test_chunked_prefill_matches_single_shot(qparams):
+    """A prompt longer than max_prefill_chunk prefills in chunks; generated
+    tokens must match a server whose chunk covers the whole prompt."""
+    prompt = list(np.random.default_rng(9).integers(1, CFG.vocab, 40))
+    out = {}
+    for chunk in (16, 64):  # 16 -> 3 chunks; 64 -> single shot
+        srv = serve.Server(qparams, CFG, n_slots=1, prefill_bucket=8,
+                           max_prefill_chunk=chunk)
+        rid = srv.submit(prompt, max_new=5)
+        out[chunk] = srv.run_until_done()[rid]
+    assert out[16] == out[64], out
