@@ -169,6 +169,9 @@ class Server:
         self._topk = np.zeros(n_slots, np.int32)
         self._topp = np.ones(n_slots, np.float32)
         self._keys = jnp.zeros((n_slots, 2), jnp.uint32)
+        self._n_steps = 0
+        self._n_tokens = 0
+        self._n_prefill_tokens = 0
 
     # -- request lifecycle ---------------------------------------------------
 
@@ -212,6 +215,8 @@ class Server:
             r.generated.append(tok)
             self._pending_tok[s] = tok
             self.slots[s] = r
+            self._n_prefill_tokens += len(r.prompt)
+            self._n_tokens += 1
 
     def step(self) -> dict[int, int]:
         """Admit queued requests, run one batched decode step.
@@ -229,6 +234,8 @@ class Server:
             jnp.asarray(self._topp),
         )
         nxt = np.asarray(nxt)
+        self._n_steps += 1
+        self._n_tokens += len(active)
         out = {}
         for s in active:
             r = self.slots[s]
@@ -245,6 +252,22 @@ class Server:
                 self.finished[r.rid] = r
                 self.slots[s] = None
         return out
+
+    def stats(self) -> dict:
+        """Serving counters: decode steps, generated/prefilled tokens, queue
+        and slot occupancy — the observability surface a production loop
+        scrapes between batches."""
+        return {
+            "decode_steps": self._n_steps,
+            "generated_tokens": self._n_tokens,
+            "prefill_tokens": self._n_prefill_tokens,
+            "active_slots": sum(s is not None for s in self.slots),
+            "queued": len(self.queue),
+            "finished": len(self.finished),
+            "tokens_per_step": (
+                self._n_tokens / self._n_steps if self._n_steps else 0.0
+            ),
+        }
 
     def run_until_done(self, max_steps: int = 10_000) -> dict[int, list]:
         """Drain the queue; returns {request_id: generated tokens}."""

@@ -147,3 +147,14 @@ def test_chunked_prefill_matches_single_shot(qparams):
         rid = srv.submit(prompt, max_new=5)
         out[chunk] = srv.run_until_done()[rid]
     assert out[16] == out[64], out
+
+
+def test_server_stats(qparams):
+    srv = serve.Server(qparams, CFG, n_slots=2)
+    srv.submit([1, 2, 3], max_new=3)
+    srv.submit([4, 5], max_new=3)
+    srv.run_until_done()
+    st = srv.stats()
+    assert st["finished"] == 2 and st["queued"] == 0
+    assert st["generated_tokens"] == 6 and st["prefill_tokens"] == 5
+    assert st["decode_steps"] >= 2 and st["tokens_per_step"] > 0
