@@ -58,6 +58,7 @@ def config_from_metadata(md: dict) -> llama.LlamaConfig:
         max_seq=int(get("context_length", 2048)),
         rope_base=float(md.get("llama.rope.freq_base", 10000.0)),
         eps=float(md.get("llama.attention.layer_norm_rms_epsilon", 1e-5)),
+        window=int(md.get("llama.attention.sliding_window", 0)),
     )
 
 
@@ -161,6 +162,8 @@ def export_gguf(path, params: dict, cfg: llama.LlamaConfig,
         "llama.rope.freq_base": cfg.rope_base,
         "llama.attention.layer_norm_rms_epsilon": cfg.eps,
     }
+    if cfg.window:
+        metadata["llama.attention.sliding_window"] = cfg.window
     write_gguf(path, tensors, metadata)
 
 

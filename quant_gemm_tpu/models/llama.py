@@ -42,6 +42,7 @@ class LlamaConfig(NamedTuple):
     max_seq: int = 256
     rope_base: float = 10000.0
     eps: float = 1e-5
+    window: int = 0  # sliding-window attention width (0 = full causal)
 
     @property
     def head_dim(self) -> int:
@@ -234,7 +235,7 @@ def _attention(cfg, q, k_all, v_all, positions, ks=None, vs=None,
             .reshape(b, kv, tq * rep, hd)
         )
         out = flash_prefill(qg, k_all, v_all, positions[:, 0], rep=rep,
-                            k_scale=ks, v_scale=vs)
+                            k_scale=ks, v_scale=vs, window=cfg.window)
         out = (
             out.reshape(b, kv, tq, rep, hd)
             .transpose(0, 2, 1, 3, 4)
@@ -251,7 +252,10 @@ def _attention(cfg, q, k_all, v_all, positions, ks=None, vs=None,
     ) / np.sqrt(hd).astype(np.float32)  # [B, KV, rep, T, S]
     if ks is not None:  # int8 cache: k scale factors out of the hd dot
         scores = scores * ks[:, :, None, None, :]
-    mask = jnp.arange(s)[None, None, :] <= positions[:, :, None]  # [B, T, S]
+    span = jnp.arange(s)[None, None, :]
+    mask = span <= positions[:, :, None]  # [B, T, S] causal
+    if cfg.window:  # sliding window: slots older than window are masked
+        mask = mask & (span > positions[:, :, None] - cfg.window)
     scores = jnp.where(mask[:, None, None], scores, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(scores, axis=-1)
     if vs is not None:  # v scale folds into the softmax weights
@@ -383,7 +387,7 @@ def forward(
             attn = flash_decode(
                 qg, new_k, new_v, positions[:, 0], layer=li,
                 k_current=k_t, v_current=v_t,
-                k_scale=new_ks, v_scale=new_vs,
+                k_scale=new_ks, v_scale=new_vs, window=cfg.window,
             ).reshape(b, t, nq)
         else:
             if quant_cache:

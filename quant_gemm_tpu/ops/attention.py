@@ -35,7 +35,7 @@ NEG_INF = float(np.finfo(np.float32).min)
 
 
 def _kernel(*refs, ts: int, ns: int, scale: float, stacked: bool,
-            has_current: bool, quant: bool):
+            has_current: bool, quant: bool, window: int):
     """Grid (B, S/ts); S innermost; ALL kv heads ride one tile (the cache
     slab per step is [KV, ts, hd] — MB-sized DMAs; a per-head grid measured
     3x slower, DMA-issue-latency bound).  Scratch m/l/acc persist over S.
@@ -66,8 +66,10 @@ def _kernel(*refs, ts: int, ns: int, scale: float, stacked: bool,
     # cached slots valid: <= pos when the cache already holds the current
     # token, < pos when it arrives via the kc/vc operands
     seq_len = pos_ref[b] + (0 if has_current else 1)
+    # sliding window: the query (at pos) attends slots > pos - window only
+    lo = jnp.maximum(pos_ref[b] - window + 1, 0) if window else 0
 
-    @pl.when(s * ts < seq_len)
+    @pl.when(jnp.logical_and(s * ts < seq_len, (s + 1) * ts > lo))
     def _tile():
         q = q_ref[0].astype(jnp.float32) * scale  # [KV, rep, hd]
         k = (k_ref[0, 0] if stacked else k_ref[0]).astype(jnp.float32)  # [KV, ts, hd]
@@ -82,7 +84,10 @@ def _kernel(*refs, ts: int, ns: int, scale: float, stacked: bool,
             ks = (ks_ref[0, 0] if stacked else ks_ref[0])  # [KV, ts] f32
             scores = scores * ks[:, None, :]
         span = s * ts + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
-        scores = jnp.where(span < seq_len, scores, NEG_INF)
+        valid = span < seq_len
+        if window:
+            valid = jnp.logical_and(valid, span >= lo)
+        scores = jnp.where(valid, scores, NEG_INF)
 
         m_prev = m_ref[:, :, :1]  # [KV, rep, 1] (lane-0 column)
         m_cur = jnp.max(scores, axis=2, keepdims=True)
@@ -134,9 +139,15 @@ def flash_decode(
     v_scale: jax.Array | None = None,
     layer: int | None = None,
     ts: int | None = None,
+    window: int = 0,  # sliding-window width (0 = full causal)
     interpret: bool | None = None,
 ) -> jax.Array:
     """Causal decode attention; returns [B, KV, rep, hd] f32.
+
+    ``window > 0``: the query attends only cache slots in
+    ``(pos - window, pos]`` (Mistral-style sliding window).  Tiles outside
+    the window are clamped in the index map AND guarded in-kernel, so both
+    the DMA and the compute are proportional to the window, not the cache.
 
     With ``k_scale``/``v_scale`` the cache is int8 with per-token-vector
     scales (models.llama.KVCache qtype='q8'): the k scale factors out of
@@ -188,9 +199,15 @@ def flash_decode(
 
     def _clamp(st, b, pos):
         # last tile holding valid cached data (valid slots are < pos when
-        # the current token rides separately, <= pos otherwise)
+        # the current token rides separately, <= pos otherwise); with a
+        # sliding window also clamp the LOW end so pre-window grid steps
+        # re-request the window's first tile (pipeline dedups the DMA)
         last = pos[b] if not has_current else jnp.maximum(pos[b] - 1, 0)
-        return jnp.minimum(st, last // ts)
+        st = jnp.minimum(st, last // ts)
+        if window:
+            first = jnp.maximum(pos[b] - window + 1, 0) // ts
+            st = jnp.maximum(st, first)
+        return st
 
     if stacked:
         li = int(layer)
@@ -226,7 +243,8 @@ def flash_decode(
         in_specs += [curspec, curspec]
     out = pl.pallas_call(
         functools.partial(_kernel, ts=ts, ns=ns, scale=scale, stacked=stacked,
-                          has_current=has_current, quant=quant),
+                          has_current=has_current, quant=quant,
+                          window=window),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -250,7 +268,8 @@ def flash_decode(
 
 
 def _kernel_prefill(pos_ref, q_ref, k_ref, v_ref, *rest, ts: int, ns: int,
-                    tq: int, rep: int, scale: float, quant: bool):
+                    tq: int, rep: int, scale: float, quant: bool,
+                    window: int):
     """Grid (B, KV, T/tq, S/ts); S innermost.  Query rows are T-major packed
     (row = t*rep + r); each row's causal limit is pos0[b] + t, computed
     in-kernel from the scalar-prefetched start positions — no mask operand.
@@ -277,8 +296,11 @@ def _kernel_prefill(pos_ref, q_ref, k_ref, v_ref, *rest, ts: int, ns: int,
     # per-row query position: pos0 + global row index // rep
     row0 = qt * r_rows
     max_len = pos_ref[b] + qt * tq + tq  # last row's seq_len
+    # sliding window: the OLDEST query row of this tile sets the low bound
+    lo = (jnp.maximum(pos_ref[b] + qt * tq - window + 1, 0)
+          if window else 0)
 
-    @pl.when(s * ts < max_len)
+    @pl.when(jnp.logical_and(s * ts < max_len, (s + 1) * ts > lo))
     def _tile():
         q = q_ref[0, 0].astype(jnp.float32) * scale  # [r_rows, hd]
         k = k_ref[0, 0].astype(jnp.float32)  # [ts, hd]
@@ -292,7 +314,10 @@ def _kernel_prefill(pos_ref, q_ref, k_ref, v_ref, *rest, ts: int, ns: int,
         span = s * ts + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         row = row0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
         qpos = pos_ref[b] + row // rep
-        scores = jnp.where(span <= qpos, scores, NEG_INF)
+        valid = span <= qpos
+        if window:
+            valid = jnp.logical_and(valid, span > qpos - window)
+        scores = jnp.where(valid, scores, NEG_INF)
 
         m_prev = m_ref[:, :1]
         m_cur = jnp.max(scores, axis=1, keepdims=True)
@@ -326,6 +351,7 @@ def flash_prefill(
     v_scale: jax.Array | None = None,
     tq: int = 256,
     ts: int = 1024,
+    window: int = 0,  # sliding-window width (0 = full causal)
     interpret: bool | None = None,
 ) -> jax.Array:
     """Causal prefill attention, O(tile) memory (no [T, S] materialization).
@@ -367,7 +393,11 @@ def flash_prefill(
 
     def _clamp(b, qt, st, pos):
         last = pos[b] + qt * tq + (tq - 1)
-        return jnp.minimum(st, last // ts)
+        st = jnp.minimum(st, last // ts)
+        if window:  # low clamp: pre-window tiles dedup to the first tile
+            first = jnp.maximum(pos[b] + qt * tq - window + 1, 0) // ts
+            st = jnp.maximum(st, first)
+        return st
 
     kvspec = pl.BlockSpec(
         (1, 1, ts, hd),
@@ -384,7 +414,7 @@ def flash_prefill(
         in_specs += [sspec, sspec]
     out = pl.pallas_call(
         functools.partial(_kernel_prefill, ts=ts, ns=ns, tq=tq, rep=rep,
-                          scale=scale, quant=quant),
+                          scale=scale, quant=quant, window=window),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,

@@ -211,3 +211,89 @@ def test_model_prefill_flash_path():
     dense = np.concatenate([np.asarray(out_a), np.asarray(out_b)], axis=1)
     np.testing.assert_allclose(np.asarray(out_flash), dense, atol=2e-3,
                                rtol=2e-3)
+
+
+def test_flash_prefill_sliding_window():
+    """window > 0 masks slots older than (qpos - window); matches a dense
+    masked-softmax reference with ragged start positions."""
+    import jax.numpy as jnp
+
+    from quant_gemm_tpu.ops.attention import flash_prefill
+
+    rng = np.random.default_rng(15)
+    b, kv, rep, t, s, hd, win = 2, 2, 2, 32, 128, 64, 24
+    pos0 = jnp.asarray([0, 60], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, kv, t * rep, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, kv, s, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, kv, s, hd)), jnp.float32)
+    out = flash_prefill(q, k, v, pos0, rep=rep, tq=16, ts=32, window=win)
+
+    qn = np.asarray(q).reshape(b, kv, t, rep, hd)
+    sc = np.einsum("bgtrd,bgsd->bgtrs", qn, np.asarray(k)) / np.sqrt(hd)
+    for bb in range(b):
+        qpos = int(pos0[bb]) + np.arange(t)[:, None]
+        span = np.arange(s)[None, :]
+        bad = (span > qpos) | (span <= qpos - win)
+        sc[bb][:, np.broadcast_to(bad[:, None, :], (t, rep, s))] = -1e30
+    p = np.exp(sc - sc.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bgtrs,bgsd->bgtrd", p, np.asarray(v)).reshape(
+        b, kv, t * rep, hd)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=3e-5)
+
+
+def test_flash_decode_sliding_window():
+    import jax.numpy as jnp
+
+    from quant_gemm_tpu.ops.attention import flash_decode
+
+    rng = np.random.default_rng(16)
+    b, kv, rep, s, hd, win = 2, 2, 2, 256, 64, 48
+    pos = jnp.asarray([30, 200], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, kv, rep, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, kv, s, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, kv, s, hd)), jnp.float32)
+    out = flash_decode(q, k, v, pos, ts=64, window=win)
+
+    sc = np.einsum("bgrd,bgsd->bgrs", np.asarray(q), np.asarray(k)) / np.sqrt(hd)
+    span = np.arange(s)[None, :]
+    p_np = np.asarray(pos)[:, None]
+    bad = (span > p_np) | (span <= p_np - win)
+    sc[np.broadcast_to(bad[:, None, None, :], sc.shape)] = -1e30
+    pr = np.exp(sc - sc.max(-1, keepdims=True))
+    pr /= pr.sum(-1, keepdims=True)
+    ref = np.einsum("bgrs,bgsd->bgrd", pr, np.asarray(v))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5)
+
+
+def test_model_sliding_window_consistency():
+    """cfg.window: the flash-routed long prefill (T>=64), chunked dense
+    prefill, and decode all apply the same window."""
+    import jax.numpy as jnp
+
+    from quant_gemm_tpu.models import llama
+
+    cfg = llama.LlamaConfig(vocab=64, dim=128, n_layers=1, n_heads=2,
+                            n_kv_heads=2, d_ff=256, max_seq=128, window=24)
+    params = llama.init_params(cfg, seed=12)
+    qp = llama.quantize_params(params, "q8_0")
+    rng = np.random.default_rng(2)
+    toks = jnp.asarray(rng.integers(1, 64, (1, 64)), jnp.int32)
+
+    out_flash, c1 = llama.forward(qp, cfg, toks, llama.KVCache.init(cfg, 1))
+    c = llama.KVCache.init(cfg, 1)
+    out_a, c = llama.forward(qp, cfg, toks[:, :32], c)
+    out_b, c = llama.forward(qp, cfg, toks[:, 32:], c)
+    dense = np.concatenate([np.asarray(out_a), np.asarray(out_b)], axis=1)
+    np.testing.assert_allclose(np.asarray(out_flash), dense, atol=2e-3,
+                               rtol=2e-3)
+    # decode continues under the window
+    nxt = jnp.argmax(out_flash[:, -1], -1)[:, None].astype(jnp.int32)
+    d1, _ = llama.forward(qp, cfg, nxt, c1)
+    d2, _ = llama.forward(qp, cfg, nxt, c)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=2e-3,
+                               rtol=2e-3)
+    # windowed logits differ from full-causal (sanity that masking bites)
+    full, _ = llama.forward(qp, cfg._replace(window=0), toks,
+                            llama.KVCache.init(cfg, 1))
+    assert np.abs(np.asarray(full) - np.asarray(out_flash)).max() > 1e-3
