@@ -59,6 +59,8 @@ def config_from_metadata(md: dict) -> llama.LlamaConfig:
         rope_base=float(md.get("llama.rope.freq_base", 10000.0)),
         eps=float(md.get("llama.attention.layer_norm_rms_epsilon", 1e-5)),
         window=int(md.get("llama.attention.sliding_window", 0)),
+        # llama.cpp linear rope scaling divides positions by `factor`
+        rope_scale=1.0 / float(md.get("llama.rope.scaling.factor", 1.0)),
     )
 
 
@@ -164,6 +166,9 @@ def export_gguf(path, params: dict, cfg: llama.LlamaConfig,
     }
     if cfg.window:
         metadata["llama.attention.sliding_window"] = cfg.window
+    if cfg.rope_scale != 1.0:
+        metadata["llama.rope.scaling.type"] = "linear"
+        metadata["llama.rope.scaling.factor"] = 1.0 / cfg.rope_scale
     write_gguf(path, tensors, metadata)
 
 

@@ -43,6 +43,7 @@ class LlamaConfig(NamedTuple):
     rope_base: float = 10000.0
     eps: float = 1e-5
     window: int = 0  # sliding-window attention width (0 = full causal)
+    rope_scale: float = 1.0  # linear RoPE position scaling (1/factor)
 
     @property
     def head_dim(self) -> int:
@@ -301,7 +302,8 @@ def forward(
     b, t = tokens.shape
     pos0 = cache.pos  # [B]
     if rope_cache is None:
-        rope_cache = make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base)
+        rope_cache = make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base,
+                               freq_scale=cfg.rope_scale)
 
     x = qparams["embed"][tokens].astype(jnp.float32)  # [B, T, D]
     positions = pos0[:, None] + jnp.arange(t)[None, :]  # [B, T]
@@ -489,7 +491,8 @@ def greedy_decode(
     """Prefill the prompt then greedily decode ``steps`` tokens (jit-able)."""
     b = prompt.shape[0]
     cache = KVCache.init(cfg, b)
-    rc = make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base)
+    rc = make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base,
+                               freq_scale=cfg.rope_scale)
     logits, cache = forward(qparams, cfg, prompt, cache, act_mode=act_mode, rope_cache=rc)
     tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
 
@@ -532,7 +535,8 @@ def sample_decode(
     topk = jnp.full((b,), top_k, jnp.int32)
     topp = jnp.full((b,), top_p, jnp.float32)
     cache = KVCache.init(cfg, b)
-    rc = make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base)
+    rc = make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base,
+                               freq_scale=cfg.rope_scale)
     logits, cache = forward(qparams, cfg, prompt, cache, act_mode=act_mode,
                             rope_cache=rc)
     tok = sampling.sample(logits[:, -1], keys, cache.pos - 1, temps, topk,

@@ -77,7 +77,7 @@ class Server:
         self.queue: list[Request] = []
         self.finished: dict[int, Request] = {}
         self._next_rid = 0
-        self._rope = llama.make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base)
+        self._rope = llama.make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base, freq_scale=cfg.rope_scale)
 
         @functools.partial(jax.jit, static_argnames=("t",), donate_argnums=(2,))
         def _prefill_step(qparams, tokens, c1, length, t):

@@ -81,7 +81,7 @@ def _train_forward(params, cfg: LlamaConfig, tokens, qtype: str,
     live memory drops from O(L·b·t·dim) to O(b·t·dim) + one block).
     """
     b, t = tokens.shape
-    rc = make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base)
+    rc = make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base, freq_scale=cfg.rope_scale)
     x = params["embed"][tokens].astype(jnp.float32)
     blk = functools.partial(_layer, cfg=cfg, rc=rc, qtype=qtype)
     if remat:

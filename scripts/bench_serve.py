@@ -75,7 +75,7 @@ def main():
     print(f"weight stream per step: {lin_bytes/1e9:.3f} GB -> "
           f"{floor_us:.0f} us floor", flush=True)
 
-    rope = llama.make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base)
+    rope = llama.make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base, freq_scale=cfg.rope_scale)
 
     def fresh_cache():
         c = llama.KVCache.init(cfg, args.slots, args.kv)

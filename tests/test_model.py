@@ -181,3 +181,28 @@ def test_q8_kv_cache_matches_bf16():
     l2q, _ = llama.forward(qp, cfg2, toks2, llama.KVCache.init(cfg2, 1, "q8"))
     m = ErrorMetrics.compute(np.asarray(l2q), np.asarray(l2b))
     assert m.nmse < 1e-3, m
+
+
+def test_rope_scale_threads_through_forward():
+    """cfg.rope_scale changes positional encoding (long-context linear
+    scaling); scale 1.0 is the identity; GGUF factor round-trips."""
+    from quant_gemm_tpu.models import gguf_loader, llama
+
+    cfg = llama.LlamaConfig(vocab=64, dim=128, n_layers=1, n_heads=2,
+                            n_kv_heads=2, d_ff=256, max_seq=32)
+    params = llama.init_params(cfg, seed=13)
+    qp = llama.quantize_params(params, "q8_0")
+    toks = jnp.asarray([[3, 7, 9, 2]], jnp.int32)
+    base, _ = llama.forward(qp, cfg, toks, llama.KVCache.init(cfg, 1))
+    same, _ = llama.forward(qp, cfg._replace(rope_scale=1.0), toks,
+                            llama.KVCache.init(cfg, 1))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(same))
+    scaled_cfg = cfg._replace(rope_scale=0.25)  # factor-4 linear scaling
+    scaled, _ = llama.forward(qp, scaled_cfg, toks,
+                              llama.KVCache.init(scaled_cfg, 1))
+    assert np.abs(np.asarray(base) - np.asarray(scaled)).max() > 1e-3
+
+    md = {"llama.embedding_length": 128, "llama.block_count": 1,
+          "llama.attention.head_count": 2, "llama.feed_forward_length": 256,
+          "llama.rope.scaling.factor": 4.0}
+    assert gguf_loader.config_from_metadata(md).rope_scale == 0.25
