@@ -59,9 +59,24 @@ def config_from_metadata(md: dict) -> llama.LlamaConfig:
         rope_base=float(md.get("llama.rope.freq_base", 10000.0)),
         eps=float(md.get("llama.attention.layer_norm_rms_epsilon", 1e-5)),
         window=int(md.get("llama.attention.sliding_window", 0)),
-        # llama.cpp linear rope scaling divides positions by `factor`
-        rope_scale=1.0 / float(md.get("llama.rope.scaling.factor", 1.0)),
+        rope_scale=_rope_scale_from_metadata(md),
     )
+
+
+def _rope_scale_from_metadata(md: dict) -> float:
+    """llama.cpp LINEAR rope scaling divides positions by `factor`; other
+    scaling types (yarn, ...) are not linear-equivalent — refuse loudly
+    rather than silently mispositioning every token."""
+    factor = float(md.get("llama.rope.scaling.factor", 1.0))
+    stype = md.get("llama.rope.scaling.type", "linear")
+    if factor in (0.0, 1.0):
+        return 1.0
+    if stype != "linear":
+        raise ValueError(
+            f"unsupported rope scaling type {stype!r} (factor {factor}); "
+            "only linear scaling is implemented"
+        )
+    return 1.0 / factor
 
 
 def _rows(t) -> np.ndarray:

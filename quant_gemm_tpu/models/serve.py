@@ -171,6 +171,7 @@ class Server:
         self._keys = jnp.zeros((n_slots, 2), jnp.uint32)
         self._n_steps = 0
         self._n_tokens = 0
+        self._n_decode_tokens = 0
         self._n_prefill_tokens = 0
 
     # -- request lifecycle ---------------------------------------------------
@@ -184,6 +185,10 @@ class Server:
         top_p: float = 1.0,
         seed: Optional[int] = None,
     ) -> int:
+        if not prompt:
+            raise ValueError("empty prompt")
+        if max_new < 1:
+            raise ValueError(f"max_new must be >= 1, got {max_new}")
         r = Request(self._next_rid, list(prompt), max_new,
                     temperature=temperature, top_k=top_k, top_p=top_p,
                     seed=seed)
@@ -213,10 +218,16 @@ class Server:
                 r.top_k, r.top_p,
             ))
             r.generated.append(tok)
-            self._pending_tok[s] = tok
-            self.slots[s] = r
             self._n_prefill_tokens += len(r.prompt)
             self._n_tokens += 1
+            # the admit-time token can already satisfy the request
+            if (len(r.generated) >= r.max_new
+                    or (self.eos_id is not None and tok == self.eos_id)):
+                r.done = True
+                self.finished[r.rid] = r
+                continue
+            self._pending_tok[s] = tok
+            self.slots[s] = r
 
     def step(self) -> dict[int, int]:
         """Admit queued requests, run one batched decode step.
@@ -236,6 +247,7 @@ class Server:
         nxt = np.asarray(nxt)
         self._n_steps += 1
         self._n_tokens += len(active)
+        self._n_decode_tokens += len(active)
         out = {}
         for s in active:
             r = self.slots[s]
@@ -264,8 +276,10 @@ class Server:
             "active_slots": sum(s is not None for s in self.slots),
             "queued": len(self.queue),
             "finished": len(self.finished),
-            "tokens_per_step": (
-                self._n_tokens / self._n_steps if self._n_steps else 0.0
+            "tokens_per_step": (  # decode throughput only: admit-time
+                # (prefill-sampled) tokens are excluded
+                self._n_decode_tokens / self._n_steps
+                if self._n_steps else 0.0
             ),
         }
 

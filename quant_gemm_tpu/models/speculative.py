@@ -46,22 +46,21 @@ def _greedy(logits) -> jax.Array:
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
-def speculative_greedy_decode(
-    qp_target: dict,
-    cfg_target: llama.LlamaConfig,
-    qp_draft: dict,
-    cfg_draft: llama.LlamaConfig,
-    prompt,  # [B, T0] int32
-    steps: int,
-    *,
-    k: int = 4,
-    act_mode: str = "q8_1",
-):
-    """Generate ``steps`` tokens per slot; returns (tokens [B, steps],
-    tokens_per_target_call).
+def _spec_decode(qp_target, cfg_target, qp_draft, cfg_draft, prompt, steps,
+                 k, act_mode, first_token, propose, judge):
+    """Shared draft-verify round driver (both accept rules ride on this).
 
-    ``tokens_per_target_call`` is the speedup driver: plain decode is 1.0;
-    perfect agreement reaches k+1.
+    ``first_token(lg [B, V]) -> np [B]``: the first generated token.
+    ``propose(lg [B, V], i, state) -> np [B]``: draft token at position i.
+    ``judge(props [B, k], lg_t [B, k+1, V], state) -> (accepted [B],
+    next_tok [B])``: per-slot accepted-prefix length plus the one extra
+    token (correction or bonus).  ``state`` is a fresh dict per round for
+    propose->judge hand-off (e.g. recorded draft distributions).
+
+    Invariants kept HERE, once: the draft runs k+1 forwards so the last
+    proposal's k/v is written before a fully-accepted round advances pos
+    past it (zero-KV-hole fix), and both caches rewind to pos0+accepted+1
+    (stale entries are masked by pos and overwritten by the next block).
     """
     assert cfg_target.vocab == cfg_draft.vocab
     prompt = jnp.asarray(prompt, jnp.int32)
@@ -80,48 +79,36 @@ def speculative_greedy_decode(
     _, cache_d = fwd_d(qp_draft, prompt, cache_d)
     target_calls = 1
 
-    last = _greedy(logits_t[:, -1])  # first generated token (target's own)
-    out = [[int(last[s])] for s in range(b)]
+    first = np.asarray(first_token(logits_t[:, -1]), np.int64)
+    last = jnp.asarray(first, jnp.int32)
+    out = [[int(first[s])] for s in range(b)]
 
     while min(len(o) for o in out) < steps:
-        # --- draft proposes k tokens (greedy, from its own cache) ---------
-        # k+1 forwards: the extra one writes props[k-1]'s k/v into the
-        # draft cache (otherwise a fully-accepted round would advance pos
-        # past a never-written slot, and the zero k/v hole would poison
-        # every later draft round's attention)
-        proposals = []
+        state: dict = {}
+        props = np.zeros((b, k), np.int64)
         tok = last
         cache_d_round = cache_d
-        for _ in range(k + 1):
+        for i in range(k + 1):
             lg, cache_d_round = fwd_d(qp_draft, tok[:, None], cache_d_round)
-            tok = _greedy(lg[:, -1])
-            proposals.append(tok)
-        props = jnp.stack(proposals[:k], axis=1)  # [B, k]
-        props_np = np.asarray(props)
+            if i == k:
+                break
+            props[:, i] = propose(lg[:, -1], i, state)
+            tok = jnp.asarray(props[:, i], jnp.int32)
 
-        # --- target verifies the whole block in one forward ---------------
-        block = jnp.concatenate([last[:, None], props], axis=1)  # [B, k+1]
+        block = jnp.concatenate(
+            [last[:, None], jnp.asarray(props, jnp.int32)], axis=1
+        )
         pos0 = np.asarray(cache_t.pos)
         lg_t, cache_t = fwd_t(qp_target, block, cache_t)  # [B, k+1, V]
         target_calls += 1
-        greedy_t = np.asarray(_greedy(lg_t))  # [B, k+1]
 
-        # --- accept longest agreeing prefix + correction/bonus -------------
-        accepted = np.zeros(b, np.int32)
+        accepted, nxt = judge(props, lg_t, state)
         for s in range(b):
-            m = 0
-            while m < k and greedy_t[s, m] == props_np[s, m]:
-                m += 1
-            accepted[s] = m
-            out[s].extend(props_np[s, :m])
-            # m < k: target's correction for index pos0+m+1;
-            # m == k: all matched, greedy_t[s, k] is a free bonus token
-            out[s].append(int(greedy_t[s, m]))
+            out[s].extend(int(t) for t in props[s, : accepted[s]])
+            out[s].append(int(nxt[s]))
 
-        # --- rewind both caches to the accepted frontier -------------------
-        # (entries past it are stale; causal pos-masking hides them and the
-        # next block overwrites them)
-        new_pos = jnp.asarray(pos0 + accepted + 1, jnp.int32)
+        new_pos = jnp.asarray(pos0 + np.asarray(accepted, np.int64) + 1,
+                              jnp.int32)
         cache_t = cache_t._replace(pos=new_pos)
         cache_d = cache_d_round._replace(pos=new_pos)
         last = jnp.asarray(np.array([o[-1] for o in out], np.int32))
@@ -129,6 +116,48 @@ def speculative_greedy_decode(
     toks = np.stack([np.asarray(o[:steps], np.int32) for o in out])
     rate = float(np.mean([len(o) for o in out])) / target_calls
     return jnp.asarray(toks), rate
+
+
+def speculative_greedy_decode(
+    qp_target: dict,
+    cfg_target: llama.LlamaConfig,
+    qp_draft: dict,
+    cfg_draft: llama.LlamaConfig,
+    prompt,  # [B, T0] int32
+    steps: int,
+    *,
+    k: int = 4,
+    act_mode: str = "q8_1",
+):
+    """Generate ``steps`` tokens per slot; returns (tokens [B, steps],
+    tokens_per_target_call).
+
+    ``tokens_per_target_call`` is the speedup driver: plain decode is 1.0;
+    perfect agreement reaches k+1.
+    """
+
+    def first_token(lg):
+        return np.asarray(_greedy(lg))
+
+    def propose(lg, i, state):
+        return np.asarray(_greedy(lg))
+
+    def judge(props, lg_t, state):
+        greedy_t = np.asarray(_greedy(lg_t))  # [B, k+1]
+        b = props.shape[0]
+        accepted = np.zeros(b, np.int32)
+        nxt = np.zeros(b, np.int64)
+        for s in range(b):
+            m = 0
+            while m < k and greedy_t[s, m] == props[s, m]:
+                m += 1
+            accepted[s] = m
+            # m < k: the target's correction; m == k: a free bonus token
+            nxt[s] = greedy_t[s, m]
+        return accepted, nxt
+
+    return _spec_decode(qp_target, cfg_target, qp_draft, cfg_draft, prompt,
+                        steps, k, act_mode, first_token, propose, judge)
 
 
 def accept_or_residual(p_t: np.ndarray, p_d: np.ndarray, x: int,
@@ -183,17 +212,8 @@ def speculative_sample_decode(
         )
     from . import sampling
 
-    assert cfg_target.vocab == cfg_draft.vocab
-    prompt = jnp.asarray(prompt, jnp.int32)
-    b, _ = prompt.shape
-
-    fwd_t = jax.jit(
-        lambda p, t, c: llama.forward(p, cfg_target, t, c, act_mode=act_mode)
-    )
-    fwd_d = jax.jit(
-        lambda p, t, c: llama.forward(p, cfg_draft, t, c, act_mode=act_mode)
-    )
-
+    b = jnp.asarray(prompt).shape[0]
+    v = cfg_target.vocab
     tk = jnp.full((b,), top_k, jnp.int32)
     tp = jnp.full((b,), top_p, jnp.float32)
 
@@ -202,75 +222,43 @@ def speculative_sample_decode(
         scaled = logits.astype(jnp.float32) / max(temperature, 1e-6)
         return jax.nn.softmax(sampling.filter_logits(scaled, tk, tp), -1)
 
-    rngs = [np.random.default_rng(np.random.SeedSequence([seed, s]))
-            for s in range(b)]
+    rngs = [np.random.default_rng(np.random.SeedSequence([seed, s_]))
+            for s_ in range(b)]
 
-    cache_t = llama.KVCache.init(cfg_target, b)
-    cache_d = llama.KVCache.init(cfg_draft, b)
-    logits_t, cache_t = fwd_t(qp_target, prompt, cache_t)
-    _, cache_d = fwd_d(qp_draft, prompt, cache_d)
-    target_calls = 1
+    def first_token(lg):
+        p0 = np.asarray(probs_of(lg))
+        return np.array([rngs[s].choice(v, p=p0[s]) for s in range(b)])
 
-    p0 = np.asarray(probs_of(logits_t[:, -1]))
-    first = [int(rngs[s].choice(cfg_target.vocab, p=p0[s])) for s in range(b)]
-    last = jnp.asarray(first, jnp.int32)
-    out = [[first[s]] for s in range(b)]
+    def propose(lg, i, state):
+        pd = state.setdefault("pd", np.zeros((b, k, v), np.float32))
+        pd[:, i] = np.asarray(probs_of(lg))
+        return np.array([rngs[s].choice(v, p=pd[s, i]) for s in range(b)])
 
-    while min(len(o) for o in out) < steps:
-        # --- draft proposes k sampled tokens (+1 forward to write the last
-        # proposal's k/v; see the greedy variant) -------------------------
-        props = np.zeros((b, k), np.int64)
-        pd = np.zeros((b, k, cfg_target.vocab), np.float32)
-        tok = last
-        cache_d_round = cache_d
-        for i in range(k + 1):
-            lg, cache_d_round = fwd_d(qp_draft, tok[:, None], cache_d_round)
-            if i == k:
-                break
-            pd[:, i] = np.asarray(probs_of(lg[:, -1]))
-            props[:, i] = [
-                int(rngs[s].choice(cfg_target.vocab, p=pd[s, i]))
-                for s in range(b)
-            ]
-            tok = jnp.asarray(props[:, i], jnp.int32)
-
-        # --- target scores the whole block in one forward -----------------
-        block = jnp.concatenate(
-            [last[:, None], jnp.asarray(props, jnp.int32)], axis=1
-        )
-        pos0 = np.asarray(cache_t.pos)
-        lg_t, cache_t = fwd_t(qp_target, block, cache_t)  # [B, k+1, V]
-        target_calls += 1
+    def judge(props, lg_t, state):
+        pd = state["pd"]
         pt = np.asarray(jax.vmap(probs_of, in_axes=1, out_axes=1)(lg_t))
-
-        # --- rejection-sample the accepted prefix + one more token --------
         accepted = np.zeros(b, np.int32)
+        nxt = np.zeros(b, np.int64)
         for s in range(b):
             m = 0
-            nxt = None
+            chosen = None
             while m < k:
                 ok, res = accept_or_residual(
                     pt[s, m], pd[s, m], int(props[s, m]),
                     float(rngs[s].random()),
                 )
                 if not ok:
-                    nxt = int(rngs[s].choice(cfg_target.vocab, p=res))
+                    chosen = int(rngs[s].choice(v, p=res))
                     break
                 m += 1
-            if nxt is None:  # all accepted: bonus from the target's own dist
-                nxt = int(rngs[s].choice(cfg_target.vocab, p=pt[s, k]))
+            if chosen is None:  # all accepted: bonus from the target's dist
+                chosen = int(rngs[s].choice(v, p=pt[s, k]))
             accepted[s] = m
-            out[s].extend(int(t) for t in props[s, :m])
-            out[s].append(nxt)
+            nxt[s] = chosen
+        return accepted, nxt
 
-        new_pos = jnp.asarray(pos0 + accepted + 1, jnp.int32)
-        cache_t = cache_t._replace(pos=new_pos)
-        cache_d = cache_d_round._replace(pos=new_pos)
-        last = jnp.asarray(np.array([o[-1] for o in out], np.int32))
-
-    toks = np.stack([np.asarray(o[:steps], np.int32) for o in out])
-    rate = float(np.mean([len(o) for o in out])) / target_calls
-    return jnp.asarray(toks), rate
+    return _spec_decode(qp_target, cfg_target, qp_draft, cfg_draft, prompt,
+                        steps, k, act_mode, first_token, propose, judge)
 
 
 __all__ = ["speculative_greedy_decode", "speculative_sample_decode",

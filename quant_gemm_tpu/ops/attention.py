@@ -205,7 +205,12 @@ def flash_decode(
         last = pos[b] if not has_current else jnp.maximum(pos[b] - 1, 0)
         st = jnp.minimum(st, last // ts)
         if window:
-            first = jnp.maximum(pos[b] - window + 1, 0) // ts
+            # first can exceed last when the window holds ONLY the current
+            # token (window=1 at a tile boundary): clamp so the index stays
+            # in range — the kernel's tile guard already skips the compute
+            first = jnp.minimum(
+                jnp.maximum(pos[b] - window + 1, 0) // ts, last // ts
+            )
             st = jnp.maximum(st, first)
         return st
 

@@ -297,3 +297,44 @@ def test_model_sliding_window_consistency():
     full, _ = llama.forward(qp, cfg._replace(window=0), toks,
                             llama.KVCache.init(cfg, 1))
     assert np.abs(np.asarray(full) - np.asarray(out_flash)).max() > 1e-3
+
+
+def test_flash_decode_window_with_current_token_multi_tile():
+    """Production decode config: k_current/v_current fold + sliding window
+    across MULTIPLE KV tiles, incl. the window=1-at-tile-boundary edge
+    where the low clamp could exceed the last valid tile."""
+    import jax.numpy as jnp
+
+    from quant_gemm_tpu.ops.attention import flash_decode
+
+    rng = np.random.default_rng(17)
+    b, kv, rep, s, hd = 2, 2, 2, 256, 64
+    k = jnp.asarray(rng.standard_normal((b, kv, s, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, kv, s, hd)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((b, kv, rep, hd)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((b, kv, 1, hd)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((b, kv, 1, hd)), jnp.float32)
+
+    for pos_vals, win in (((70, 200), 48), ((64, 128), 1), ((130, 250), 100)):
+        pos = jnp.asarray(pos_vals, jnp.int32)
+        out = flash_decode(q, k, v, pos, ts=64, window=win,
+                           k_current=kc, v_current=vc)
+        # dense reference: cached slots (pos-win, pos) + the current token
+        kf = np.concatenate([np.asarray(k), np.zeros((b, kv, 1, hd))], 2)
+        vf = np.concatenate([np.asarray(v), np.zeros((b, kv, 1, hd))], 2)
+        for bb in range(b):
+            kf[bb, :, s] = np.asarray(kc)[bb, :, 0]
+            vf[bb, :, s] = np.asarray(vc)[bb, :, 0]
+        sc = np.einsum("bgrd,bgsd->bgrs", np.asarray(q), kf) / np.sqrt(hd)
+        span = np.arange(s + 1)[None, :]
+        p_np = np.asarray(pos)[:, None]
+        # cached span valid: span < pos and span > pos - win; slot s (the
+        # appended current token) always valid
+        bad = (span >= p_np) | (span <= p_np - win)
+        bad[:, s] = False
+        sc[np.broadcast_to(bad[:, None, None, :], sc.shape)] = -1e30
+        pr = np.exp(sc - sc.max(-1, keepdims=True))
+        pr /= pr.sum(-1, keepdims=True)
+        ref = np.einsum("bgrs,bgsd->bgrd", pr, vf)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5,
+                                   err_msg=f"pos={pos_vals} win={win}")

@@ -158,3 +158,26 @@ def test_server_stats(qparams):
     assert st["finished"] == 2 and st["queued"] == 0
     assert st["generated_tokens"] == 6 and st["prefill_tokens"] == 5
     assert st["decode_steps"] >= 2 and st["tokens_per_step"] > 0
+
+
+def test_admit_time_termination_and_guards(qparams):
+    """max_new=1 finishes at admission; eos at the first token finishes;
+    empty prompts are rejected; tokens_per_step counts decode only."""
+    srv = serve.Server(qparams, CFG, n_slots=2)
+    with pytest.raises(ValueError):
+        srv.submit([])
+    with pytest.raises(ValueError):
+        srv.submit([1], max_new=0)
+    rid = srv.submit([1, 2, 3], max_new=1)
+    res = srv.run_until_done()
+    assert len(res[rid]) == 1
+    st = srv.stats()
+    assert st["decode_steps"] == 0 and st["tokens_per_step"] == 0.0
+    assert st["generated_tokens"] == 1
+
+    # eos produced at admission: no extra decode tokens
+    first = res[rid][0]
+    srv2 = serve.Server(qparams, CFG, n_slots=2, eos_id=first)
+    rid2 = srv2.submit([1, 2, 3], max_new=8)
+    res2 = srv2.run_until_done()
+    assert res2[rid2] == [first]
