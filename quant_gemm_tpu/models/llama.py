@@ -204,6 +204,78 @@ def _quant_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return codes, scale
 
 
+def shift_context(cache: KVCache, cfg: LlamaConfig, keep: int,
+                  rope_cache=None, trigger: int | None = None) -> KVCache:
+    """llama.cpp-style context shift: drop each triggered slot's oldest
+    tokens, keep the newest ``keep``, re-positioned to 0..keep-1.
+
+    RoPE is a per-pair rotation by theta(pos), so rotating a slot's cached
+    KEYS by the uniform inverse rotation theta(delta) shifts every cached
+    position by -delta at once; values are position-free and only compact.
+    Slots with ``pos < trigger`` (default: only slots about to overflow,
+    ``trigger = max_seq - 1``) are left untouched (delta = 0).
+
+    For sliding-window models with ``keep >= cfg.window`` the attention set
+    is preserved exactly, so continuation logits match the unshifted run to
+    rope-rotation numerics.  For full-causal models this is the
+    StreamingLLM-style trade: old context is dropped to generate forever in
+    bounded memory.
+
+    int8 (q8) caches dequantize -> rotate -> requantize the shifted keys
+    (rotation mixes lanes, so per-vector scales are recomputed).
+    """
+    if rope_cache is None:
+        rope_cache = make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base,
+                                     freq_scale=cfg.rope_scale)
+    if trigger is None:
+        trigger = cfg.max_seq - 1
+    cos_t, sin_t = rope_cache
+    l, b, kv, smax, hd = cache.k.shape
+    assert 0 < keep <= smax
+    pos = cache.pos
+    delta = jnp.where(pos >= trigger, jnp.maximum(pos - keep, 0), 0)
+
+    def rotate_back(k_slab, d_b):  # [L, KV, keep, hd] by -theta(delta)
+        cos = cos_t[d_b][None, None, None, :]
+        sin = sin_t[d_b][None, None, None, :]
+        x = k_slab.astype(jnp.float32)
+        x0, x1 = x[..., : hd // 2], x[..., hd // 2 :]
+        return jnp.concatenate(
+            [x0 * cos + x1 * sin, -x0 * sin + x1 * cos], axis=-1
+        )
+
+    new_k, new_v = cache.k, cache.v
+    new_ks, new_vs = cache.ks, cache.vs
+    for bb in range(b):
+        st = delta[bb]
+        kslab = jax.lax.dynamic_slice(
+            cache.k[:, bb], (0, 0, st, 0), (l, kv, keep, hd)
+        )
+        vslab = jax.lax.dynamic_slice(
+            cache.v[:, bb], (0, 0, st, 0), (l, kv, keep, hd)
+        )
+        if cache.quantized:
+            kss = jax.lax.dynamic_slice(
+                cache.ks[:, bb], (0, 0, st), (l, kv, keep)
+            )
+            vss = jax.lax.dynamic_slice(
+                cache.vs[:, bb], (0, 0, st), (l, kv, keep)
+            )
+            kf = rotate_back(
+                kslab.astype(jnp.float32) * kss[..., None], delta[bb]
+            )
+            kq, ks_new = _quant_kv(kf)
+            new_k = new_k.at[:, bb, :, :keep].set(kq)
+            new_ks = new_ks.at[:, bb, :, :keep].set(ks_new)
+            new_v = new_v.at[:, bb, :, :keep].set(vslab)
+            new_vs = new_vs.at[:, bb, :, :keep].set(vss)
+        else:
+            kf = rotate_back(kslab, delta[bb]).astype(cache.k.dtype)
+            new_k = new_k.at[:, bb, :, :keep].set(kf)
+            new_v = new_v.at[:, bb, :, :keep].set(vslab)
+    return KVCache(new_k, new_v, pos - delta, new_ks, new_vs)
+
+
 def _attention(cfg, q, k_all, v_all, positions, ks=None, vs=None,
                differentiable=False):
     """q: [B, T, H, hd]; k_all/v_all: [B, KV, S, hd] (full cache buffers).
@@ -563,5 +635,6 @@ __all__ = [
     "forward_float",
     "greedy_decode",
     "sample_decode",
+    "shift_context",
     "KVCache",
 ]

@@ -61,6 +61,7 @@ class Server:
         eos_id: Optional[int] = None,
         cache_qtype: str = "bf16",
         max_prefill_chunk: Optional[int] = None,
+        context_shift: bool = False,
     ):
         self.qparams = qparams
         self.cfg = cfg
@@ -72,6 +73,17 @@ class Server:
         # long prompts prefill in chunks of this size (defaults to 8
         # buckets) -> bounded set of compiled prefill programs
         self.max_chunk = max_prefill_chunk or prefill_bucket * 8
+        # context_shift: instead of finishing a request whose slot hits
+        # max_seq, drop its oldest tokens (llama.cpp context shift /
+        # llama.shift_context) and keep generating in bounded cache memory.
+        # Exact for sliding-window models when keep >= window.
+        self.context_shift = context_shift
+        keep = cfg.window if cfg.window else cfg.max_seq // 2
+        self._shift_keep = max(keep, 1)
+        self._shift = jax.jit(
+            lambda c: llama.shift_context(c, cfg, self._shift_keep,
+                                          rope_cache=self._rope)
+        ) if context_shift else None
         self.cache = llama.KVCache.init(cfg, n_slots, cache_qtype)
         self.slots: list[Optional[Request]] = [None] * n_slots
         self.queue: list[Request] = []
@@ -238,6 +250,9 @@ class Server:
         active = [s for s in range(self.n_slots) if self.slots[s] is not None]
         if not active:
             return {}
+        if self.context_shift and int(np.max(np.asarray(self.cache.pos))) \
+                >= self.cfg.max_seq - 1:
+            self.cache = self._shift(self.cache)
         tokens = jnp.asarray(self._pending_tok[:, None])
         nxt, self.cache = self._decode(
             self.qparams, tokens, self.cache, self._keys,
@@ -258,7 +273,8 @@ class Server:
             if (
                 len(r.generated) >= r.max_new
                 or (self.eos_id is not None and tok == self.eos_id)
-                or int(self.cache.pos[s]) >= self.cfg.max_seq - 1
+                or (not self.context_shift
+                    and int(self.cache.pos[s]) >= self.cfg.max_seq - 1)
             ):
                 r.done = True
                 self.finished[r.rid] = r

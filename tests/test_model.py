@@ -206,3 +206,44 @@ def test_rope_scale_threads_through_forward():
           "llama.attention.head_count": 2, "llama.feed_forward_length": 256,
           "llama.rope.scaling.factor": 4.0}
     assert gguf_loader.config_from_metadata(md).rope_scale == 0.25
+
+
+def test_context_shift_preserves_windowed_logits():
+    """Windowed model: shifting keeps the attention set intact, so decode
+    after shift_context matches the unshifted continuation (both cache
+    precisions)."""
+    from quant_gemm_tpu.models import llama
+
+    for qtype, tol in (("bf16", 3e-2), ("q8", 6e-2)):
+        cfg = llama.LlamaConfig(vocab=64, dim=128, n_layers=2, n_heads=2,
+                                n_kv_heads=2, d_ff=256, max_seq=64, window=12)
+        params = llama.init_params(cfg, seed=20)
+        qp = llama.quantize_params(params, "q8_0")
+        rng = np.random.default_rng(7)
+        toks = jnp.asarray(rng.integers(1, 64, (2, 40)), jnp.int32)
+        _, cache = llama.forward(qp, cfg, toks,
+                                 llama.KVCache.init(cfg, 2, qtype))
+
+        shifted = llama.shift_context(cache, cfg, keep=16, trigger=0)
+        assert int(shifted.pos[0]) == 16
+        nxt = jnp.asarray(rng.integers(1, 64, (2, 1)), jnp.int32)
+        ref, _ = llama.forward(qp, cfg, nxt, cache)
+        got, _ = llama.forward(qp, cfg, nxt, shifted)
+        err = float(jnp.abs(got - ref).max())
+        rel = err / float(jnp.abs(ref).max())
+        assert rel < tol, (qtype, err, rel)
+
+
+def test_context_shift_noop_below_trigger():
+    """Slots below the trigger keep their cache bit-identically."""
+    from quant_gemm_tpu.models import llama
+
+    cfg = llama.LlamaConfig(vocab=64, dim=128, n_layers=1, n_heads=2,
+                            n_kv_heads=2, d_ff=256, max_seq=32)
+    qp = llama.quantize_params(llama.init_params(cfg, seed=21), "q8_0")
+    toks = jnp.asarray([[5, 9, 3]], jnp.int32)
+    _, cache = llama.forward(qp, cfg, toks, llama.KVCache.init(cfg, 1))
+    shifted = llama.shift_context(cache, cfg, keep=8)  # trigger = max_seq-1
+    assert int(shifted.pos[0]) == int(cache.pos[0])
+    np.testing.assert_array_equal(np.asarray(shifted.k[:, :, :, :3]),
+                                  np.asarray(cache.k[:, :, :, :3]))

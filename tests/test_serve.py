@@ -181,3 +181,25 @@ def test_admit_time_termination_and_guards(qparams):
     rid2 = srv2.submit([1, 2, 3], max_new=8)
     res2 = srv2.run_until_done()
     assert res2[rid2] == [first]
+
+
+def test_context_shift_generates_past_max_seq():
+    """context_shift=True: a request can generate more tokens than the
+    cache has room for; a windowed model's early tokens match the
+    unshifted server."""
+    cfg = llama.LlamaConfig(vocab=64, dim=128, n_layers=1, n_heads=2,
+                            n_kv_heads=2, d_ff=256, max_seq=32, window=8)
+    qp = llama.quantize_params(llama.init_params(cfg, seed=30), "q8_0")
+    prompt = [5, 9, 3, 7]
+    srv = serve.Server(qp, cfg, n_slots=1, context_shift=True)
+    rid = srv.submit(prompt, max_new=40)  # prompt+40 > max_seq=32
+    toks = srv.run_until_done()[rid]
+    assert len(toks) == 40
+    assert all(0 <= t < cfg.vocab for t in toks)
+    # without shifting the request is cut off at the cache boundary
+    srv2 = serve.Server(qp, cfg, n_slots=1)
+    rid2 = srv2.submit(prompt, max_new=40)
+    toks2 = srv2.run_until_done()[rid2]
+    assert len(toks2) < 40
+    # pre-shift tokens identical
+    assert toks[: len(toks2) - 1] == toks2[: len(toks2) - 1]
