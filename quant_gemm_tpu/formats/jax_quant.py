@@ -8,8 +8,9 @@ block.  Semantics are identical to :mod:`quant_gemm_tpu.formats.numpy_ref`
 test suite asserts bit-equality between the two paths.
 
 These run under ``jit`` and are the building blocks the model runtime uses to
-quantize activations on the fly; a Pallas version of the Q8_1 activation
-quantizer lives in :mod:`quant_gemm_tpu.kernels.quantize_pallas`.
+quantize activations on the fly; the in-kernel (fused) Q8_1 activation
+quantizer lives in :mod:`quant_gemm_tpu.kernels.gemm_exact` (fused variant)
+and :mod:`quant_gemm_tpu.kernels.gemm_pallas` (``fused_quant=True``).
 """
 
 from __future__ import annotations
@@ -17,6 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..utils import F16_MAX
 from .blocks import (
     QK,
     Q4_0Tensor,
@@ -81,7 +83,7 @@ def expand_scale(d: jax.Array) -> jax.Array:
 def quantize_q4_0(x: jax.Array) -> Q4_0Tensor:
     xb = _blocks(x)
     amax = jnp.abs(xb).max(axis=-1)
-    d = (amax / 7.0).astype(jnp.float16)
+    d = (amax / 7.0).clip(-F16_MAX, F16_MAX).astype(jnp.float16)
     q = jnp.clip(jnp.rint(xb * _safe_inv(d)[..., None]), -8, 7).astype(jnp.int8) + 8
     return Q4_0Tensor(pack_planar_4bit(q.reshape(x.shape)), d)
 
@@ -90,17 +92,17 @@ def quantize_q4_1(x: jax.Array) -> Q4_1Tensor:
     xb = _blocks(x)
     mn = xb.min(axis=-1)
     mx = xb.max(axis=-1)
-    d = ((mx - mn) / 15.0).astype(jnp.float16)
+    d = ((mx - mn) / 15.0).clip(-F16_MAX, F16_MAX).astype(jnp.float16)
     q = jnp.clip(jnp.rint((xb - mn[..., None]) * _safe_inv(d)[..., None]), 0, 15)
     return Q4_1Tensor(
-        pack_planar_4bit(q.astype(jnp.uint8).reshape(x.shape)), d, mn.astype(jnp.float16)
+        pack_planar_4bit(q.astype(jnp.uint8).reshape(x.shape)), d, mn.clip(-F16_MAX, F16_MAX).astype(jnp.float16)
     )
 
 
 def quantize_q5_0(x: jax.Array) -> Q5_0Tensor:
     xb = _blocks(x)
     amax = jnp.abs(xb).max(axis=-1)
-    d = (amax / 15.0).astype(jnp.float16)
+    d = (amax / 15.0).clip(-F16_MAX, F16_MAX).astype(jnp.float16)
     q = jnp.clip(jnp.rint(xb * _safe_inv(d)[..., None]) + 16, 0, 31).astype(jnp.uint8)
     q = q.reshape(x.shape)
     return Q5_0Tensor(pack_planar_4bit(q & 0x0F), pack_planar_bits(q >> 4), d)
@@ -110,18 +112,18 @@ def quantize_q5_1(x: jax.Array) -> Q5_1Tensor:
     xb = _blocks(x)
     mn = xb.min(axis=-1)
     mx = xb.max(axis=-1)
-    d = ((mx - mn) / 31.0).astype(jnp.float16)
+    d = ((mx - mn) / 31.0).clip(-F16_MAX, F16_MAX).astype(jnp.float16)
     q = jnp.clip(jnp.rint((xb - mn[..., None]) * _safe_inv(d)[..., None]), 0, 31)
     q = q.astype(jnp.uint8).reshape(x.shape)
     return Q5_1Tensor(
-        pack_planar_4bit(q & 0x0F), pack_planar_bits(q >> 4), d, mn.astype(jnp.float16)
+        pack_planar_4bit(q & 0x0F), pack_planar_bits(q >> 4), d, mn.clip(-F16_MAX, F16_MAX).astype(jnp.float16)
     )
 
 
 def quantize_q8_0(x: jax.Array) -> Q8_0Tensor:
     xb = _blocks(x)
     amax = jnp.abs(xb).max(axis=-1)
-    d = (amax / 127.0).astype(jnp.float16)
+    d = (amax / 127.0).clip(-F16_MAX, F16_MAX).astype(jnp.float16)
     q = jnp.clip(jnp.rint(xb * _safe_inv(d)[..., None]), -127, 127).astype(jnp.int8)
     return Q8_0Tensor(q.reshape(x.shape), d)
 
@@ -130,10 +132,10 @@ def quantize_q8_1(x: jax.Array) -> Q8_1Tensor:
     """Activation quantizer with the llama.cpp-exact s = f16(d * sum(q))."""
     xb = _blocks(x)
     amax = jnp.abs(xb).max(axis=-1)
-    d = (amax / 127.0).astype(jnp.float16)
+    d = (amax / 127.0).clip(-F16_MAX, F16_MAX).astype(jnp.float16)
     q = jnp.clip(jnp.rint(xb * _safe_inv(d)[..., None]), -127, 127).astype(jnp.int8)
     sum_q = q.astype(jnp.int32).sum(axis=-1)
-    s = (sum_q.astype(jnp.float32) * d.astype(jnp.float32)).astype(jnp.float16)
+    s = (sum_q.astype(jnp.float32) * d.astype(jnp.float32)).clip(-F16_MAX, F16_MAX).astype(jnp.float16)
     return Q8_1Tensor(q.reshape(x.shape), d, s)
 
 

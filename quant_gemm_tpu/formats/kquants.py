@@ -32,6 +32,7 @@ from typing import NamedTuple
 
 import numpy as np
 
+from ..utils import F16_MAX
 from .blocks import QK
 
 QK_K = 256  # super-block size
@@ -92,8 +93,8 @@ def quantize_q4_k(x: np.ndarray) -> Q4_KTensor:
 
     sup_scale = scale.reshape(n, -1, NSB).max(axis=2)  # [N, nsb]
     sup_min = minv.reshape(n, -1, NSB).max(axis=2)
-    d = (sup_scale / 63.0).astype(np.float16)
-    dmin = (sup_min / 63.0).astype(np.float16)
+    d = (sup_scale / 63.0).clip(-F16_MAX, F16_MAX).astype(np.float16)
+    dmin = (sup_min / 63.0).clip(-F16_MAX, F16_MAX).astype(np.float16)
     d32 = d.astype(np.float32)
     dmin32 = dmin.astype(np.float32)
 
@@ -283,8 +284,8 @@ def quantize_q5_k(x: np.ndarray) -> Q5_KTensor:
 
     sup_scale = scale.reshape(n, -1, NSB).max(axis=2)
     sup_min = minv.reshape(n, -1, NSB).max(axis=2)
-    d = (sup_scale / 63.0).astype(np.float16)
-    dmin = (sup_min / 63.0).astype(np.float16)
+    d = (sup_scale / 63.0).clip(-F16_MAX, F16_MAX).astype(np.float16)
+    dmin = (sup_min / 63.0).clip(-F16_MAX, F16_MAX).astype(np.float16)
     d32 = d.astype(np.float32)
     dmin32 = dmin.astype(np.float32)
 

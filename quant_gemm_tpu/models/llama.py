@@ -627,11 +627,19 @@ def sample_decode(
     return jnp.concatenate([tok[:, None], toks.T], axis=1), cache
 
 
+# Module-level jitted forward (``cfg``/``act_mode`` static).  Entry points
+# and callers share ONE jit cache through this — per-call ``jax.jit``
+# wrappers each recompile the same program (~25 s per instance on the CPU
+# test backend, and real cost on production restarts).
+jit_forward = jax.jit(forward, static_argnames=("cfg", "act_mode"))
+
+
 __all__ = [
     "LlamaConfig",
     "init_params",
     "quantize_params",
     "forward",
+    "jit_forward",
     "forward_float",
     "greedy_decode",
     "sample_decode",

@@ -35,6 +35,86 @@ from ..utils import round_up
 from . import llama, sampling
 
 
+# -- module-level jitted programs -------------------------------------------
+# Shared by every Server instance: jax.jit caches on (static cfg/act_mode,
+# operand shapes, param treedef), so spinning up a second Server with the
+# same model costs ZERO recompiles.  (These were per-instance closures once;
+# each new Server re-traced prefill+decode — ~25 s per instance on the CPU
+# test backend and a real cost in production restarts.)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "act_mode", "t"), donate_argnums=(3,)
+)
+def _prefill_step(qparams, rope, tokens, c1, length, *, cfg, act_mode, t):
+    # tokens [1, t] padded; only `length` real (continues from c1.pos —
+    # long prompts arrive as bucket-sized chunks, so the number of compiled
+    # prefill programs is bounded by the bucket count, not the prompt-length
+    # distribution)
+    del t  # static: distinguishes bucket shapes in the jit cache key
+    logits, c1 = llama.forward(
+        qparams, cfg, tokens, c1, act_mode=act_mode, rope_cache=rope
+    )
+    return c1, logits[0, length - 1]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "act_mode"), donate_argnums=(3,)
+)
+def _decode_step(qparams, rope, tokens, cache, keys, temps, topk, topp, *,
+                 cfg, act_mode):
+    logits, cache = llama.forward(
+        qparams, cfg, tokens, cache, act_mode=act_mode, rope_cache=rope
+    )
+    # fold position = the sampled token's own position (pos - 1 after the
+    # forward advanced it) — same scheme as llama.sample_decode, so replays
+    # match across entry points
+    nxt = sampling.sample(
+        logits[:, -1], keys, cache.pos - 1, temps, topk, topp
+    )
+    return nxt, cache
+
+
+@jax.jit
+def _sample_one(logits, key, position, temp, topk, topp):
+    return sampling.sample(
+        logits[None], key[None], jnp.asarray([position]),
+        jnp.asarray([temp]), jnp.asarray([topk]),
+        jnp.asarray([topp]),
+    )[0]
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _insert_slot(cache, slot, k1, v1, scales, length):
+    # donated in-place slot insert (a functional .at[].set on the full
+    # cache copied hundreds of MB per admitted request)
+    new = cache._replace(
+        k=jax.lax.dynamic_update_slice(
+            cache.k, k1[:, None], (0, slot, 0, 0, 0)
+        ),
+        v=jax.lax.dynamic_update_slice(
+            cache.v, v1[:, None], (0, slot, 0, 0, 0)
+        ),
+        pos=cache.pos.at[slot].set(length),
+    )
+    if cache.quantized:
+        ks1, vs1 = scales
+        new = new._replace(
+            ks=jax.lax.dynamic_update_slice(
+                cache.ks, ks1[:, None], (0, slot, 0, 0)
+            ),
+            vs=jax.lax.dynamic_update_slice(
+                cache.vs, vs1[:, None], (0, slot, 0, 0)
+            ),
+        )
+    return new
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "keep"))
+def _shift_cache(cache, rope, *, cfg, keep):
+    return llama.shift_context(cache, cfg, keep, rope_cache=rope)
+
+
 @dataclasses.dataclass
 class Request:
     rid: int
@@ -80,102 +160,12 @@ class Server:
         self.context_shift = context_shift
         keep = cfg.window if cfg.window else cfg.max_seq // 2
         self._shift_keep = max(keep, 1)
-        self._shift = jax.jit(
-            lambda c: llama.shift_context(c, cfg, self._shift_keep,
-                                          rope_cache=self._rope)
-        ) if context_shift else None
         self.cache = llama.KVCache.init(cfg, n_slots, cache_qtype)
         self.slots: list[Optional[Request]] = [None] * n_slots
         self.queue: list[Request] = []
         self.finished: dict[int, Request] = {}
         self._next_rid = 0
         self._rope = llama.make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base, freq_scale=cfg.rope_scale)
-
-        @functools.partial(jax.jit, static_argnames=("t",), donate_argnums=(2,))
-        def _prefill_step(qparams, tokens, c1, length, t):
-            # tokens [1, t] padded; only `length` real (continues from
-            # c1.pos — long prompts arrive as bucket-sized chunks, so the
-            # number of compiled prefill programs is bounded by the bucket
-            # count, not the prompt-length distribution)
-            logits, c1 = llama.forward(
-                qparams, cfg, tokens, c1, act_mode=act_mode, rope_cache=self._rope
-            )
-            return c1, logits[0, length - 1]
-
-        def _prefill(qparams, prompt):
-            """Chunked prefill of one request -> (slot slabs, last logits)."""
-            c1 = llama.KVCache.init(cfg, 1, cache_qtype)
-            chunk = self.max_chunk
-            off = 0
-            while off < len(prompt):
-                part = prompt[off : off + chunk]
-                t = max(self.bucket, round_up(len(part), self.bucket))
-                padded = np.zeros((1, t), np.int32)
-                padded[0, : len(part)] = part
-                # the padded tail writes garbage past the real tokens; pos
-                # must only advance by the REAL length so the next chunk
-                # overwrites it
-                c1, last = _prefill_step(
-                    qparams, jnp.asarray(padded), c1, len(part), t=t
-                )
-                c1 = c1._replace(
-                    pos=jnp.full((1,), off + len(part), jnp.int32)
-                )
-                off += len(part)
-            scales = ((c1.ks[:, 0], c1.vs[:, 0]) if c1.quantized
-                      else (None, None))
-            return c1.k[:, 0], c1.v[:, 0], scales, last
-
-        @functools.partial(jax.jit, donate_argnums=(2,))
-        def _decode(qparams, tokens, cache, keys, temps, topk, topp):
-            logits, cache = llama.forward(
-                qparams, cfg, tokens, cache, act_mode=act_mode, rope_cache=self._rope
-            )
-            # fold position = the sampled token's own position (pos - 1
-            # after the forward advanced it) — same scheme as
-            # llama.sample_decode, so replays match across entry points
-            nxt = sampling.sample(
-                logits[:, -1], keys, cache.pos - 1, temps, topk, topp
-            )
-            return nxt, cache
-
-        @functools.partial(jax.jit)
-        def _sample_one(logits, key, position, temp, topk, topp):
-            return sampling.sample(
-                logits[None], key[None], jnp.asarray([position]),
-                jnp.asarray([temp]), jnp.asarray([topk]),
-                jnp.asarray([topp]),
-            )[0]
-
-        @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=())
-        def _insert(cache, slot, k1, v1, scales, length):
-            # donated in-place slot insert (a functional .at[].set on the
-            # full cache copied hundreds of MB per admitted request)
-            new = cache._replace(
-                k=jax.lax.dynamic_update_slice(
-                    cache.k, k1[:, None], (0, slot, 0, 0, 0)
-                ),
-                v=jax.lax.dynamic_update_slice(
-                    cache.v, v1[:, None], (0, slot, 0, 0, 0)
-                ),
-                pos=cache.pos.at[slot].set(length),
-            )
-            if cache.quantized:
-                ks1, vs1 = scales
-                new = new._replace(
-                    ks=jax.lax.dynamic_update_slice(
-                        cache.ks, ks1[:, None], (0, slot, 0, 0)
-                    ),
-                    vs=jax.lax.dynamic_update_slice(
-                        cache.vs, vs1[:, None], (0, slot, 0, 0)
-                    ),
-                )
-            return new
-
-        self._prefill = _prefill
-        self._insert = _insert
-        self._decode = _decode
-        self._sample_one = _sample_one
         self._pending_tok = np.zeros(n_slots, np.int32)
         self._temps = np.zeros(n_slots, np.float32)
         self._topk = np.zeros(n_slots, np.int32)
@@ -208,15 +198,34 @@ class Server:
         self.queue.append(r)
         return r.rid
 
+    def _prefill(self, prompt):
+        """Chunked prefill of one request -> (slot slabs, last logits)."""
+        c1 = llama.KVCache.init(self.cfg, 1, self.cache_qtype)
+        off = 0
+        while off < len(prompt):
+            part = prompt[off : off + self.max_chunk]
+            t = max(self.bucket, round_up(len(part), self.bucket))
+            padded = np.zeros((1, t), np.int32)
+            padded[0, : len(part)] = part
+            # the padded tail writes garbage past the real tokens; pos must
+            # only advance by the REAL length so the next chunk overwrites it
+            c1, last = _prefill_step(
+                self.qparams, self._rope, jnp.asarray(padded), c1,
+                len(part), cfg=self.cfg, act_mode=self.act_mode, t=t,
+            )
+            c1 = c1._replace(pos=jnp.full((1,), off + len(part), jnp.int32))
+            off += len(part)
+        scales = ((c1.ks[:, 0], c1.vs[:, 0]) if c1.quantized
+                  else (None, None))
+        return c1.k[:, 0], c1.v[:, 0], scales, last
+
     def _admit(self) -> None:
         for s in range(self.n_slots):
             if self.slots[s] is not None or not self.queue:
                 continue
             r = self.queue.pop(0)
-            k1, v1, scales, last_logits = self._prefill(
-                self.qparams, r.prompt
-            )
-            self.cache = self._insert(
+            k1, v1, scales, last_logits = self._prefill(r.prompt)
+            self.cache = _insert_slot(
                 self.cache, jnp.int32(s), k1, v1, scales,
                 jnp.int32(len(r.prompt)),
             )
@@ -225,7 +234,7 @@ class Server:
             self._temps[s] = r.temperature
             self._topk[s] = r.top_k
             self._topp[s] = r.top_p
-            tok = int(self._sample_one(
+            tok = int(_sample_one(
                 last_logits, rkey, len(r.prompt) - 1, r.temperature,
                 r.top_k, r.top_p,
             ))
@@ -252,12 +261,14 @@ class Server:
             return {}
         if self.context_shift and int(np.max(np.asarray(self.cache.pos))) \
                 >= self.cfg.max_seq - 1:
-            self.cache = self._shift(self.cache)
+            self.cache = _shift_cache(self.cache, self._rope, cfg=self.cfg,
+                                      keep=self._shift_keep)
         tokens = jnp.asarray(self._pending_tok[:, None])
-        nxt, self.cache = self._decode(
-            self.qparams, tokens, self.cache, self._keys,
+        nxt, self.cache = _decode_step(
+            self.qparams, self._rope, tokens, self.cache, self._keys,
             jnp.asarray(self._temps), jnp.asarray(self._topk),
             jnp.asarray(self._topp),
+            cfg=self.cfg, act_mode=self.act_mode,
         )
         nxt = np.asarray(nxt)
         self._n_steps += 1

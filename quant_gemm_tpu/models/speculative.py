@@ -66,12 +66,13 @@ def _spec_decode(qp_target, cfg_target, qp_draft, cfg_draft, prompt, steps,
     prompt = jnp.asarray(prompt, jnp.int32)
     b, _ = prompt.shape
 
-    fwd_t = jax.jit(
-        lambda p, t, c: llama.forward(p, cfg_target, t, c, act_mode=act_mode)
-    )
-    fwd_d = jax.jit(
-        lambda p, t, c: llama.forward(p, cfg_draft, t, c, act_mode=act_mode)
-    )
+    # module-level shared jit: caches across calls (and with every other
+    # entry point that jits llama.forward with the same cfg/shapes)
+    def fwd_t(p, t, c):
+        return llama.jit_forward(p, cfg_target, t, c, act_mode=act_mode)
+
+    def fwd_d(p, t, c):
+        return llama.jit_forward(p, cfg_draft, t, c, act_mode=act_mode)
 
     cache_t = llama.KVCache.init(cfg_target, b)
     cache_d = llama.KVCache.init(cfg_draft, b)

@@ -65,9 +65,11 @@ _PITFALLS = """\
 4. **Per-element VPU work is the decode bottleneck**: raw-code int8 MXU dots
    (exact kernel) beat dequant-then-matmul for M <= 12 because they skip the
    ~6 dequant ops per weight element.
-5. **Rounding**: quantizers use round-half-away-from-zero
-   (`np.floor(x/d + 0.5)`-style) to match llama.cpp `roundf`; jnp.round is
-   half-to-even and will break <1e-6 vec_dot parity.
+5. **Rounding**: quantizers use round-half-to-EVEN (`np.rint` / `jnp.rint`),
+   matching CUDA `__float2int_rn` (/root/reference include/quantize.h:250) and
+   this repo's convention (docs/CONVENTIONS.md, utils.round_nearest_even).
+   Do NOT use `floor(x + 0.5)`-style away-from-zero rounding — it differs on
+   exact .5 ties and fails the bit-equality tests.
 6. **Q8_1 sum**: s = f16(d * sum(q)) (llama.cpp-exact), NOT sum(x).
 7. **fori_loop / scan only**: no data-dependent Python control flow; grids
    and block shapes are static.  K-innermost grid with an f32 VMEM-resident

@@ -45,4 +45,21 @@ def f16(x):
     return np.asarray(x, dtype=np.float16)
 
 
-__all__ = ["cdiv", "round_up", "round_nearest_even", "f16"]
+#: Largest finite float16 value — the saturation bound for stored scales.
+F16_MAX = 65504.0
+
+
+def f16_sat(x):
+    """Saturating cast to float16 (degenerate-block policy).
+
+    Project policy (docs/CONVENTIONS.md "Degenerate blocks"): f16-stored
+    block values (``d``/``m``/``s``) **saturate** to ±65504 instead of
+    overflowing to inf — an inf scale turns ``0 * inf`` into NaN in the f32
+    epilogues, poisoning whole output tiles.  llama.cpp's plain f16 cast has
+    the inf cliff (same storage, no guard); any input whose scales fit f16
+    is bit-identical to the unsaturated cast.
+    """
+    return np.asarray(np.clip(x, -F16_MAX, F16_MAX), dtype=np.float16)
+
+
+__all__ = ["cdiv", "round_up", "round_nearest_even", "f16", "F16_MAX", "f16_sat"]

@@ -17,6 +17,7 @@ def setup():
     return params, llama.quantize_params(params, "q8_0")
 
 
+@pytest.mark.slow
 def test_nll_matches_manual_cross_entropy(setup):
     params, qp = setup
     toks = jnp.asarray(np.random.default_rng(0).integers(1, 64, (1, 12)),

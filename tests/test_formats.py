@@ -9,7 +9,9 @@ the AoS serialization against hand-constructed byte patterns.
 import numpy as np
 import pytest
 
-from quant_gemm_tpu.formats import SPECS, gguf, numpy_ref
+import jax.numpy as jnp
+
+from quant_gemm_tpu.formats import SPECS, gguf, jax_quant, numpy_ref
 from quant_gemm_tpu.formats.blocks import QK
 from quant_gemm_tpu.harness import datagen
 from quant_gemm_tpu.harness.metrics import ErrorMetrics
@@ -161,6 +163,32 @@ def test_degenerate_blocks():
         big = np.full((1, 32), 6.5e4, np.float32)  # near f16 max
         out = numpy_ref.dequantize(numpy_ref.QUANTIZE[fmt](big))
         assert np.isfinite(out).all()
+
+
+def test_degenerate_saturation_policy():
+    """Pinned policy (docs/CONVENTIONS.md): f16-stored block values saturate
+    to +-65504 instead of overflowing to inf, so every stored scale is finite
+    and no downstream `0 * inf` NaN can occur.  Exercises the actual
+    overflow cliff: a Q8_1 block whose d * sum(q) exceeds f16 max."""
+    import warnings
+
+    # all-max block: d = f16(3e38/127) would be inf without saturation
+    huge = np.full((1, 32), 3e38, np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the old code path warned here
+        t = numpy_ref.quantize_q8_1(huge)
+    assert np.isfinite(np.asarray(t.d, np.float32)).all()
+    assert np.isfinite(np.asarray(t.s, np.float32)).all()
+    assert float(np.asarray(t.d)[0, 0]) == 65504.0
+    assert float(np.asarray(t.s)[0, 0]) == 65504.0  # d*sum(q) >> f16 max
+    assert np.isfinite(numpy_ref.dequantize(t)).all()
+    # jit twin agrees bit-for-bit
+    tj = jax_quant.quantize_q8_1(jnp.asarray(huge))
+    np.testing.assert_array_equal(np.asarray(tj.d), np.asarray(t.d))
+    np.testing.assert_array_equal(np.asarray(tj.s), np.asarray(t.s))
+    for fmt in FORMATS:
+        tn = numpy_ref.QUANTIZE[fmt](huge)
+        assert np.isfinite(np.asarray(tn.d, np.float32)).all()
 
 
 def test_checkpoint_roundtrip(tmp_path):

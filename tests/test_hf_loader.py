@@ -44,6 +44,7 @@ def test_config_from_hf():
     assert cfg.rope_base == 1e6 and cfg.d_ff == 14336
 
 
+@pytest.mark.slow
 def test_load_hf_llama_matches_native_quantize(tmp_path):
     """A synthetic HF checkpoint loads and serves identically to
     quantize_params on the same float weights."""

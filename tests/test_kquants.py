@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from quant_gemm_tpu.formats import gguf_file, kquants, numpy_ref
 from quant_gemm_tpu.harness import datagen
@@ -260,6 +261,7 @@ def test_q5k_llamacpp_layout_contract():
                                atol=1e-7)
 
 
+@pytest.mark.slow
 def test_q5k_model_serving():
     """quantize_params(qtype='q5_k') serves a whole model."""
     import jax.numpy as _jnp

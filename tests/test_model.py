@@ -7,6 +7,23 @@ import pytest
 
 from quant_gemm_tpu.models import llama
 
+pytestmark = pytest.mark.slow  # full-model interpret-mode: `pytest -m ""`
+
+# Jitted entry points: the suite runs interpret-mode Pallas on one CPU core,
+# where an EAGER forward re-traces every call (~15 s each); jit compiles once
+# per shape and replays in ~16 ms.  These wrappers are the single biggest
+# test-suite speedup (531 s -> well under 2 min for this file).
+FWD = jax.jit(llama.forward, static_argnames=("cfg", "act_mode"))
+FWD_FLOAT = jax.jit(llama.forward_float, static_argnames=("cfg",))
+GREEDY = jax.jit(llama.greedy_decode,
+                 static_argnames=("cfg", "steps", "act_mode"))
+SAMPLE = jax.jit(
+    llama.sample_decode,
+    static_argnames=("cfg", "steps", "act_mode", "temperature", "top_k",
+                     "top_p"),
+)
+SHIFT = jax.jit(llama.shift_context, static_argnames=("cfg", "keep", "trigger"))
+
 CFG = llama.LlamaConfig(
     vocab=128, dim=512, n_layers=2, n_heads=8, n_kv_heads=4, d_ff=1024, max_seq=64
 )
@@ -27,17 +44,17 @@ def test_quantized_forward_close_to_float(params, qparams):
     case: measured rel err ~2.6% q8_0, ~15% q5_0, ~31% q4_0)."""
     tokens = jnp.asarray(np.arange(12, dtype=np.int32).reshape(2, 6) % CFG.vocab)
     cache = llama.KVCache.init(CFG, 2)
-    ref, _ = llama.forward_float(params, CFG, tokens, cache)
+    ref, _ = FWD_FLOAT(params, CFG, tokens, cache)
 
     q8 = llama.quantize_params(params, "q8_0")
-    out8, cache2 = llama.forward(q8, CFG, tokens, cache, act_mode="q8_1")
+    out8, cache2 = FWD(q8, CFG, tokens, cache, act_mode="q8_1")
     assert out8.shape == (2, 6, CFG.vocab)
     assert int(cache2.pos[0]) == 6
     rel8 = float(jnp.linalg.norm(out8 - ref) / jnp.linalg.norm(ref))
     assert rel8 < 0.05, rel8
     assert float(jnp.mean(jnp.argmax(out8, -1) == jnp.argmax(ref, -1))) == 1.0
 
-    out4, _ = llama.forward(qparams, CFG, tokens, cache, act_mode="q8_1")
+    out4, _ = FWD(qparams, CFG, tokens, cache, act_mode="q8_1")
     rel4 = float(jnp.linalg.norm(out4 - ref) / jnp.linalg.norm(ref))
     assert rel8 < rel4 < 0.5, (rel8, rel4)
     agree = float(jnp.mean(jnp.argmax(out4, -1) == jnp.argmax(ref, -1)))
@@ -48,11 +65,11 @@ def test_prefill_then_decode_consistency(qparams):
     """Prefill(T)+decode(1) must equal prefill(T+1) on the shared prefix."""
     toks = jnp.asarray([[3, 5, 7, 9, 11, 13]], dtype=jnp.int32)
     cache = llama.KVCache.init(CFG, 1)
-    full, _ = llama.forward(qparams, CFG, toks, cache, act_mode="q8_1")
+    full, _ = FWD(qparams, CFG, toks, cache, act_mode="q8_1")
 
     cache = llama.KVCache.init(CFG, 1)
-    _, cache = llama.forward(qparams, CFG, toks[:, :5], cache, act_mode="q8_1")
-    last, cache = llama.forward(qparams, CFG, toks[:, 5:6], cache, act_mode="q8_1")
+    _, cache = FWD(qparams, CFG, toks[:, :5], cache, act_mode="q8_1")
+    last, cache = FWD(qparams, CFG, toks[:, 5:6], cache, act_mode="q8_1")
     np.testing.assert_allclose(
         np.asarray(last[0, 0]), np.asarray(full[0, 5]), rtol=2e-2, atol=2e-2
     )
@@ -60,7 +77,7 @@ def test_prefill_then_decode_consistency(qparams):
 
 def test_greedy_decode_jits(qparams):
     prompt = jnp.asarray([[1, 2, 3]], dtype=jnp.int32)
-    toks, cache = llama.greedy_decode(qparams, CFG, prompt, steps=4)
+    toks, cache = GREEDY(qparams, CFG, prompt, steps=4)
     assert toks.shape == (1, 4)
     # prompt (3) + steps-1 fed-back tokens; the last generated token is
     # returned but never fed through the model
@@ -71,7 +88,7 @@ def test_greedy_decode_jits(qparams):
 def test_bf16_act_mode(qparams):
     tokens = jnp.asarray([[1, 2, 3, 4]], dtype=jnp.int32)
     cache = llama.KVCache.init(CFG, 1)
-    out, _ = llama.forward(qparams, CFG, tokens, cache, act_mode="bf16")
+    out, _ = FWD(qparams, CFG, tokens, cache, act_mode="bf16")
     assert out.shape == (1, 4, CFG.vocab)
     assert bool(jnp.isfinite(out).all())
 
@@ -93,8 +110,8 @@ def test_gguf_roundtrip_serving(tmp_path):
 
     direct = llama.quantize_params(params, "q4_0")
     tokens = jnp.asarray(np.array([[5, 7, 2]], dtype=np.int32))
-    out_a, _ = llama.forward(qparams, cfg2, tokens, llama.KVCache.init(cfg2, 1))
-    out_b, _ = llama.forward(direct, cfg, tokens, llama.KVCache.init(cfg, 1))
+    out_a, _ = FWD(qparams, cfg2, tokens, llama.KVCache.init(cfg2, 1))
+    out_b, _ = FWD(direct, cfg, tokens, llama.KVCache.init(cfg, 1))
     # embed stored f32 in GGUF vs bf16 directly: allow tiny diff
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
                                atol=1e-2, rtol=1e-2)
@@ -109,9 +126,9 @@ def test_q4k_model_forward():
     params = llama.init_params(cfg, seed=7)
     qk = llama.quantize_params(params, "q4_k")
     tokens = jnp.asarray(np.array([[3, 9, 4]], dtype=np.int32))
-    out_k, _ = llama.forward(qk, cfg, tokens, llama.KVCache.init(cfg, 1))
+    out_k, _ = FWD(qk, cfg, tokens, llama.KVCache.init(cfg, 1))
     cache = llama.KVCache.init(cfg, 1)
-    out_f, _ = llama.forward_float(params, cfg, tokens, cache)
+    out_f, _ = FWD_FLOAT(params, cfg, tokens, cache)
     # quantization error bounded like the q4 family
     rel = np.linalg.norm(np.asarray(out_k) - np.asarray(out_f)) / np.linalg.norm(
         np.asarray(out_f)
@@ -132,18 +149,18 @@ def test_sample_decode():
     prompt = jnp.asarray([[3, 7, 9], [5, 2, 8]], jnp.int32)
     key = jax.random.PRNGKey(11)
 
-    greedy, _ = llama.greedy_decode(qp, cfg, prompt, steps=5)
-    zero_t, _ = llama.sample_decode(qp, cfg, prompt, steps=5, key=key,
+    greedy, _ = GREEDY(qp, cfg, prompt, steps=5)
+    zero_t, _ = SAMPLE(qp, cfg, prompt, steps=5, key=key,
                                     temperature=0.0)
     np.testing.assert_array_equal(np.asarray(greedy), np.asarray(zero_t))
 
-    s1, _ = llama.sample_decode(qp, cfg, prompt, steps=5, key=key,
+    s1, _ = SAMPLE(qp, cfg, prompt, steps=5, key=key,
                                 temperature=0.9, top_k=16)
-    s2, _ = llama.sample_decode(qp, cfg, prompt, steps=5, key=key,
+    s2, _ = SAMPLE(qp, cfg, prompt, steps=5, key=key,
                                 temperature=0.9, top_k=16)
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     assert (np.asarray(s1) >= 0).all() and (np.asarray(s1) < cfg.vocab).all()
-    s3, _ = llama.sample_decode(qp, cfg, prompt, steps=5,
+    s3, _ = SAMPLE(qp, cfg, prompt, steps=5,
                                 key=jax.random.PRNGKey(12), temperature=0.9,
                                 top_k=16)
     assert not np.array_equal(np.asarray(s1), np.asarray(s3))
@@ -161,24 +178,24 @@ def test_q8_kv_cache_matches_bf16():
     rng = np.random.default_rng(6)
     toks = jnp.asarray(rng.integers(1, 64, (2, 12)), jnp.int32)
 
-    lb, cb = llama.forward(qp, cfg, toks, llama.KVCache.init(cfg, 2))
-    lq, cq = llama.forward(qp, cfg, toks, llama.KVCache.init(cfg, 2, "q8"))
+    lb, cb = FWD(qp, cfg, toks, llama.KVCache.init(cfg, 2))
+    lq, cq = FWD(qp, cfg, toks, llama.KVCache.init(cfg, 2, "q8"))
     assert cq.k.dtype == jnp.int8 and cq.ks is not None
     m = ErrorMetrics.compute(np.asarray(lq), np.asarray(lb))
     assert m.nmse < 1e-3, m  # int8 per-vector cache noise
 
     # decode continues from the quantized cache
     nxt = jnp.argmax(lb[:, -1], -1)[:, None].astype(jnp.int32)
-    db, _ = llama.forward(qp, cfg, nxt, cb)
-    dq, _ = llama.forward(qp, cfg, nxt, cq)
+    db, _ = FWD(qp, cfg, nxt, cb)
+    dq, _ = FWD(qp, cfg, nxt, cq)
     m = ErrorMetrics.compute(np.asarray(dq), np.asarray(db))
     assert m.nmse < 1e-3, m
 
     # long prefill (flash_prefill route, T >= 64): q8 vs bf16
     cfg2 = cfg._replace(max_seq=160)
     toks2 = jnp.asarray(rng.integers(1, 64, (1, 96)), jnp.int32)
-    l2b, _ = llama.forward(qp, cfg2, toks2, llama.KVCache.init(cfg2, 1))
-    l2q, _ = llama.forward(qp, cfg2, toks2, llama.KVCache.init(cfg2, 1, "q8"))
+    l2b, _ = FWD(qp, cfg2, toks2, llama.KVCache.init(cfg2, 1))
+    l2q, _ = FWD(qp, cfg2, toks2, llama.KVCache.init(cfg2, 1, "q8"))
     m = ErrorMetrics.compute(np.asarray(l2q), np.asarray(l2b))
     assert m.nmse < 1e-3, m
 
@@ -193,12 +210,12 @@ def test_rope_scale_threads_through_forward():
     params = llama.init_params(cfg, seed=13)
     qp = llama.quantize_params(params, "q8_0")
     toks = jnp.asarray([[3, 7, 9, 2]], jnp.int32)
-    base, _ = llama.forward(qp, cfg, toks, llama.KVCache.init(cfg, 1))
-    same, _ = llama.forward(qp, cfg._replace(rope_scale=1.0), toks,
+    base, _ = FWD(qp, cfg, toks, llama.KVCache.init(cfg, 1))
+    same, _ = FWD(qp, cfg._replace(rope_scale=1.0), toks,
                             llama.KVCache.init(cfg, 1))
     np.testing.assert_array_equal(np.asarray(base), np.asarray(same))
     scaled_cfg = cfg._replace(rope_scale=0.25)  # factor-4 linear scaling
-    scaled, _ = llama.forward(qp, scaled_cfg, toks,
+    scaled, _ = FWD(qp, scaled_cfg, toks,
                               llama.KVCache.init(scaled_cfg, 1))
     assert np.abs(np.asarray(base) - np.asarray(scaled)).max() > 1e-3
 
@@ -221,14 +238,14 @@ def test_context_shift_preserves_windowed_logits():
         qp = llama.quantize_params(params, "q8_0")
         rng = np.random.default_rng(7)
         toks = jnp.asarray(rng.integers(1, 64, (2, 40)), jnp.int32)
-        _, cache = llama.forward(qp, cfg, toks,
+        _, cache = FWD(qp, cfg, toks,
                                  llama.KVCache.init(cfg, 2, qtype))
 
-        shifted = llama.shift_context(cache, cfg, keep=16, trigger=0)
+        shifted = SHIFT(cache, cfg, keep=16, trigger=0)
         assert int(shifted.pos[0]) == 16
         nxt = jnp.asarray(rng.integers(1, 64, (2, 1)), jnp.int32)
-        ref, _ = llama.forward(qp, cfg, nxt, cache)
-        got, _ = llama.forward(qp, cfg, nxt, shifted)
+        ref, _ = FWD(qp, cfg, nxt, cache)
+        got, _ = FWD(qp, cfg, nxt, shifted)
         err = float(jnp.abs(got - ref).max())
         rel = err / float(jnp.abs(ref).max())
         assert rel < tol, (qtype, err, rel)
@@ -242,8 +259,8 @@ def test_context_shift_noop_below_trigger():
                             n_kv_heads=2, d_ff=256, max_seq=32)
     qp = llama.quantize_params(llama.init_params(cfg, seed=21), "q8_0")
     toks = jnp.asarray([[5, 9, 3]], jnp.int32)
-    _, cache = llama.forward(qp, cfg, toks, llama.KVCache.init(cfg, 1))
-    shifted = llama.shift_context(cache, cfg, keep=8)  # trigger = max_seq-1
+    _, cache = FWD(qp, cfg, toks, llama.KVCache.init(cfg, 1))
+    shifted = SHIFT(cache, cfg, keep=8)  # trigger = max_seq-1
     assert int(shifted.pos[0]) == int(cache.pos[0])
     np.testing.assert_array_equal(np.asarray(shifted.k[:, :, :, :3]),
                                   np.asarray(cache.k[:, :, :, :3]))

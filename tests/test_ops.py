@@ -190,6 +190,7 @@ def test_flash_prefill_matches_dense():
     np.testing.assert_allclose(np.asarray(out), ref, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_model_prefill_flash_path():
     """T >= 64 prefill routes through flash_prefill; result must match the
     dense einsum path (T < 64) run in two halves."""
@@ -266,6 +267,7 @@ def test_flash_decode_sliding_window():
     np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_model_sliding_window_consistency():
     """cfg.window: the flash-routed long prefill (T>=64), chunked dense
     prefill, and decode all apply the same window."""

@@ -11,6 +11,8 @@ from quant_gemm_tpu.harness.metrics import ErrorMetrics
 from quant_gemm_tpu.parallel import sharding as sh
 from quant_gemm_tpu.ref import gemm as refg
 
+pytestmark = pytest.mark.slow  # full-model interpret-mode: `pytest -m ""`
+
 M, N, K = 4, 512, 2048
 
 

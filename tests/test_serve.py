@@ -4,15 +4,22 @@ The key property: interleaved slot scheduling must produce exactly the same
 greedy tokens as running each request alone (per-slot positions isolate
 sequences)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from quant_gemm_tpu.models import llama, serve
 
+pytestmark = pytest.mark.slow  # full-model interpret-mode: `pytest -m ""`
+
 CFG = llama.LlamaConfig(
     vocab=128, dim=512, n_layers=1, n_heads=8, n_kv_heads=4, d_ff=1024, max_seq=64
 )
+
+# jit: eager greedy_decode re-traces its whole scan per call on the CPU
+# test backend (see tests/test_model.py)
+GREEDY = jax.jit(llama.greedy_decode, static_argnames=("cfg", "steps", "act_mode"))
 
 
 @pytest.fixture(scope="module")
@@ -21,7 +28,7 @@ def qparams():
 
 
 def _solo(qparams, prompt, steps):
-    toks, _ = llama.greedy_decode(
+    toks, _ = GREEDY(
         qparams, CFG, jnp.asarray([prompt], jnp.int32), steps=steps
     )
     return list(np.asarray(toks)[0])

@@ -6,6 +6,8 @@ import pytest
 
 from quant_gemm_tpu.models import llama, speculative
 
+pytestmark = pytest.mark.slow  # full-model interpret-mode: `pytest -m ""`
+
 CFG_T = llama.LlamaConfig(vocab=64, dim=128, n_layers=2, n_heads=2,
                           n_kv_heads=2, d_ff=256, max_seq=64)
 CFG_D = llama.LlamaConfig(vocab=64, dim=64, n_layers=1, n_heads=2,

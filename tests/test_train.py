@@ -8,6 +8,8 @@ import pytest
 
 from quant_gemm_tpu.models import llama, train
 
+pytestmark = pytest.mark.slow  # full-model interpret-mode: `pytest -m ""`
+
 CFG = llama.LlamaConfig(
     vocab=64, dim=64, n_layers=2, n_heads=2, n_kv_heads=2, d_ff=128, max_seq=32
 )
