@@ -26,6 +26,19 @@ sliced on sublanes.  The K grid walks packed-byte tiles; each grid step
 processes the tile's lo-nibble blocks and hi-nibble blocks with their
 matching activation blocks.  5-bit formats expand their planar ``qh`` bit
 planes to int lanes in-kernel (codes 0..31 still fit int8).
+
+x8 decode (4-bit formats): ``prepare()`` stores packed bytes XOR 0x80 as
+int8, so both nibble planes reach the MXU with one native-i8 mask each —
+no u8->i32 widen / vector shift / i32->i8 narrow (the VPU unpack chain
+that capped decode at ~74% of the DMA roofline, docs/PERF_NOTES.md):
+
+* ``p & 0x0F``  == raw low codes 0..15 (xor only touches bit 7);
+* ``p & -16``   == ``16*hi - 128`` exactly (two's-complement bias), so the
+  hi-plane dot returns ``16*sumi - 128*sumq_a`` and the true ``sumi`` is
+  recovered with an exact int32 fixup ``(raw + 128*sumq_a) >> 4`` from the
+  per-block activation CODE sums (``s_a`` cannot substitute — it is the
+  f16-rounded ``d*sumq``).  5-bit formats add ``16*qh`` to the nibbles and
+  keep the i32 path, recovering raw bytes with one extra mask+xor.
 """
 
 from __future__ import annotations
@@ -84,14 +97,15 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
             has_min: bool, has_qh: bool):
     """4/5-bit weights.  Ref order:
 
-    packed, d_lo, d_hi, [m_lo, m_hi,] [qh_lo, qh_hi,] qa, da, sa, out
+    packed, d_lo, d_hi, [m_lo, m_hi,] [qh_lo, qh_hi,] qa, da, sa, [sq,] out
 
     Weight planes arrive as per-grid-step tiles; the small activation-side
-    operands (qa int8 codes, d_a/s_a per-block vectors) arrive as FULL
-    VMEM-resident arrays with constant index maps — fetched once and
-    deduped by the pipeline instead of 6 tiny DMAs per grid step (the tiny
-    fetches cost ~2x the whole-kernel DMA floor on vocab-sized N).  The
-    kernel slices them at the K offset of the current grid step.
+    operands (qa int8 codes, d_a/s_a per-block vectors, sq int32 per-block
+    code sums for the x8 hi-plane fixup) arrive as FULL VMEM-resident
+    arrays with constant index maps — fetched once and deduped by the
+    pipeline instead of 6 tiny DMAs per grid step (the tiny fetches cost
+    ~2x the whole-kernel DMA floor on vocab-sized N).  The kernel slices
+    them at the K offset of the current grid step.
     """
     it = iter(refs)
     packed_ref = next(it)
@@ -101,6 +115,7 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
     qa_ref = next(it)  # [TM, 2*kdim] int8 (full)
     da_ref = next(it)  # [nb_p, TM] f32 (full)
     sa_ref = next(it)
+    sq_ref = None if has_qh else next(it)  # [nb_p, TM] i32 (full)
     out_ref = refs[-1]
 
     kt = pl.program_id(1)
@@ -109,20 +124,35 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    packed = packed_ref[:].astype(jnp.int32)
+    if has_qh:
+        # q5: the 16*qh add needs raw nibbles at i32 anyway; undo the x8
+        # store with one mask+xor (sign-extended i8 -> original byte)
+        packed = (packed_ref[:].astype(jnp.int32) & 0xFF) ^ 0x80
+        lo, hi = packed & 0x0F, packed >> 4
+        hi_fix = False
+    else:
+        # x8 fast path: native-i8 masks only (see module docstring)
+        p = packed_ref[:]
+        lo, hi = p & jnp.int8(0x0F), p & jnp.int8(-16)
+        hi_fix = True
 
-    def plane(nib_i32, d_ref, m_ref, qh_ref, koff):
-        qw = nib_i32
+    def plane(qw, d_ref, m_ref, qh_ref, koff, fixup):
         if has_qh:
             qw = qw + 16 * _expand_bits_int(qh_ref[:])  # codes 0..31
         qa = qa_ref[:, pl.ds(koff * tkp, tkp)]  # [TM, tkp]
         da = da_ref[pl.ds(koff * tkb, tkb), :]  # [tkb, TM]
         sa = sa_ref[pl.ds(koff * tkb, tkb), :]
+        sq = None if sq_ref is None else sq_ref[pl.ds(koff * tkb, tkb), :]
         acc = jnp.zeros_like(out_ref)
         d = d_ref[:]  # [tkb, tn] f32
         for b in range(tkb):
             sl = slice(b * QK, (b + 1) * QK)
-            sumi = _int_dot(qa[:, sl], qw[sl, :]).astype(jnp.float32)
+            raw = _int_dot(qa[:, sl], qw[sl, :])
+            if fixup:
+                # raw = 16*sumi - 128*sumq_a; exact (16*sumi has zero low
+                # bits, so the arithmetic shift is exact division)
+                raw = (raw + 128 * sq[b, :][:, None]) >> 4
+            sumi = raw.astype(jnp.float32)
             d_w = d[b, :][None, :]  # [1, TN]
             d_a = da[b, :][:, None]  # [TM, 1]
             if has_min:
@@ -135,8 +165,8 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
             acc += _f32_dot_bt(sa, m_ref[:])
         return acc
 
-    out_ref[:] += plane(packed & 0x0F, dlo_ref, mlo_ref, qhlo_ref, kt)
-    out_ref[:] += plane(packed >> 4, dhi_ref, mhi_ref, qhhi_ref, kt + nkt)
+    out_ref[:] += plane(lo, dlo_ref, mlo_ref, qhlo_ref, kt, False)
+    out_ref[:] += plane(hi, dhi_ref, mhi_ref, qhhi_ref, kt + nkt, hi_fix)
 
 
 def _kernel_w8(
@@ -220,6 +250,14 @@ def gemm_exact(
     qa = pad_activation_k(padm(a_q.qs), k, kdim, is4)
     da_t = pad_scales_k(padm(a_q.d).astype(jnp.float32), k, kdim, is4).T
     sa_t = pad_scales_k(padm(a_q.s).astype(jnp.float32), k, kdim, is4).T
+    has_qh = w.qh_t is not None
+    if is4 and not has_qh:
+        # per-block int32 activation code sums for the x8 hi-plane fixup
+        # (fused by XLA into the quantization pass under jit; tiny: [nb, M])
+        sumq = jnp.asarray(a_q.qs, jnp.int32).reshape(m, k // QK, QK).sum(-1)
+        sq_t = pad_scales_k(padm(sumq), k, kdim, is4).T
+    else:
+        sq_t = None
 
     grid = (np_ // tn, nkt)
 
@@ -236,7 +274,6 @@ def gemm_exact(
 
     if is4:
         has_min = w.m_t is not None
-        has_qh = w.qh_t is not None
         operands = [w.packed_t, w.d_t, w.d_t]
         in_specs = [
             wspec((tkp, tn)),
@@ -254,6 +291,9 @@ def gemm_exact(
             ]
         operands += [qa, da_t, sa_t]
         in_specs += [full_spec(qa), full_spec(da_t), full_spec(sa_t)]
+        if sq_t is not None:
+            operands.append(sq_t)
+            in_specs.append(full_spec(sq_t))
         kernel = functools.partial(
             _kernel,
             tkb=tkb,

@@ -64,7 +64,9 @@ class PreparedWeight:
         self.qtype = qtype  # format name
         self.n = n  # out-features
         self.k = k  # reduction dim
-        self.packed_t = packed_t  # uint8[K/2, N] (4/5-bit) or None
+        # int8[K/2, N] (4/5-bit): stored XOR 0x80 ("x8 encoding", see
+        # prepare()) so both nibble planes decode with one native-i8 mask
+        self.packed_t = packed_t
         self.qs_t = qs_t  # int8[K, N] (8-bit) or None
         self.d_t = d_t  # float32[K/32, N]
         self.m_t = m_t  # float32[K/32, N] (q4_1/q5_1)
@@ -86,6 +88,18 @@ def prepare(w_q) -> PreparedWeight:
 
     Scales are upcast f16 -> f32 here (exact): Mosaic has no f16 compute,
     and the CUDA kernels upcast at entry anyway (gemm_quant_formats.cuh:97).
+
+    4/5-bit packed bytes are stored **XOR 0x80 as int8** (the "x8
+    encoding"): flipping the high nibble's top bit makes
+
+    * ``p & 0x0F``  == the raw low-nibble codes (0..15), already int8;
+    * ``p & 0xF0``  == ``16*hi - 128`` EXACTLY (two's-complement bias trick)
+
+    so both planes reach the MXU with ONE native-i8 mask each — no u8->i32
+    widen, no vector shift, no narrowing (the ~24 us VPU unpack cost that
+    capped decode at 74% of roofline, docs/PERF_NOTES.md).  The exact
+    kernel recovers the true hi-plane dot with an int32 fixup from the
+    activation block sums: ``sumi_hi = (dot + 128*sumq_a) >> 4``.
 
     K is **zero-padded per nibble plane to a 256-packed-row multiple** so
     real-model dims that are not 512-multiples (e.g. Llama-7B's d_ff=11008)
@@ -138,6 +152,9 @@ def prepare(w_q) -> PreparedWeight:
     np_pad = round_up(n, 256)
     khalf_p = round_up(khalf, 256)
     packed = padrows(padcols(w_q.packed, khalf_p), np_pad)
+    # x8 encoding (see docstring); pad bytes 0x00 become 0x80 = (lo 0,
+    # hi 0 raw) — contributes nothing since padded blocks carry d = 0
+    packed = (np.asarray(packed, np.uint8) ^ 0x80).view(np.int8)
     nbh, nbh_p = khalf // QK, khalf_p // QK
     d = padrows(pad_halves(np.asarray(w_q.d, np.float32), nbh, nbh_p), np_pad)
     m_t = (
@@ -276,15 +293,16 @@ def _kernel_w4(*refs, offset, has_min, has_qh, mxu_dtype, fused_q8_act):
         return a if a.dtype == cast_dt else a.astype(cast_dt)
 
     # f32 dequant math with f16-exact scales, cast to mxu_dtype at the dot.
-    # int8 vector shifts don't legalize in Mosaic; bit ops run on i32 lanes.
-    # (A signed-nibble bitcast trick — (p & 0xF0) ^ 0x80 as int8 ==
-    # 16*(q_hi-8) — was tried to cut VPU ops and measured *slower*: the
-    # u8<->i32 bitcasts force vector relayouts that outweigh the saved
-    # arithmetic.  See docs/PERF_NOTES.md for the decode bottleneck study.)
-    packed = packed_ref[:].astype(jnp.int32)
+    # prepare() stores packed bytes XOR 0x80 as int8 (x8 encoding): the lo
+    # nibble masks out directly, and (p & -16) == 16*hi - 128 exactly, so
+    # hi codes come from ONE i8 mask + an f32 multiply-add — no u8->i32
+    # widen and no vector shift (int8 shifts don't legalize in Mosaic; the
+    # old i32 unpack chain was the decode bottleneck, docs/PERF_NOTES.md).
+    p8 = packed_ref[:]
+    lo_codes = (p8 & jnp.int8(0x0F)).astype(jnp.float32)  # 0..15
+    hi_codes = (p8 & jnp.int8(-16)).astype(jnp.float32) * 0.0625 + 8.0
 
-    def weight_slab(nib_i32, d_ref, m_ref, qh_ref):
-        q = nib_i32.astype(jnp.float32)
+    def weight_slab(q, d_ref, m_ref, qh_ref):
         if has_qh:
             q = q + 16.0 * _expand_bits(qh_ref[:])
         d = _expand_rows(d_ref[:].astype(jnp.float32), QK)
@@ -294,8 +312,8 @@ def _kernel_w4(*refs, offset, has_min, has_qh, mxu_dtype, fused_q8_act):
             w = (q - float(offset)) * d
         return w if w.dtype == cast_dt else w.astype(cast_dt)
 
-    w_lo = weight_slab(packed & 0x0F, dlo_ref, mlo_ref, qhlo_ref)
-    w_hi = weight_slab(packed >> 4, dhi_ref, mhi_ref, qhhi_ref)
+    w_lo = weight_slab(lo_codes, dlo_ref, mlo_ref, qhlo_ref)
+    w_hi = weight_slab(hi_codes, dhi_ref, mhi_ref, qhhi_ref)
 
     out_ref[:] += _dot(act_slab(alo_ref), w_lo, mxu_dtype) + _dot(
         act_slab(ahi_ref), w_hi, mxu_dtype

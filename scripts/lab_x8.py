@@ -1,19 +1,12 @@
-"""Lab: XOR-0x80 repacked exact kernel — can it break the 74% decode plateau?
+"""Lab: x8 decode (integrated in gemm_exact) vs the legacy i32 unpack chain.
 
-Formulation (new vs the rejected "signed-nibble bitcast" idea): the weight
-bytes are repacked ONCE at prepare time as ``int8(p ^ 0x80)``.  Then
-
-* low plane:  ``p & 0x0F``  == the raw low-nibble codes (0..15), already i8;
-* high plane: ``p & 0xF0``  (i8 arithmetic, mask = -16) == ``16*hi - 128``
-  EXACTLY for every hi in 0..15 (the xor flips the nibble's top bit, which
-  in two's-complement i8 turns the 0..15 range into a biased linear code).
-
-So both planes reach the MXU with ONE native-i8 mask each — no u8->i32
-widen, no vector shift, no i32->i8 narrowing (the ~24 us VPU unpack cost in
-docs/PERF_NOTES.md).  The high-plane dot returns ``16*sumi_hi - 128*sumq_a``
-which is fixed up exactly in int32 with the activation's per-block code sums
-(one extra tiny [nb, M] i32 operand; ``s_a`` cannot substitute — it is
-f16-rounded).
+prepare() now stores 4/5-bit packed bytes XOR 0x80 as int8 (the "x8
+encoding"); gemm_exact decodes q4 planes with one native-i8 mask each plus
+an exact int32 hi-plane fixup (see kernels/gemm_exact.py docstring).  This
+lab races the integrated kernel against a LEGACY variant that recovers the
+raw bytes in-kernel at i32 (mask+xor, then the old widen/shift/mask chain)
+— arithmetically identical, so the delta isolates the unpack cost that
+capped decode at ~74% of the ~900 GB/s roofline (docs/PERF_NOTES.md).
 
 Usage: python scripts/lab_x8.py [M]
 """
@@ -51,56 +44,45 @@ def _int_dot(qa, qw):
     )
 
 
-def _kernel_x8(packed_ref, dlo_ref, dhi_ref, qa_ref, da_ref, sa_ref,
-               sq_ref, out_ref, *, tkb, tkp, nkt):
+def _kernel_legacy(packed_ref, dlo_ref, dhi_ref, qa_ref, da_ref, sa_ref,
+                   out_ref, *, tkb, tkp, nkt):
+    """Old unpack chain, reading the x8 store: i8 -> i32, un-xor, shift."""
     kt = pl.program_id(1)
 
     @pl.when(kt == 0)
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    p = packed_ref[:]  # int8 [tkp, tn], xored
-    lo = p & jnp.int8(0x0F)           # raw low codes 0..15
-    hi16 = p & jnp.int8(-16)          # == 16*hi - 128 exactly
+    packed = (packed_ref[:].astype(jnp.int32) & 0xFF) ^ 0x80  # raw bytes
 
-    def plane(qw, d_ref, koff, is_hi):
+    def plane(qw, d_ref, koff):
         qa = qa_ref[:, pl.ds(koff * tkp, tkp)]
         da = da_ref[pl.ds(koff * tkb, tkb), :]
         sa = sa_ref[pl.ds(koff * tkb, tkb), :]
-        sq = sq_ref[pl.ds(koff * tkb, tkb), :]
         acc = jnp.zeros_like(out_ref)
         d = d_ref[:]
         for b in range(tkb):
             sl = slice(b * QK, (b + 1) * QK)
-            raw = _int_dot(qa[:, sl], qw[sl, :])
-            if is_hi:
-                # raw = 16*sumi - 128*sumq ; exact i32 fixup
-                sumi = (raw + 128 * sq[b, :][:, None]) >> 4
-            else:
-                sumi = raw
-            sumi = sumi.astype(jnp.float32)
-            d_w = d[b, :][None, :]
-            d_a = da[b, :][:, None]
-            s_a = sa[b, :][:, None]
-            acc += d_w * (d_a * sumi - 8.0 * s_a)
+            sumi = _int_dot(qa[:, sl], qw[sl, :]).astype(jnp.float32)
+            acc += d[b, :][None, :] * (
+                da[b, :][:, None] * sumi - 8.0 * sa[b, :][:, None]
+            )
         return acc
 
-    out_ref[:] += plane(lo, dlo_ref, kt, False)
-    out_ref[:] += plane(hi16, dhi_ref, kt + nkt, True)
+    out_ref[:] += plane(packed & 0x0F, dlo_ref, kt)
+    out_ref[:] += plane(packed >> 4, dhi_ref, kt + nkt)
 
 
-def gemm_exact_x8(wx, d_t, a_q, sumq_t, *, n, k, tn=4096, tkp=512,
-                  interpret=False):
-    """wx: int8[KP/2, NP] xored packed (K-major); d_t f32[KBP, NP]."""
-    m = a_q.qs.shape[0]
-    kdim = wx.shape[0]
+def gemm_legacy(w, a_q, *, tn=4096, tkp=512, interpret=False):
+    m, k = a_q.qs.shape
+    kdim = w.packed_t.shape[0]
     tkp = min(tkp, kdim)
     while kdim % tkp:
         tkp //= 2
     tkb = tkp // QK
     nkt = kdim // tkp
     tm = round_up(m, 8)
-    np_ = wx.shape[1]
+    np_ = w.packed_t.shape[1]
     tn = min(tn, np_)
     tn -= tn % 128
     while np_ % tn:
@@ -114,9 +96,6 @@ def gemm_exact_x8(wx, d_t, a_q, sumq_t, *, n, k, tn=4096, tkp=512,
     qa = pad_activation_k(padm(a_q.qs), k, kdim, True)
     da_t = pad_scales_k(padm(a_q.d).astype(jnp.float32), k, kdim, True).T
     sa_t = pad_scales_k(padm(a_q.s).astype(jnp.float32), k, kdim, True).T
-    sq_t = pad_scales_k(padm(sumq_t).astype(jnp.int32), k, kdim, True).T
-
-    grid = (np_ // tn, nkt)
 
     def wspec(bs, off=0):
         return pl.BlockSpec(bs, lambda nt, kt, o=off: (kt + o, nt),
@@ -128,13 +107,13 @@ def gemm_exact_x8(wx, d_t, a_q, sumq_t, *, n, k, tn=4096, tkp=512,
                             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_kernel_x8, tkb=tkb, tkp=tkp, nkt=nkt),
-        grid=grid,
+        functools.partial(_kernel_legacy, tkb=tkb, tkp=tkp, nkt=nkt),
+        grid=(np_ // tn, nkt),
         in_specs=[
             wspec((tkp, tn)),
             wspec((tkb, tn)),
             wspec((tkb, tn), off=nkt),
-            full_spec(qa), full_spec(da_t), full_spec(sa_t), full_spec(sq_t),
+            full_spec(qa), full_spec(da_t), full_spec(sa_t),
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda nt, kt: (0, nt),
                                memory_space=pltpu.VMEM),
@@ -143,8 +122,8 @@ def gemm_exact_x8(wx, d_t, a_q, sumq_t, *, n, k, tn=4096, tkp=512,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(wx, d_t, d_t, qa, da_t, sa_t, sq_t)
-    return out[:m, :n]
+    )(w.packed_t, w.d_t, w.d_t, qa, da_t, sa_t)
+    return out[:m, : w.n]
 
 
 def main():
@@ -160,49 +139,33 @@ def main():
     a_q = jax_quant.device_put(a_q_np)
     golden = refg.gemm_fp32(af, wf)
 
-    # xored weight (one-time repack, emulating a prepare() change)
-    wx = jnp.asarray(
-        (np.asarray(wp.packed_t) ^ 0x80).view(np.int8)
-    )
-    d_t = wp.d_t
-    # per-block activation code sums [M, nb] (int32)
-    nb = k // QK
-    sumq = np.asarray(a_q_np.qs).reshape(m, nb, QK).astype(np.int64).sum(-1)
-    sumq_t = jnp.asarray(sumq.astype(np.int32))
-
     flops = bm.gemm_flops(m, n_feat, k)
     wbytes = bm.weight_bytes("q4_0", n_feat, k)
     total_bytes = wbytes + m * k + m * n_feat * 4
 
-    base = np.asarray(gemm_exact(wp, a_q, tn=4096, tkp=512))
-    out = np.asarray(gemm_exact_x8(wx, d_t, a_q, sumq_t, n=n_feat, k=k))
-    exact_equal = np.array_equal(base, out)
+    legacy = np.asarray(gemm_legacy(wp, a_q, tn=4096, tkp=512))
+    out = np.asarray(gemm_exact(wp, a_q, tn=4096, tkp=512))
+    exact_equal = np.array_equal(legacy, out)
     met = ErrorMetrics.compute(out, golden)
-    print(f"bit-identical to gemm_exact: {exact_equal}; nmse vs fp32 "
+    print(f"x8 bit-identical to legacy: {exact_equal}; nmse vs fp32 "
           f"{met.nmse:.3e}", flush=True)
     if not exact_equal:
-        bad = np.abs(base - out)
-        print("max abs diff:", bad.max(), "at", np.unravel_index(bad.argmax(), bad.shape))
+        bad = np.abs(legacy - out)
+        print("max abs diff:", bad.max(),
+              "at", np.unravel_index(bad.argmax(), bad.shape))
         return
 
     results = []
-    # interleaved A/B runs
-    for rep in range(3):
+    for rep in range(3):  # interleaved A/B (±10% chip variance)
         for name, fn, args in [
-            ("exact tn4096/tkp512",
-             lambda w, aq: gemm_exact(w, aq, tn=4096, tkp=512), (wp, a_q)),
+            ("legacy tn4096/tkp512",
+             lambda w, aq: gemm_legacy(w, aq, tn=4096, tkp=512), (wp, a_q)),
             ("x8 tn4096/tkp512",
-             lambda w, d, aq, sq: gemm_exact_x8(w, d, aq, sq, n=n_feat, k=k,
-                                                tn=4096, tkp=512),
-             (wx, d_t, a_q, sumq_t)),
+             lambda w, aq: gemm_exact(w, aq, tn=4096, tkp=512), (wp, a_q)),
             ("x8 tn2048/tkp512",
-             lambda w, d, aq, sq: gemm_exact_x8(w, d, aq, sq, n=n_feat, k=k,
-                                                tn=2048, tkp=512),
-             (wx, d_t, a_q, sumq_t)),
+             lambda w, aq: gemm_exact(w, aq, tn=2048, tkp=512), (wp, a_q)),
             ("x8 tn4096/tkp1024",
-             lambda w, d, aq, sq: gemm_exact_x8(w, d, aq, sq, n=n_feat, k=k,
-                                                tn=4096, tkp=1024),
-             (wx, d_t, a_q, sumq_t)),
+             lambda w, aq: gemm_exact(w, aq, tn=4096, tkp=1024), (wp, a_q)),
         ]:
             r = bm.benchmark_kernel(fn, args, name=f"{name} #{rep}",
                                     flops=flops, bytes_accessed=total_bytes)

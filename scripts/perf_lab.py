@@ -541,6 +541,13 @@ def main():
     w_q = numpy_ref.quantize_q4_0(wf)
     a_q_np = numpy_ref.quantize_q8_1(af)
     wp = jax.device_put(gemm_pallas.prepare(w_q))
+    # the lab kernels in this file decode the PRE-x8 raw uint8 layout;
+    # prepare() now stores packed bytes XOR 0x80 (int8) — undo it for them
+    wp_raw = jax.device_put(gemm_pallas.PreparedWeight(
+        wp.qtype, wp.n, wp.k,
+        jnp.asarray((np.asarray(wp.packed_t).view(np.uint8) ^ 0x80)),
+        wp.qs_t, wp.d_t, wp.m_t, wp.qh_t,
+    ))
     a_q = jax_quant.device_put(a_q_np)
     golden = refg.gemm_fp32(af, wf)
 
@@ -587,10 +594,10 @@ def main():
     for tn, tkp in [(4096, 512), (4096, 256), (2048, 512)]:
         race(f"exact2 tn{tn}/tkp{tkp}",
              lambda w, aq, tn=tn, tkp=tkp: gemm_exact2(w, aq, tn=tn, tkp=tkp),
-             (wp, a_q))
+             (wp_raw, a_q))
     race("exact2h tn4096/tkp512",
          lambda w, aq: gemm_exact2(w, aq, tn=4096, tkp=512,
-                                   half_scales=True), (wp, a_q))
+                                   half_scales=True), (wp_raw, a_q))
 
     print("\nbest:", flush=True)
     for r, nmse in sorted(results, key=lambda t: t[0].time_s)[:3]:
