@@ -1,5 +1,5 @@
 from .gemm_pallas import PreparedWeight, prepare, gemm as gemm_pallas_call, supports
-from .gemm_exact import gemm_exact
+from .gemm_exact import gemm_exact, gemm_exact_fused
 from .registry import KERNELS, dispatch
 from . import gemm_xla
 
@@ -9,6 +9,7 @@ __all__ = [
     "gemm_pallas_call",
     "supports",
     "gemm_exact",
+    "gemm_exact_fused",
     "KERNELS",
     "dispatch",
     "gemm_xla",

@@ -51,13 +51,52 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..formats.blocks import QK, Q8_1Tensor
-from ..utils import round_up
+from ..utils import F16_MAX, round_up
 from .gemm_pallas import (
     PreparedWeight,
     _interpret_default,
     pad_activation_k,
     pad_scales_k,
 )
+
+
+def _f16_round(x: jax.Array) -> jax.Array:
+    """f32 -> nearest-f16 (ties-to-even) -> f32, in Mosaic-legal bit math.
+
+    Mosaic has no f16 compute, but the Q8_1 contract stores d/s as IEEE
+    f16 (compat/ggml_types.h:186-191); the fused kernel must reproduce that
+    rounding IN-kernel to stay bit-identical to ``jax_quant.quantize_q8_1``.
+    Normal f16 range uses the classic add-half-ulp-and-mask on the f32
+    bits (carry into the exponent rounds up binades correctly); subnormal
+    f16 (|x| < 2^-14) rounds to the 2^-24 quantum with an exact rint
+    (x * 2^24 < 1024 is exact in f32).  Inputs must be finite and pre-
+    clipped to +-F16_MAX (no inf/nan), which quantize_q8_1 guarantees.
+    """
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    sign = bits & jnp.int32(-0x80000000)
+    absbits = bits & 0x7FFFFFFF
+    lsb = (absbits >> 13) & 1
+    rounded = (absbits + 0x0FFF + lsb) & ~0x1FFF
+    normal = jax.lax.bitcast_convert_type(rounded | sign, jnp.float32)
+    sub = jnp.rint(x * 16777216.0) * 5.9604644775390625e-08  # 2^24, 2^-24
+    return jnp.where(jnp.abs(x) < 6.103515625e-05, sub, normal)
+
+
+def _quant_block_q8_1(blk: jax.Array):
+    """In-kernel Q8_1 quantization of one [TM, 32] f32 block.
+
+    Bit-identical to ``jax_quant.quantize_q8_1`` (which the tests pin to
+    the numpy reference): d = f16(amax/127), q = clip(rint(x/d), -127, 127),
+    s = f16(d * sum(q)).  Returns (q int8, d f32[TM,1], s f32[TM,1],
+    sumq int32[TM,1]) with d/s already carrying their f16 rounding.
+    """
+    amax = jnp.max(jnp.abs(blk), axis=1, keepdims=True)  # [TM, 1]
+    d = _f16_round(jnp.clip(amax / 127.0, None, F16_MAX))
+    inv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
+    q = jnp.clip(jnp.rint(blk * inv), -127, 127).astype(jnp.int8)
+    sumq = jnp.sum(q.astype(jnp.int32), axis=1, keepdims=True)
+    s = _f16_round(jnp.clip(sumq.astype(jnp.float32) * d, -F16_MAX, F16_MAX))
+    return q, d, s, sumq
 
 
 def _int_dot(qa: jax.Array, qw: jax.Array) -> jax.Array:
@@ -330,4 +369,178 @@ def gemm_exact(
     return out[:m, : w.n]
 
 
-__all__ = ["gemm_exact"]
+def _kernel_fused(*refs, tkb: int, tkp: int, nkt: int, offset: int,
+                  has_min: bool):
+    """Fused-quantization exact kernel (4-bit, non-q5 — x8 fast path).
+
+    Ref order: packed, d_lo, d_hi, [m_lo, m_hi,] ax, out.  ``ax`` is the
+    FLOAT activation [TM, 2*kdim-aligned K] (full, VMEM-resident); each
+    32-block is quantized to Q8_1 in VMEM (gemm_fused.cuh:76-143 analogue)
+    right before its int8 dot — float activations never round-trip to HBM
+    as codes.  Quantization is bit-identical to jax_quant.quantize_q8_1
+    (f16-rounded d, clip(rint(x/d)) codes, s = f16(d*sumq)), so the output
+    equals quantize-then-gemm_exact EXACTLY.
+    """
+    it = iter(refs)
+    packed_ref = next(it)
+    dlo_ref, dhi_ref = next(it), next(it)
+    mlo_ref, mhi_ref = (next(it), next(it)) if has_min else (None, None)
+    ax_ref = next(it)  # [TM, 2*kdim] f32 (full)
+    out_ref = refs[-1]
+
+    kt = pl.program_id(1)
+
+    @pl.when(kt == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    p = packed_ref[:]  # int8, x8-encoded
+    lo, hi = p & jnp.int8(0x0F), p & jnp.int8(-16)
+
+    def plane(qw, d_ref, m_ref, koff, fixup):
+        ax = ax_ref[:, pl.ds(koff * tkp, tkp)]  # [TM, tkp] f32
+        acc = jnp.zeros_like(out_ref)
+        s_cols = []
+        d = d_ref[:]  # [tkb, tn] f32
+        for b in range(tkb):
+            sl = slice(b * QK, (b + 1) * QK)
+            qa, d_a, s_a, sumq = _quant_block_q8_1(ax[:, sl])
+            raw = _int_dot(qa, qw[sl, :])
+            if fixup:
+                raw = (raw + 128 * sumq) >> 4
+            sumi = raw.astype(jnp.float32)
+            d_w = d[b, :][None, :]  # [1, TN]
+            if has_min:
+                acc += d_w * (d_a * sumi)
+                s_cols.append(s_a)
+            else:
+                acc += d_w * (d_a * sumi - float(offset) * s_a)
+        if has_min:
+            # min term is linear across blocks: one exact f32 dot per tile
+            sa_bt = jnp.concatenate(s_cols, axis=1).T  # [tkb, TM]
+            acc += _f32_dot_bt(sa_bt, m_ref[:])
+        return acc
+
+    out_ref[:] += plane(lo, dlo_ref, mlo_ref, kt, False)
+    out_ref[:] += plane(hi, dhi_ref, mhi_ref, kt + nkt, True)
+
+
+def _kernel_w8_fused(qs_ref, d_ref, ax_ref, out_ref, *, tkb: int, tkp: int):
+    kt = pl.program_id(1)
+
+    @pl.when(kt == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    ax = ax_ref[:, pl.ds(kt * tkp, tkp)]
+    acc = jnp.zeros_like(out_ref)
+    for b in range(tkb):
+        sl = slice(b * QK, (b + 1) * QK)
+        qa, d_a, _s, _sq = _quant_block_q8_1(ax[:, sl])
+        sumi = _int_dot(qa, qs_ref[sl, :]).astype(jnp.float32)
+        acc += d_ref[b, :][None, :] * d_a * sumi
+    out_ref[:] += acc
+
+
+def gemm_exact_fused(
+    w: PreparedWeight,
+    x: jax.Array,
+    *,
+    tn: int | None = None,
+    tkp: int = 512,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Exact WxA8 GEMM with IN-KERNEL Q8_1 activation quantization.
+
+    The parity item for the reference's fused kernel
+    (kernels/gemm/gemm_fused.cuh:158-302): float activations are quantized
+    to true Q8_1 semantics (f16-rounded ``d``, stored-sum ``s``) inside the
+    GEMM, then hit the same int8 MXU dots + compensation epilogue as
+    :func:`gemm_exact` — bit-identical to ``quantize_q8_1`` + ``gemm_exact``
+    while skipping the activation's code/scale HBM round-trip (one fewer
+    pass per decode GEMM).  Supports q4_0/q4_1 (x8 fast path) and q8_0;
+    q5 formats take the unfused path (their qh planes keep the i32 decode).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    assert w.qh_t is None, "q5 formats: use quantize_q8_1 + gemm_exact"
+    m, k = x.shape
+    assert k == w.k
+    if tn is None:
+        tn = 2048
+    x = x.astype(jnp.float32)
+    is4 = w.packed_t is not None
+    kdim = w.packed_t.shape[0] if is4 else w.qs_t.shape[0]
+    tkp = min(tkp, kdim)
+    while kdim % tkp:
+        tkp //= 2
+    tkb = tkp // QK
+    nkt = kdim // tkp
+
+    tm = round_up(m, 8)
+    np_ = (w.packed_t if is4 else w.qs_t).shape[1]
+    tn = min(tn, np_)
+    tn -= tn % 128
+    while np_ % tn:
+        tn -= 128
+
+    if tm != m:
+        x = jnp.pad(x, ((0, tm - m), (0, 0)))
+    ax = pad_activation_k(x, k, kdim, is4)
+
+    grid = (np_ // tn, nkt)
+
+    def wspec(bs, off=0):
+        return pl.BlockSpec(
+            bs, lambda nt, kt, o=off: (kt + o, nt), memory_space=pltpu.VMEM
+        )
+
+    def full_spec(arr):
+        nd = arr.ndim
+        return pl.BlockSpec(
+            arr.shape, lambda nt, kt: (0,) * nd, memory_space=pltpu.VMEM
+        )
+
+    if is4:
+        has_min = w.m_t is not None
+        operands = [w.packed_t, w.d_t, w.d_t]
+        in_specs = [
+            wspec((tkp, tn)),
+            wspec((tkb, tn)),
+            wspec((tkb, tn), off=nkt),
+        ]
+        if has_min:
+            operands += [w.m_t, w.m_t]
+            in_specs += [wspec((tkb, tn)), wspec((tkb, tn), off=nkt)]
+        operands.append(ax)
+        in_specs.append(full_spec(ax))
+        kernel = functools.partial(
+            _kernel_fused,
+            tkb=tkb,
+            tkp=tkp,
+            nkt=nkt,
+            offset={"q4_0": 8}.get(w.qtype, 0),
+            has_min=has_min,
+        )
+    else:
+        operands = [w.qs_t, w.d_t, ax]
+        in_specs = [wspec((tkp, tn)), wspec((tkb, tn)), full_spec(ax)]
+        kernel = functools.partial(_kernel_w8_fused, tkb=tkb, tkp=tkp)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (tm, tn), lambda nt, kt: (0, nt), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((tm, np_), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out[:m, : w.n]
+
+
+__all__ = ["gemm_exact", "gemm_exact_fused"]

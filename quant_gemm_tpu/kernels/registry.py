@@ -15,7 +15,11 @@ xla_dequant           dequantize + jnp.dot (naive rung; XLA-fused)
 xla_compensated       reference compensation formula as two XLA matmuls
 xla_int               exact per-block int32 einsum (correctness oracle)
 pallas_exact          Pallas int8-MXU per-block dots + compensation epilogue
-                      (serving DECODE default, M <= DECODE_M_MAX)
+pallas_exact_fused    pallas_exact with IN-KERNEL true-Q8_1 activation
+                      quantization (f16-rounded d, stored sum s) — bit-
+                      identical to quantize_q8_1 + pallas_exact, one fewer
+                      activation HBM round-trip (serving DECODE default,
+                      M <= DECODE_M_MAX, via dispatch(quantize_act=True))
 pallas_f32            Pallas fused dequant GEMM, f32 MXU (accuracy mode)
 pallas_fused_quant    Pallas GEMM with in-kernel Q8_1 activation quantization
 pallas_bf16           Pallas fused dequant GEMM, explicit bf16 casts
@@ -32,10 +36,12 @@ from typing import Callable, Dict
 
 import jax.numpy as jnp
 
+from ..formats import jax_quant as _jq
 from ..formats.blocks import Q8_1Tensor
 from . import gemm_pallas as _gp
 from . import gemm_xla as _gx
 from .gemm_exact import gemm_exact as _gemm_exact
+from .gemm_exact import gemm_exact_fused as _gemm_exact_fused
 
 
 def _as_prepared(w):
@@ -80,11 +86,17 @@ def _pallas_exact(w, act, **kw):
     return _gemm_exact(_as_prepared(w), act, **kw)
 
 
+def _pallas_exact_fused(w, act, **kw):
+    assert not isinstance(act, Q8_1Tensor), "fused variant takes float acts"
+    return _gemm_exact_fused(_as_prepared(w), act, **kw)
+
+
 KERNELS: Dict[str, Callable] = {
     "xla_dequant": _xla_dequant,
     "xla_compensated": _xla_compensated,
     "xla_int": _xla_int,
     "pallas_exact": _pallas_exact,
+    "pallas_exact_fused": _pallas_exact_fused,
     "pallas_f32": _pallas_f32,
     "pallas_bf16": _pallas_bf16,
     "pallas_fused_quant": _pallas_fused_quant,
@@ -99,7 +111,8 @@ KERNELS: Dict[str, Callable] = {
 DECODE_M_MAX = 12
 
 
-def dispatch(w, act, impl: str | None = None, **kw):
+def dispatch(w, act, impl: str | None = None, quantize_act: bool = False,
+             **kw):
     """Run a quantized GEMM, auto-selecting the fastest valid kernel.
 
     ``w``: SoA container or PreparedWeight.  ``act``: float [M, K] or
@@ -107,12 +120,24 @@ def dispatch(w, act, impl: str | None = None, **kw):
     q4_0/q8_0) route to the exact int8-MXU kernel — fastest AND bit-exact;
     everything else takes the dequant MXU kernel.  Falls back to the XLA
     rung when K is not Pallas-tileable.
+
+    ``quantize_act=True`` (float ``act``) requests W_xA8 semantics: decode
+    shapes fuse the Q8_1 quantization INTO the exact kernel
+    (gemm_exact_fused — bit-identical to quantizing first), other shapes
+    quantize via jax_quant and proceed as if a Q8_1Tensor was passed.
     """
     if impl is not None:
         return KERNELS[impl](w, act, **kw)
     k = w.k if isinstance(w, _gp.PreparedWeight) else (
         w.qs.shape[-1] if hasattr(w, "qs") else w.packed.shape[-1] * 2
     )
+    if quantize_act and not isinstance(act, Q8_1Tensor):
+        x32 = act.astype(jnp.float32)
+        if _gp.supports(k) and act.shape[0] <= DECODE_M_MAX:
+            wq = _as_prepared(w)
+            if wq.qh_t is None:  # q5 qh planes keep the unfused path
+                return _gemm_exact_fused(wq, x32, **kw)
+        act = _jq.quantize_q8_1(x32)
     if _gp.supports(k):
         wq = _as_prepared(w)
         if isinstance(act, Q8_1Tensor) and act.qs.shape[0] <= DECODE_M_MAX:
@@ -120,6 +145,8 @@ def dispatch(w, act, impl: str | None = None, **kw):
         return _gp.gemm(wq, act, **kw)
     if isinstance(w, _gp.PreparedWeight):
         raise ValueError(f"K={k} needs the XLA rung; pass the SoA container")
+    if quantize_act and not isinstance(act, Q8_1Tensor):
+        act = _jq.quantize_q8_1(act.astype(jnp.float32))
     return _xla_dequant(w, act, **kw)
 
 

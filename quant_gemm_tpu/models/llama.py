@@ -143,10 +143,11 @@ def _linear(w: gemm_pallas.PreparedWeight, x: jax.Array, act_mode: str) -> jax.A
     from .. import kernels as _k
 
     if act_mode == "q8_1":
-        act = jax_quant.quantize_q8_1(x.astype(jnp.float32))
-    else:
-        act = x.astype(jnp.bfloat16)
-    return _k.dispatch(w, act)
+        # dispatch(quantize_act=True) fuses the Q8_1 quantization INTO the
+        # exact kernel on decode shapes (bit-identical to quantizing here)
+        # and quantizes via jax_quant on prefill shapes
+        return _k.dispatch(w, x.astype(jnp.float32), quantize_act=True)
+    return _k.dispatch(w, x.astype(jnp.bfloat16))
 
 
 class KVCache(NamedTuple):

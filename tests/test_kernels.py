@@ -206,3 +206,85 @@ def test_non_512_multiple_k(fmt):
     out_disp = dispatch(wp, jax_quant.device_put(a_q))
     m3 = ErrorMetrics.compute(out_disp, gold)
     assert m3.nmse < 1e-11, (fmt, m3)
+
+
+# ---------------------------------------------------------------------------
+# fused exact kernel (in-kernel true-Q8_1 activation quantization)
+# ---------------------------------------------------------------------------
+
+
+def test_f16_round_matches_ieee():
+    """The Mosaic-legal bit-math f16 rounding must equal the IEEE cast
+    (ties-to-even, subnormals included) — it carries the Q8_1 d/s
+    semantics inside the fused kernel."""
+    from quant_gemm_tpu.kernels.gemm_exact import _f16_round
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        rng.normal(0, 1, 50_000),
+        rng.normal(0, 1e-5, 20_000),  # f16-subnormal range
+        rng.uniform(-65504, 65504, 20_000),
+        np.array([0.0, -0.0, 65504.0, -65504.0, 6.103515625e-05,
+                  6.1e-05, 5.96e-08, 2.98e-08, 2.9e-08, 1e-8, -1e-8]),
+    ]).astype(np.float32)
+    vals = np.clip(vals, -65504, 65504)
+    emu = np.asarray(_f16_round(jnp.asarray(vals)))
+    ref = vals.astype(np.float16).astype(np.float32)
+    assert np.array_equal(emu, ref)
+
+
+@pytest.mark.parametrize("fmt", ["q4_0", "q4_1", "q8_0"])
+def test_fused_exact_bit_identical(fmt, data):
+    """gemm_exact_fused(w, x) == gemm_exact(w, quantize_q8_1(x)) EXACTLY —
+    the reference's fused kernel contract (gemm_fused.cuh:158-302) with
+    true Q8_1 semantics, not a float fake-quant."""
+    from quant_gemm_tpu.kernels import gemm_exact_fused
+
+    a, w, a_q = data
+    w_q = numpy_ref.QUANTIZE[fmt](w)
+    wp = prepare(w_q)
+    x = jnp.asarray(a, jnp.float32)
+    base = np.asarray(gemm_exact(wp, jax_quant.device_put(a_q)))
+    fused = np.asarray(gemm_exact_fused(wp, x))
+    assert np.array_equal(base, fused)
+
+
+def test_dispatch_quantize_act_decode_fuses(data):
+    """dispatch(float x, quantize_act=True) on a decode shape must produce
+    the exact quantize-then-integer-GEMM result (i.e. it took the fused
+    exact path, not the W4A16 dequant path)."""
+    a, w, a_q = data
+    w_q = numpy_ref.quantize_q4_0(w)
+    out = np.asarray(
+        dispatch(prepare(w_q), jnp.asarray(a, jnp.float32),
+                 quantize_act=True)
+    )
+    gold = refg.gemm_wxa8(w_q, a_q)
+    m = ErrorMetrics.compute(out, gold)
+    assert m.nmse < 1e-12, m
+
+
+def test_dispatch_quantize_act_prefill(data):
+    """Prefill shapes with quantize_act=True quantize outside the kernel
+    and serve through the dequant rung at the format accuracy budget."""
+    _, w, _ = data
+    a = datagen.normal((32, K), seed=13)
+    w_q = numpy_ref.quantize_q4_0(w)
+    out = dispatch(prepare(w_q), jnp.asarray(a, jnp.float32),
+                   quantize_act=True)
+    m = ErrorMetrics.compute(out, refg.gemm_fp32(a, w))
+    assert m.nmse < NMSE_VS_FP32["q4_0"], m
+
+
+def test_dispatch_quantize_act_q5_unfused(data):
+    """q5 weights can't take the fused path (qh planes); quantize_act must
+    still produce the exact integer result via quantize + gemm_exact."""
+    a, w, a_q = data
+    w_q = numpy_ref.quantize_q5_0(w)
+    out = np.asarray(
+        dispatch(prepare(w_q), jnp.asarray(a, jnp.float32),
+                 quantize_act=True)
+    )
+    gold = refg.gemm_wxa8(w_q, a_q)
+    m = ErrorMetrics.compute(out, gold)
+    assert m.nmse < 1e-12, m
