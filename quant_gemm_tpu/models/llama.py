@@ -44,10 +44,23 @@ class LlamaConfig(NamedTuple):
     eps: float = 1e-5
     window: int = 0  # sliding-window attention width (0 = full causal)
     rope_scale: float = 1.0  # linear RoPE position scaling (1/factor)
+    ring: bool = False  # O(window) ring-buffer KV cache (needs window > 0)
+    ring_chunk: int = 256  # max tokens per forward() call in ring mode
 
     @property
     def head_dim(self) -> int:
         return self.dim // self.n_heads
+
+    @property
+    def ring_capacity(self) -> int:
+        """Ring slots R: token g lives at slot g % R.  Sized so a full
+        prefill chunk never overwrites a live window slot
+        (R >= window + ring_chunk), rounded so the flash tile sizes stay
+        large (serving rings align to 512; tiny test rings to 128)."""
+        assert self.ring and self.window > 0
+        r = self.window + self.ring_chunk
+        align = 512 if r > 512 else 128
+        return (r + align - 1) // align * align
 
 
 LINEAR_NAMES = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
@@ -179,7 +192,15 @@ class KVCache(NamedTuple):
 
     @staticmethod
     def init(cfg: LlamaConfig, batch: int, qtype: str = "bf16") -> "KVCache":
-        shape = (cfg.n_layers, batch, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
+        if cfg.ring:
+            # O(window) ring: R attended slots + a ring_chunk write margin
+            # (chunked-prefill writes land in ONE static-size dus past the
+            # ring edge, then fold back to the ring head — see forward());
+            # memory is ~window + 2*chunk regardless of max_seq
+            sbuf = cfg.ring_capacity + cfg.ring_chunk
+        else:
+            sbuf = cfg.max_seq
+        shape = (cfg.n_layers, batch, cfg.n_kv_heads, sbuf, cfg.head_dim)
         if qtype == "q8":
             return KVCache(
                 jnp.zeros(shape, jnp.int8),
@@ -224,7 +245,13 @@ def shift_context(cache: KVCache, cfg: LlamaConfig, keep: int,
 
     int8 (q8) caches dequantize -> rotate -> requantize the shifted keys
     (rotation mixes lanes, so per-vector scales are recomputed).
+
+    Ring caches (cfg.ring) don't support shifting: the slot mapping
+    g % R is not shift-invariant.  A ring model's generation length is
+    bounded by max_seq (the RoPE table) — size max_seq generously; the
+    table is tiny next to the O(window) cache.
     """
+    assert not cfg.ring, "context shift is for linear caches (see docstring)"
     if rope_cache is None:
         rope_cache = make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base,
                                      freq_scale=cfg.rope_scale)
@@ -295,6 +322,7 @@ def _attention(cfg, q, k_all, v_all, positions, ks=None, vs=None,
     kv = k_all.shape[1]
     s = k_all.shape[2]
     rep = h // kv
+    ring_r = cfg.ring_capacity if cfg.ring else 0
     # (decode T=1 does NOT route here: forward inlines flash_decode with the
     # current token's k/v as operands, since the deferred-write contract
     # means the cache no longer holds the current token at this point)
@@ -309,7 +337,8 @@ def _attention(cfg, q, k_all, v_all, positions, ks=None, vs=None,
             .reshape(b, kv, tq * rep, hd)
         )
         out = flash_prefill(qg, k_all, v_all, positions[:, 0], rep=rep,
-                            k_scale=ks, v_scale=vs, window=cfg.window)
+                            k_scale=ks, v_scale=vs, window=cfg.window,
+                            ring=ring_r)
         out = (
             out.reshape(b, kv, tq, rep, hd)
             .transpose(0, 2, 1, 3, 4)
@@ -327,9 +356,18 @@ def _attention(cfg, q, k_all, v_all, positions, ks=None, vs=None,
     if ks is not None:  # int8 cache: k scale factors out of the hd dot
         scores = scores * ks[:, :, None, None, :]
     span = jnp.arange(s)[None, None, :]
-    mask = span <= positions[:, :, None]  # [B, T, S] causal
-    if cfg.window:  # sliding window: slots older than window are masked
-        mask = mask & (span > positions[:, :, None] - cfg.window)
+    if ring_r:
+        # ring cache: slot r holds global position g; mask by g, and mask
+        # the write-margin slots (r >= R) outright
+        p_cache = positions[:, -1][:, None, None]  # newest cached token
+        g = p_cache - jnp.mod(p_cache - span, ring_r)
+        qpos = positions[:, :, None]
+        mask = (g <= qpos) & (g >= 0) & (g > qpos - cfg.window)
+        mask = mask & (span < ring_r)
+    else:
+        mask = span <= positions[:, :, None]  # [B, T, S] causal
+        if cfg.window:  # sliding window: slots older than window are masked
+            mask = mask & (span > positions[:, :, None] - cfg.window)
     scores = jnp.where(mask[:, None, None], scores, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(scores, axis=-1)
     if vs is not None:  # v scale folds into the softmax weights
@@ -381,6 +419,29 @@ def forward(
     x = qparams["embed"][tokens].astype(jnp.float32)  # [B, T, D]
     positions = pos0[:, None] + jnp.arange(t)[None, :]  # [B, T]
 
+    if cfg.ring:
+        # ring cache: token g writes at slot g % R.  A prefill chunk lands
+        # as ONE static-size dus starting at pos0 % R (spilling into the
+        # ring_chunk write margin past slot R when it crosses the ring
+        # edge), then the spilled tail folds back onto the ring head with
+        # a static-size masked select — no dynamic-size write anywhere.
+        # Decode (T=1) starts <= R-1, never spills, never folds.
+        assert t <= cfg.ring_chunk, (t, cfg.ring_chunk)
+        ring_r = cfg.ring_capacity
+        wstart = jnp.mod(pos0, ring_r)
+    else:
+        ring_r = 0
+        wstart = pos0
+
+    def _ring_fold(buf, li):
+        """Fold layer li's spilled margin [R, R+C) back onto [0, C)."""
+        c = cfg.ring_chunk
+        head = buf[li, :, :, :c]
+        margin = buf[li, :, :, ring_r : ring_r + c]
+        spill = jnp.arange(c)[None, :] < (wstart[:, None] + t - ring_r)
+        mask = spill[:, None, :, None] if buf.ndim == 5 else spill[:, None, :]
+        return buf.at[li, :, :, :c].set(jnp.where(mask, margin, head))
+
     def write_cache(buf, li, val_t):
         """In-place per-slot cache write via dynamic_update_slice.
 
@@ -391,8 +452,10 @@ def forward(
         """
         for bb in range(b):
             buf = jax.lax.dynamic_update_slice(
-                buf, val_t[bb][None, None], (li, bb, 0, pos0[bb], 0)
+                buf, val_t[bb][None, None], (li, bb, 0, wstart[bb], 0)
             )
+        if ring_r:
+            buf = _ring_fold(buf, li)
         return buf
 
     def write_cache_all_layers(buf, vals):
@@ -403,21 +466,23 @@ def forward(
         all-layer insert per slot cuts that to 2*B."""
         for bb in range(b):
             buf = jax.lax.dynamic_update_slice(
-                buf, vals[:, bb][:, None], (0, bb, 0, pos0[bb], 0)
+                buf, vals[:, bb][:, None], (0, bb, 0, wstart[bb], 0)
             )
         return buf
 
     def write_scales(buf, li, val):  # val [B, KV, T] into [L, B, KV, S]
         for bb in range(b):
             buf = jax.lax.dynamic_update_slice(
-                buf, val[bb][None, None], (li, bb, 0, pos0[bb])
+                buf, val[bb][None, None], (li, bb, 0, wstart[bb])
             )
+        if ring_r:
+            buf = _ring_fold(buf, li)
         return buf
 
     def write_scales_all_layers(buf, vals):  # vals [L, B, KV, 1]
         for bb in range(b):
             buf = jax.lax.dynamic_update_slice(
-                buf, vals[:, bb][:, None], (0, bb, 0, pos0[bb])
+                buf, vals[:, bb][:, None], (0, bb, 0, wstart[bb])
             )
         return buf
 
@@ -463,6 +528,7 @@ def forward(
                 qg, new_k, new_v, positions[:, 0], layer=li,
                 k_current=k_t, v_current=v_t,
                 k_scale=new_ks, v_scale=new_vs, window=cfg.window,
+                ring=ring_r,
             ).reshape(b, t, nq)
         else:
             if quant_cache:

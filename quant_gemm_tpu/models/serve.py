@@ -153,6 +153,16 @@ class Server:
         # long prompts prefill in chunks of this size (defaults to 8
         # buckets) -> bounded set of compiled prefill programs
         self.max_chunk = max_prefill_chunk or prefill_bucket * 8
+        if cfg.ring:
+            # ring caches bound every forward call (and its bucket padding)
+            # by ring_chunk — the ring's write margin
+            assert prefill_bucket <= cfg.ring_chunk, (
+                prefill_bucket, cfg.ring_chunk)
+            self.max_chunk = min(self.max_chunk, cfg.ring_chunk)
+            assert not context_shift, (
+                "ring caches don't shift (llama.shift_context docstring); "
+                "generation is bounded by max_seq = the RoPE table size"
+            )
         # context_shift: instead of finishing a request whose slot hits
         # max_seq, drop its oldest tokens (llama.cpp context shift /
         # llama.shift_context) and keep generating in bounded cache memory.

@@ -34,8 +34,26 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(np.finfo(np.float32).min)
 
 
+def _ring_tile_bounds(p_new, cnt, ring, ts):
+    """Ring tiles holding the modular interval of ``cnt`` slots ending at
+    global position ``p_new`` (ring slot ``p_new % ring``).  Returns
+    (t_lo, t_hi); the valid tile set is [t_lo, t_hi] when t_lo <= t_hi,
+    else the wrapped union [0, t_hi] | [t_lo, ns-1]."""
+    r_hi = jnp.mod(p_new, ring)
+    r_lo = jnp.mod(p_new - cnt + 1, ring)
+    return r_lo // ts, r_hi // ts
+
+
+def _ring_tile_inside(st, t_lo, t_hi):
+    return jnp.where(
+        t_lo <= t_hi,
+        jnp.logical_and(st >= t_lo, st <= t_hi),
+        jnp.logical_or(st <= t_hi, st >= t_lo),
+    )
+
+
 def _kernel(*refs, ts: int, ns: int, scale: float, stacked: bool,
-            has_current: bool, quant: bool, window: int):
+            has_current: bool, quant: bool, window: int, ring: int):
     """Grid (B, S/ts); S innermost; ALL kv heads ride one tile (the cache
     slab per step is [KV, ts, hd] — MB-sized DMAs; a per-head grid measured
     3x slower, DMA-issue-latency bound).  Scratch m/l/acc persist over S.
@@ -66,10 +84,21 @@ def _kernel(*refs, ts: int, ns: int, scale: float, stacked: bool,
     # cached slots valid: <= pos when the cache already holds the current
     # token, < pos when it arrives via the kc/vc operands
     seq_len = pos_ref[b] + (0 if has_current else 1)
-    # sliding window: the query (at pos) attends slots > pos - window only
-    lo = jnp.maximum(pos_ref[b] - window + 1, 0) if window else 0
+    if ring:
+        # ring cache: slot r holds global position g = p_new - age with
+        # age = (p_new - r) mod ring; valid iff age < cnt (inside the
+        # window AND actually written — cnt folds both bounds)
+        p_new = seq_len - 1
+        wc = window - (1 if has_current else 0)
+        cnt = jnp.minimum(wc, seq_len)
+        t_lo, t_hi = _ring_tile_bounds(p_new, jnp.maximum(cnt, 1), ring, ts)
+        guard = jnp.logical_and(_ring_tile_inside(s, t_lo, t_hi), cnt > 0)
+    else:
+        # sliding window: the query (at pos) attends slots > pos - window
+        lo = jnp.maximum(pos_ref[b] - window + 1, 0) if window else 0
+        guard = jnp.logical_and(s * ts < seq_len, (s + 1) * ts > lo)
 
-    @pl.when(jnp.logical_and(s * ts < seq_len, (s + 1) * ts > lo))
+    @pl.when(guard)
     def _tile():
         q = q_ref[0].astype(jnp.float32) * scale  # [KV, rep, hd]
         k = (k_ref[0, 0] if stacked else k_ref[0]).astype(jnp.float32)  # [KV, ts, hd]
@@ -84,9 +113,13 @@ def _kernel(*refs, ts: int, ns: int, scale: float, stacked: bool,
             ks = (ks_ref[0, 0] if stacked else ks_ref[0])  # [KV, ts] f32
             scores = scores * ks[:, None, :]
         span = s * ts + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
-        valid = span < seq_len
-        if window:
-            valid = jnp.logical_and(valid, span >= lo)
+        if ring:
+            age = jnp.mod(p_new - span, ring)
+            valid = age < cnt
+        else:
+            valid = span < seq_len
+            if window:
+                valid = jnp.logical_and(valid, span >= lo)
         scores = jnp.where(valid, scores, NEG_INF)
 
         m_prev = m_ref[:, :, :1]  # [KV, rep, 1] (lane-0 column)
@@ -140,6 +173,7 @@ def flash_decode(
     layer: int | None = None,
     ts: int | None = None,
     window: int = 0,  # sliding-window width (0 = full causal)
+    ring: int = 0,  # ring-buffer capacity R (0 = linear cache)
     interpret: bool | None = None,
 ) -> jax.Array:
     """Causal decode attention; returns [B, KV, rep, hd] f32.
@@ -148,6 +182,13 @@ def flash_decode(
     ``(pos - window, pos]`` (Mistral-style sliding window).  Tiles outside
     the window are clamped in the index map AND guarded in-kernel, so both
     the DMA and the compute are proportional to the window, not the cache.
+
+    ``ring > 0`` (requires ``window``): the cache is a RING of capacity
+    ``ring`` — token at global position g lives at slot ``g % ring`` and
+    the buffer's memory is O(window), not O(max_seq) (models.llama.KVCache
+    with cfg.ring).  Only the first ``ring`` buffer slots are attended
+    (slots past it are the chunked-prefill write margin); tiles outside
+    the window's modular interval dedup their DMA to the newest tile.
 
     With ``k_scale``/``v_scale`` the cache is int8 with per-token-vector
     scales (models.llama.KVCache qtype='q8'): the k scale factors out of
@@ -176,6 +217,9 @@ def flash_decode(
     quant = k_scale is not None
     assert quant == (v_scale is not None)
     s = k.shape[3] if stacked else k.shape[2]
+    if ring:
+        assert window > 0, "ring cache requires a sliding window"
+        s = ring  # attend only the ring region; past it is write margin
     if ts is None:
         # swept at ctx 896, KV=16: bf16 best at 256 (512 OOMs VMEM at
         # KV=16 since all heads ride one tile); int8 slabs are half the
@@ -202,6 +246,16 @@ def flash_decode(
         # the current token rides separately, <= pos otherwise); with a
         # sliding window also clamp the LOW end so pre-window grid steps
         # re-request the window's first tile (pipeline dedups the DMA)
+        if ring:
+            # tiles outside the window's modular slot interval re-request
+            # the newest tile (pipeline dedups: DMA stays O(window))
+            seq_len = pos[b] + (0 if has_current else 1)
+            p_new = seq_len - 1
+            wc = window - (1 if has_current else 0)
+            cnt = jnp.maximum(jnp.minimum(wc, seq_len), 1)
+            t_lo, t_hi = _ring_tile_bounds(p_new, cnt, ring, ts)
+            t_hi = jnp.clip(t_hi, 0, ns - 1)  # pos=0: p_new=-1 is unused
+            return jnp.where(_ring_tile_inside(st, t_lo, t_hi), st, t_hi)
         last = pos[b] if not has_current else jnp.maximum(pos[b] - 1, 0)
         st = jnp.minimum(st, last // ts)
         if window:
@@ -249,7 +303,7 @@ def flash_decode(
     out = pl.pallas_call(
         functools.partial(_kernel, ts=ts, ns=ns, scale=scale, stacked=stacked,
                           has_current=has_current, quant=quant,
-                          window=window),
+                          window=window, ring=ring),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -274,7 +328,7 @@ def flash_decode(
 
 def _kernel_prefill(pos_ref, q_ref, k_ref, v_ref, *rest, ts: int, ns: int,
                     tq: int, rep: int, scale: float, quant: bool,
-                    window: int):
+                    window: int, ring: int, t_total: int):
     """Grid (B, KV, T/tq, S/ts); S innermost.  Query rows are T-major packed
     (row = t*rep + r); each row's causal limit is pos0[b] + t, computed
     in-kernel from the scalar-prefetched start positions — no mask operand.
@@ -301,11 +355,21 @@ def _kernel_prefill(pos_ref, q_ref, k_ref, v_ref, *rest, ts: int, ns: int,
     # per-row query position: pos0 + global row index // rep
     row0 = qt * r_rows
     max_len = pos_ref[b] + qt * tq + tq  # last row's seq_len
-    # sliding window: the OLDEST query row of this tile sets the low bound
-    lo = (jnp.maximum(pos_ref[b] + qt * tq - window + 1, 0)
-          if window else 0)
+    if ring:
+        # the cache holds the WHOLE chunk (t_total tokens) by attention
+        # time; slot r holds g = p_cache - (p_cache - r) mod ring
+        p_cache = pos_ref[b] + t_total - 1
+        ghi = max_len - 1  # newest token any row of this q-tile may see
+        glo = jnp.maximum(pos_ref[b] + qt * tq - window + 1, 0)
+        t_lo, t_hi = _ring_tile_bounds(ghi, ghi - glo + 1, ring, ts)
+        guard = _ring_tile_inside(s, t_lo, t_hi)
+    else:
+        # sliding window: the OLDEST query row sets the low bound
+        lo = (jnp.maximum(pos_ref[b] + qt * tq - window + 1, 0)
+              if window else 0)
+        guard = jnp.logical_and(s * ts < max_len, (s + 1) * ts > lo)
 
-    @pl.when(jnp.logical_and(s * ts < max_len, (s + 1) * ts > lo))
+    @pl.when(guard)
     def _tile():
         q = q_ref[0, 0].astype(jnp.float32) * scale  # [r_rows, hd]
         k = k_ref[0, 0].astype(jnp.float32)  # [ts, hd]
@@ -319,9 +383,14 @@ def _kernel_prefill(pos_ref, q_ref, k_ref, v_ref, *rest, ts: int, ns: int,
         span = s * ts + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         row = row0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
         qpos = pos_ref[b] + row // rep
-        valid = span <= qpos
-        if window:
-            valid = jnp.logical_and(valid, span > qpos - window)
+        if ring:
+            g = p_cache - jnp.mod(p_cache - span, ring)  # slot's global pos
+            valid = jnp.logical_and(g <= qpos, g >= 0)
+            valid = jnp.logical_and(valid, g > qpos - window)
+        else:
+            valid = span <= qpos
+            if window:
+                valid = jnp.logical_and(valid, span > qpos - window)
         scores = jnp.where(valid, scores, NEG_INF)
 
         m_prev = m_ref[:, :1]
@@ -357,9 +426,15 @@ def flash_prefill(
     tq: int = 256,
     ts: int = 1024,
     window: int = 0,  # sliding-window width (0 = full causal)
+    ring: int = 0,  # ring-buffer capacity R (0 = linear cache; see flash_decode)
     interpret: bool | None = None,
 ) -> jax.Array:
     """Causal prefill attention, O(tile) memory (no [T, S] materialization).
+
+    ``ring > 0``: the k/v buffers are a ring of capacity ``ring`` holding
+    token g at slot ``g % ring``; the cache must already hold ALL T query
+    tokens' k/v (same contract as linear mode).  Requires ``window > 0``
+    and ``window + T <= ring``.
 
     ``k_scale``/``v_scale`` enable the int8 quantized cache (see
     flash_decode): scale application folds into scores / p.
@@ -381,6 +456,10 @@ def flash_prefill(
     bsz, kv, rrows, hd = q.shape
     t = rrows // rep
     s = k.shape[2]
+    if ring:
+        assert window > 0, "ring cache requires a sliding window"
+        assert window + t <= ring, (window, t, ring)
+        s = ring  # attend only the ring region; past it is write margin
     ts = min(ts, s)
     while s % ts:
         ts //= 2
@@ -397,6 +476,11 @@ def flash_prefill(
         memory_space=pltpu.VMEM)
 
     def _clamp(b, qt, st, pos):
+        if ring:  # dedup tiles outside the q-tile's modular slot interval
+            ghi = pos[b] + qt * tq + (tq - 1)
+            glo = jnp.maximum(pos[b] + qt * tq - window + 1, 0)
+            t_lo, t_hi = _ring_tile_bounds(ghi, ghi - glo + 1, ring, ts)
+            return jnp.where(_ring_tile_inside(st, t_lo, t_hi), st, t_hi)
         last = pos[b] + qt * tq + (tq - 1)
         st = jnp.minimum(st, last // ts)
         if window:  # low clamp: pre-window tiles dedup to the first tile
@@ -419,7 +503,8 @@ def flash_prefill(
         in_specs += [sspec, sspec]
     out = pl.pallas_call(
         functools.partial(_kernel_prefill, ts=ts, ns=ns, tq=tq, rep=rep,
-                          scale=scale, quant=quant, window=window),
+                          scale=scale, quant=quant, window=window,
+                          ring=ring, t_total=t),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
