@@ -58,8 +58,6 @@ def global_mesh(axis_sizes: dict[str, int]) -> Mesh:
     device count may follow the process-spanning axis.  Single-process
     falls back to a plain reshape (same as sharding.make_mesh).
     """
-    from jax.experimental import mesh_utils
-
     shape = tuple(axis_sizes.values())
     n_proc = jax.process_count()
     n_total = len(jax.devices())
@@ -82,9 +80,18 @@ def global_mesh(axis_sizes: dict[str, int]) -> Mesh:
     assert remaining_proc == 1, (
         f"axes {axis_sizes} cannot span {n_proc} processes cleanly"
     )
-    dev = mesh_utils.create_hybrid_device_mesh(
-        tuple(local_shape), tuple(dcn_shape), devices=jax.devices()
-    )
+    # mesh_utils.create_hybrid_device_mesh groups by TPU slice_index, which
+    # CPU fleets don't carry — group by process_index directly (identical
+    # on one-slice-per-host pods): mesh coord c_i = (dcn_i, local_i) merged
+    # per axis, so neighboring local coords share a process
+    by_proc = [[] for _ in range(n_proc)]
+    for d in jax.devices():
+        by_proc[d.process_index].append(d)
+    base = np.array(by_proc, dtype=object)  # [n_proc, per_proc]
+    base = base.reshape(tuple(dcn_shape) + tuple(local_shape))
+    k = len(shape)
+    perm = [i for pair in zip(range(k), range(k, 2 * k)) for i in pair]
+    dev = base.transpose(perm).reshape(shape)
     return Mesh(dev, tuple(axis_sizes))
 
 
