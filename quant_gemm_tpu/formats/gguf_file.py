@@ -179,16 +179,21 @@ class GGUFFile:
                 lead + (k // kquants.QK_K, kquants.QK5_BLOCK_BYTES)
             )
             return kquants.from_bytes_q5_k(aos)
-        if qt in ("q2_K", "q3_K", "q6_K"):
+        if qt == "q6_K":
+            from . import kquants
+
+            aos = buf.reshape(
+                lead + (k // kquants.QK_K, kquants.QK6_BLOCK_BYTES)
+            )
+            return kquants.from_bytes_q6_k(aos)
+        if qt in ("q2_K", "q3_K"):
             # decode-only: per-16 scales don't fit the per-32 ladder
             from . import kquants
 
             per_block = {"q2_K": kquants.QK2_BLOCK_BYTES,
-                         "q3_K": kquants.QK3_BLOCK_BYTES,
-                         "q6_K": kquants.QK6_BLOCK_BYTES}[qt]
+                         "q3_K": kquants.QK3_BLOCK_BYTES}[qt]
             decode = {"q2_K": kquants.dequantize_q2_k_bytes,
-                      "q3_K": kquants.dequantize_q3_k_bytes,
-                      "q6_K": kquants.dequantize_q6_k_bytes}[qt]
+                      "q3_K": kquants.dequantize_q3_k_bytes}[qt]
             aos = buf.reshape(lead + (k // kquants.QK_K, per_block))
             return decode(aos).reshape(lead + (k,))
         spec = SPECS[qt]

@@ -482,12 +482,14 @@ __all__ = [
 
 
 # ---------------------------------------------------------------------------
-# Q6_K: decode-only support (block_q6_K, 210 B per 256 elements)
+# Q6_K: NATIVE serving support (block_q6_K, 210 B per 256 elements)
 #
 # Real Q4_K_M GGUF models store a few tensors (typically output.weight) as
 # Q6_K.  Its scales are per-16 (not per-32), so it does not map onto the
-# per-32 kernel ladder; the loader decodes it byte-exactly and re-quantizes
-# to a serving format (q8_0 preserves its accuracy class).
+# per-32 kernel ladder; Q6_KTensor + kernels.gemm_exact.gemm_exact_q6k
+# serve the exact stored codes with a per-16-block kernel (no
+# requantization).  dequantize_q6_k_bytes remains the llama.cpp-exact
+# byte-decode golden.
 # ---------------------------------------------------------------------------
 
 QK6_BLOCK_BYTES = 210  # 128 ql + 64 qh + 16 scales + 2 d
@@ -522,3 +524,109 @@ def dequantize_q6_k_bytes(raw: np.ndarray) -> np.ndarray:
                 d[:, :, None] * sc * (q.astype(np.float32) - 32.0)
             )
     return out.reshape(n, nsb * QK_K)
+
+
+class Q6_KTensor(NamedTuple):
+    """SoA Q6_K for NATIVE serving (no requantization).
+
+    llama.cpp semantics: x = d * sc[j] * (q - 32) with 6-bit codes q and
+    per-16 int8 sub-scales sc (dequantize_row_q6_K).  The SoA form stores
+    the SHIFTED codes q-32 directly as int8 (exact — they span [-32, 31]),
+    so the serving kernel needs NO offset compensation: the per-16 int dot
+    against Q8_1 activation codes is already centered.  Byte cost on
+    device is 8 bits/weight vs the serialized 6.5625 — the price of
+    lane-aligned int8 MXU feeds; numerics are EXACTLY the stored codes,
+    unlike the previous decode-then-requantize fallback.
+    """
+
+    d: np.ndarray  # f16 [N, K/256] super-scales
+    sc: np.ndarray  # i8 [N, K/16] per-16 sub-scales
+    qs: np.ndarray  # i8 [N, K] codes - 32
+
+    @property
+    def k(self) -> int:
+        return self.qs.shape[-1]
+
+    @property
+    def scp(self) -> np.ndarray:
+        """Effective per-16 f32 scale d*sc (exact f32 products)."""
+        d16 = np.repeat(np.asarray(self.d, np.float32), QK_K // 16, axis=-1)
+        return d16 * np.asarray(self.sc, np.float32)
+
+
+def _q6k_codes_from_bytes(raw: np.ndarray) -> np.ndarray:
+    """AoS uint8 [N, NSB, 210] -> raw 6-bit codes int32 [N, NSB, 256]."""
+    ql = raw[:, :, 0:128].astype(np.int32)
+    qh = raw[:, :, 128:192].astype(np.int32)
+    q = np.zeros(raw.shape[:2] + (QK_K,), np.int32)
+    for half in range(2):
+        lql = ql[:, :, half * 64 : half * 64 + 64]
+        lqh = qh[:, :, half * 32 : half * 32 + 32]
+        base = half * 128
+        q[:, :, base + 0 : base + 32] = (lql[:, :, :32] & 0xF) | ((lqh & 3) << 4)
+        q[:, :, base + 32 : base + 64] = (lql[:, :, 32:] & 0xF) | (((lqh >> 2) & 3) << 4)
+        q[:, :, base + 64 : base + 96] = (lql[:, :, :32] >> 4) | (((lqh >> 4) & 3) << 4)
+        q[:, :, base + 96 : base + 128] = (lql[:, :, 32:] >> 4) | (((lqh >> 6) & 3) << 4)
+    return q
+
+
+def from_bytes_q6_k(raw: np.ndarray) -> Q6_KTensor:
+    """AoS uint8 [N, K/256, 210] -> SoA container (byte-exact decode)."""
+    raw = np.asarray(raw, np.uint8)
+    n, nsb, bb = raw.shape
+    assert bb == QK6_BLOCK_BYTES, bb
+    sc = raw[:, :, 192:208].copy().view(np.int8).reshape(n, nsb * 16)
+    d = raw[:, :, 208:210].copy().view(np.float16)[:, :, 0]
+    q = _q6k_codes_from_bytes(raw)
+    qs = (q - 32).astype(np.int8).reshape(n, nsb * QK_K)
+    return Q6_KTensor(d, sc, qs)
+
+
+def to_bytes_q6_k(t: Q6_KTensor) -> np.ndarray:
+    """SoA -> AoS uint8 [N, K/256, 210] (inverse of from_bytes_q6_k)."""
+    n, k = t.qs.shape
+    nsb = k // QK_K
+    q = (np.asarray(t.qs, np.int32) + 32).reshape(n, nsb, QK_K)
+    raw = np.zeros((n, nsb, QK6_BLOCK_BYTES), np.uint8)
+    for half in range(2):
+        base = half * 128
+        s1 = q[:, :, base + 0 : base + 32]
+        s2 = q[:, :, base + 32 : base + 64]
+        s3 = q[:, :, base + 64 : base + 96]
+        s4 = q[:, :, base + 96 : base + 128]
+        raw[:, :, half * 64 : half * 64 + 32] = ((s1 & 0xF) | ((s3 & 0xF) << 4))
+        raw[:, :, half * 64 + 32 : half * 64 + 64] = ((s2 & 0xF) | ((s4 & 0xF) << 4))
+        raw[:, :, 128 + half * 32 : 128 + half * 32 + 32] = (
+            (s1 >> 4) | ((s2 >> 4) << 2) | ((s3 >> 4) << 4) | ((s4 >> 4) << 6)
+        )
+    raw[:, :, 192:208] = np.asarray(t.sc, np.int8).reshape(n, nsb, 16).view(np.uint8)
+    raw[:, :, 208:210] = (
+        np.asarray(t.d, np.float16).reshape(n, nsb, 1).view(np.uint8)
+    )
+    return raw
+
+
+def dequantize_q6_k(t: Q6_KTensor) -> np.ndarray:
+    """Golden dequant from the SoA form (== dequantize_q6_k_bytes)."""
+    scp16 = np.repeat(t.scp, 16, axis=-1)  # [N, K]
+    return scp16 * np.asarray(t.qs, np.float32)
+
+
+def gemm_q6k_ref(t: Q6_KTensor, a_q) -> np.ndarray:
+    """Numpy golden W6A8 GEMM: per-16 exact int dots, f32 epilogue.
+
+    out[m, n] = sum_j scp[n, j] * d_a[m, j//2] * sum_{i in 16_j} qa*qs —
+    the contract the Pallas q6k kernel matches (f32 accumulation order may
+    differ; compare with a small tolerance like the other exact kernels).
+    """
+    qa = np.asarray(a_q.qs, np.int32)  # [M, K]
+    m, k = qa.shape
+    nj = k // 16
+    sumi = np.einsum(
+        "mji,nji->mnj",
+        qa.reshape(m, nj, 16),
+        np.asarray(t.qs, np.int32).reshape(t.qs.shape[0], nj, 16),
+    ).astype(np.float64)  # exact int dot per 16
+    d_a = np.repeat(np.asarray(a_q.d, np.float32).astype(np.float64), 2, axis=-1)
+    scp = t.scp.astype(np.float64)
+    return np.einsum("mnj,mj,nj->mn", sumi, d_a, scp).astype(np.float32)

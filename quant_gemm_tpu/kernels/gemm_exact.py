@@ -543,4 +543,146 @@ def gemm_exact_fused(
     return out[:m, : w.n]
 
 
-__all__ = ["gemm_exact", "gemm_exact_fused"]
+# ---------------------------------------------------------------------------
+# Q6_K: native per-16-scale serving kernel (no requantization)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+class PreparedQ6K:
+    """K-major device layout for Q6_K: shifted codes + per-16 f32 scales.
+
+    Codes are stored as ``q - 32`` int8 (exact), so the kernel's per-16
+    int dots need no offset compensation; ``scp = f32(d) * f32(sc)`` is
+    the exact per-16 effective scale (products are not f16-representable).
+    """
+
+    def __init__(self, n, k, qs_t, scp_t):
+        self.n = n
+        self.k = k
+        self.qs_t = qs_t  # int8 [Kp, Np] codes - 32
+        self.scp_t = scp_t  # f32 [Kp/16, Np]
+        self.qtype = "q6_k"
+
+    def tree_flatten(self):
+        return (self.qs_t, self.scp_t), (self.n, self.k)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux, *children)
+
+
+def prepare_q6k(t) -> PreparedQ6K:
+    """Q6_KTensor (SoA, row-major) -> K-major padded device layout."""
+    import numpy as np
+
+    qs = np.asarray(t.qs, np.int8)
+    n, k = qs.shape
+    kp = round_up(k, 512)
+    np_pad = round_up(n, 256)
+
+    def pad(x, rows, cols):
+        return np.pad(x, ((0, rows - x.shape[0]), (0, cols - x.shape[1])))
+
+    qs = pad(qs, np_pad, kp)
+    scp = pad(np.asarray(t.scp, np.float32), np_pad, kp // 16)
+    return PreparedQ6K(n, k, jnp.asarray(qs).T, jnp.asarray(scp).T)
+
+
+def _kernel_q6k(scp_ref, qs_ref, qa_ref, da_ref, out_ref, *, tkb16: int,
+                tkp: int):
+    """Per-16-scale exact kernel: out += scp_j * d_a[j//2] * int16dot_j.
+
+    Same skeleton as _kernel_w8 but the block loop walks 16-element
+    sub-blocks (Q6_K's scale granularity) and indexes the per-32 Q8_1
+    activation scale at j//2."""
+    kt = pl.program_id(1)
+
+    @pl.when(kt == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    qa = qa_ref[:, pl.ds(kt * tkp, tkp)]
+    da = da_ref[pl.ds(kt * (tkb16 // 2), tkb16 // 2), :]  # per-32 [.., TM]
+    acc = jnp.zeros_like(out_ref)
+    scp = scp_ref[:]  # [tkb16, tn]
+    for j in range(tkb16):
+        sl = slice(j * 16, (j + 1) * 16)
+        sumi = _int_dot(qa[:, sl], qs_ref[sl, :]).astype(jnp.float32)
+        acc += scp[j, :][None, :] * da[j // 2, :][:, None] * sumi
+    out_ref[:] += acc
+
+
+def gemm_exact_q6k(
+    w: PreparedQ6K,
+    a_q: Q8_1Tensor,
+    *,
+    tn: int | None = None,
+    tkp: int = 512,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Native Q6_K x Q8_1 GEMM — serves llama.cpp Q6_K tensors (the output
+    layers of Q4_K_M models) with their EXACT stored codes and per-16
+    scales, instead of the old decode-then-requantize fallback.  Matches
+    ``formats.kquants.gemm_q6k_ref`` to f32 accumulation order."""
+    if interpret is None:
+        interpret = _interpret_default()
+    m, k = a_q.qs.shape
+    assert k == w.k
+    if tn is None:
+        tn = 2048
+    kdim = w.qs_t.shape[0]
+    tkp = min(tkp, kdim)
+    while kdim % tkp:
+        tkp //= 2
+    tkb16 = tkp // 16
+    nkt = kdim // tkp
+    tm = round_up(m, 8)
+    np_ = w.qs_t.shape[1]
+    tn = min(tn, np_)
+    tn -= tn % 128
+    while np_ % tn:
+        tn -= 128
+
+    def padm(x):
+        x = jnp.asarray(x)
+        pr = tm - x.shape[0]
+        return jnp.pad(x, ((0, pr), (0, 0))) if pr else x
+
+    qa = pad_activation_k(padm(a_q.qs), k, kdim, False)
+    da_t = pad_scales_k(padm(a_q.d).astype(jnp.float32), k, kdim, False).T
+
+    def wspec(bs):
+        return pl.BlockSpec(
+            bs, lambda nt, kt: (kt, nt), memory_space=pltpu.VMEM
+        )
+
+    def full_spec(arr):
+        nd = arr.ndim
+        return pl.BlockSpec(
+            arr.shape, lambda nt, kt: (0,) * nd, memory_space=pltpu.VMEM
+        )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_q6k, tkb16=tkb16, tkp=tkp),
+        grid=(np_ // tn, nkt),
+        in_specs=[
+            wspec((tkb16, tn)),
+            wspec((tkp, tn)),
+            full_spec(qa),
+            full_spec(da_t),
+        ],
+        out_specs=pl.BlockSpec(
+            (tm, tn), lambda nt, kt: (0, nt), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((tm, np_), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(w.scp_t, w.qs_t, qa, da_t)
+    return out[:m, : w.n]
+
+
+__all__ = ["gemm_exact", "gemm_exact_fused", "PreparedQ6K", "prepare_q6k",
+           "gemm_exact_q6k"]

@@ -40,8 +40,11 @@ from ..formats import jax_quant as _jq
 from ..formats.blocks import Q8_1Tensor
 from . import gemm_pallas as _gp
 from . import gemm_xla as _gx
+from .gemm_exact import PreparedQ6K as _PreparedQ6K
 from .gemm_exact import gemm_exact as _gemm_exact
 from .gemm_exact import gemm_exact_fused as _gemm_exact_fused
+from .gemm_exact import gemm_exact_q6k as _gemm_exact_q6k
+from .gemm_exact import prepare_q6k as _prepare_q6k
 
 
 def _as_prepared(w):
@@ -128,6 +131,12 @@ def dispatch(w, act, impl: str | None = None, quantize_act: bool = False,
     """
     if impl is not None:
         return KERNELS[impl](w, act, **kw)
+    if isinstance(w, _PreparedQ6K) or type(w).__name__ == "Q6_KTensor":
+        # native Q6_K: per-16-scale exact kernel, all shapes (W6A8 only)
+        wq = w if isinstance(w, _PreparedQ6K) else _prepare_q6k(w)
+        if not isinstance(act, Q8_1Tensor):
+            act = _jq.quantize_q8_1(act.astype(jnp.float32))
+        return _gemm_exact_q6k(wq, act, **kw)
     k = w.k if isinstance(w, _gp.PreparedWeight) else (
         w.qs.shape[-1] if hasattr(w, "qs") else w.packed.shape[-1] * 2
     )

@@ -112,6 +112,10 @@ def _prep(t) -> gemm_pallas.PreparedWeight:
         from ..formats import kquants
 
         return gemm_pallas.prepare(kquants.to_effective_q5_k(t))
+    if t.__class__.__name__ == "Q6_KTensor":  # native per-16-scale serving
+        from ..kernels.gemm_exact import prepare_q6k
+
+        return prepare_q6k(t)
     return gemm_pallas.prepare(t)
 
 
@@ -121,7 +125,20 @@ def load_llama(path) -> tuple[dict, llama.LlamaConfig]:
     cfg = config_from_metadata(gf.metadata)
     embed = gf.load(_EMBED)
     if not isinstance(embed, np.ndarray):
-        embed = numpy_ref.dequantize(embed)
+        if embed.__class__.__name__ == "Q4_KTensor":
+            from ..formats import kquants
+
+            embed = kquants.dequantize_q4_k(embed)
+        elif embed.__class__.__name__ == "Q5_KTensor":
+            from ..formats import kquants
+
+            embed = kquants.dequantize_q5_k(embed)
+        elif embed.__class__.__name__ == "Q6_KTensor":
+            from ..formats import kquants
+
+            embed = kquants.dequantize_q6_k(embed)
+        else:
+            embed = numpy_ref.dequantize(embed)
     out = {
         "embed": jnp.asarray(embed, jnp.bfloat16),
         "final_norm": jnp.asarray(np.asarray(gf.load(_OUT_NORM), np.float32)),

@@ -144,8 +144,8 @@ def test_q6k_decode_llamacpp_semantics():
 
 
 def test_gguf_loader_q6k_lm_head(tmp_path):
-    """A GGUF with a q6_K tensor loads as dequantized float (serving
-    re-quantizes it) — the Q4_K_M model pattern for output.weight."""
+    """q6_K byte decoding sanity on the Q4_K_M output.weight pattern
+    (native serving covered by test_gguf_q6k_native_load below)."""
     import struct as _struct
 
     w = datagen.normal((64, 512), seed=10)
@@ -395,3 +395,63 @@ def test_gguf_q2k_q3k_load_as_float(tmp_path):
         np.testing.assert_array_equal(x, decode(raw))
         assert x.shape == (8, 512)
         assert np.isfinite(x).all()
+
+
+# ---------------------------------------------------------------------------
+# Q6_K native serving (per-16-scale exact kernel — no requantization)
+# ---------------------------------------------------------------------------
+
+
+def _random_q6k(n, k, seed):
+    rng = np.random.default_rng(seed)
+    raw = rng.integers(0, 256, (n, k // 256, 210), dtype=np.uint8)
+    raw[:, :, 209] &= 0x7B  # keep the f16 super-scale finite
+    return raw
+
+
+def test_q6k_container_roundtrip():
+    """from_bytes_q6_k / to_bytes_q6_k are exact inverses, and the SoA
+    dequant equals the llama.cpp byte decoder."""
+    raw = _random_q6k(5, 768, seed=0)
+    t = kquants.from_bytes_q6_k(raw)
+    assert np.array_equal(kquants.to_bytes_q6_k(t), raw)
+    assert np.array_equal(kquants.dequantize_q6_k(t),
+                          kquants.dequantize_q6_k_bytes(raw))
+
+
+def test_q6k_native_kernel_vs_golden():
+    """gemm_exact_q6k serves the EXACT stored codes with per-16 scales;
+    matches the numpy integer golden to f32-accumulation tolerance."""
+    from quant_gemm_tpu.formats import jax_quant
+    from quant_gemm_tpu.kernels.gemm_exact import gemm_exact_q6k, prepare_q6k
+
+    t = kquants.from_bytes_q6_k(_random_q6k(384, 512, seed=1))
+    a = datagen.normal((5, 512), seed=2)
+    a_q = numpy_ref.quantize_q8_1(a)
+    gold = kquants.gemm_q6k_ref(t, a_q)
+    out = np.asarray(gemm_exact_q6k(prepare_q6k(t), jax_quant.device_put(a_q)))
+    m = ErrorMetrics.compute(out, gold)
+    assert m.nmse < 1e-12, m
+
+    # dispatch routes the container AND float activations (quantize_act)
+    out2 = np.asarray(dispatch(t, jax_quant.device_put(a_q)))
+    assert np.array_equal(out, out2)
+    out3 = np.asarray(
+        dispatch(t, jnp.asarray(a, jnp.float32), quantize_act=True)
+    )
+    assert np.array_equal(out, out3)
+
+
+def test_gguf_q6k_native_load(tmp_path):
+    """A GGUF q6_K tensor now loads as a Q6_KTensor container (native
+    serving), byte-preserving through write/read."""
+    raw = _random_q6k(64, 512, seed=3)
+    path = tmp_path / "q6k.gguf"
+    gguf_file.write_gguf(
+        path,
+        {"output.weight": gguf_file.RawTensor("q6_K", (64, 512),
+                                              raw.tobytes())},
+    )
+    t = gguf_file.GGUFFile(path).load("output.weight")
+    assert t.__class__.__name__ == "Q6_KTensor"
+    assert np.array_equal(kquants.to_bytes_q6_k(t), raw)
