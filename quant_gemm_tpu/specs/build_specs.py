@@ -384,6 +384,34 @@ SOLUTIONS = {
         "entry_point": "quant_gemm_tpu.kernels.registry::KERNELS['xla_dequant']",
         "description": "dequantize + jnp.dot naive rung (any K)",
     },
+    "gemm_pallas_exact_fused": {
+        "name": "gemm_pallas_exact_fused",
+        "op_type": "gemm_quant",
+        "language": "python/pallas",
+        "target": ["tpu-v5e"],
+        "entry_point": "quant_gemm_tpu.kernels.gemm_exact::gemm_exact_fused",
+        "description": (
+            "exact kernel with IN-KERNEL true-Q8_1 activation quantization "
+            "(per-32 amax, f16-rounded d via Mosaic-legal bit math, stored "
+            "sum s); bit-identical to quantize_q8_1 + gemm_exact, one fewer "
+            "activation HBM round-trip — the serving decode default via "
+            "dispatch(quantize_act=True); gemm_fused.cuh:76-143,158-302 "
+            "parity"
+        ),
+    },
+    "gemm_pallas_q6k": {
+        "name": "gemm_pallas_q6k",
+        "op_type": "gemm_quant",
+        "language": "python/pallas",
+        "target": ["tpu-v5e"],
+        "entry_point": "quant_gemm_tpu.kernels.gemm_exact::gemm_exact_q6k",
+        "description": (
+            "native Q6_K serving: per-16-block int8 MXU dots on the exact "
+            "stored codes (shifted to int8 — no offset compensation) with "
+            "f32 per-16 effective scales d*sc; replaces the "
+            "decode-then-requantize fallback for Q4_K_M output layers"
+        ),
+    },
 }
 
 
