@@ -187,15 +187,14 @@ class GGUFFile:
             )
             return kquants.from_bytes_q6_k(aos)
         if qt in ("q2_K", "q3_K"):
-            # decode-only: per-16 scales don't fit the per-32 ladder
             from . import kquants
 
             per_block = {"q2_K": kquants.QK2_BLOCK_BYTES,
                          "q3_K": kquants.QK3_BLOCK_BYTES}[qt]
-            decode = {"q2_K": kquants.dequantize_q2_k_bytes,
-                      "q3_K": kquants.dequantize_q3_k_bytes}[qt]
+            decode = {"q2_K": kquants.from_bytes_q2_k,
+                      "q3_K": kquants.from_bytes_q3_k}[qt]
             aos = buf.reshape(lead + (k // kquants.QK_K, per_block))
-            return decode(aos).reshape(lead + (k,))
+            return decode(aos)
         spec = SPECS[qt]
         aos = buf.reshape(lead + (k // QK, spec.block_bytes))
         return gguf_blocks.from_bytes(aos, qt)

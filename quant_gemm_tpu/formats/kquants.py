@@ -630,3 +630,160 @@ def gemm_q6k_ref(t: Q6_KTensor, a_q) -> np.ndarray:
     d_a = np.repeat(np.asarray(a_q.d, np.float32).astype(np.float64), 2, axis=-1)
     scp = t.scp.astype(np.float64)
     return np.einsum("mnj,mj,nj->mn", sumi, d_a, scp).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Q2_K / Q3_K: NATIVE serving containers (per-16 scales, like Q6_K)
+# ---------------------------------------------------------------------------
+
+
+class Q2_KTensor(NamedTuple):
+    """SoA Q2_K for native serving: x = d*sc_j*q - dmin*mn_j (q in 0..3,
+    per-16 4-bit sc/mn).  Codes stored unpacked int8 (exact)."""
+
+    d: np.ndarray  # f16 [N, K/256]
+    dmin: np.ndarray  # f16 [N, K/256]
+    sc: np.ndarray  # u8 [N, K/16] 4-bit scales
+    mn: np.ndarray  # u8 [N, K/16] 4-bit mins
+    qs: np.ndarray  # i8 [N, K] codes 0..3
+
+    @property
+    def k(self) -> int:
+        return self.qs.shape[-1]
+
+    @property
+    def scp(self) -> np.ndarray:
+        d16 = np.repeat(np.asarray(self.d, np.float32), QK_K // 16, axis=-1)
+        return d16 * np.asarray(self.sc, np.float32)
+
+    @property
+    def mp(self) -> np.ndarray:
+        """Per-16 additive term: x = scp*q + mp (mp = -dmin*mn)."""
+        m16 = np.repeat(np.asarray(self.dmin, np.float32), QK_K // 16, axis=-1)
+        return -m16 * np.asarray(self.mn, np.float32)
+
+
+class Q3_KTensor(NamedTuple):
+    """SoA Q3_K for native serving: x = d*(sc_j-32)*q' with SHIFTED codes
+    q' = q2 - (0 if hbit else 4) in [-4, 3] stored directly as int8."""
+
+    d: np.ndarray  # f16 [N, K/256]
+    sc: np.ndarray  # i8 [N, K/16] 6-bit scales minus 32
+    qs: np.ndarray  # i8 [N, K] shifted codes
+
+    @property
+    def k(self) -> int:
+        return self.qs.shape[-1]
+
+    @property
+    def scp(self) -> np.ndarray:
+        d16 = np.repeat(np.asarray(self.d, np.float32), QK_K // 16, axis=-1)
+        return d16 * np.asarray(self.sc, np.float32)
+
+    mp = None
+
+
+def from_bytes_q2_k(raw: np.ndarray) -> Q2_KTensor:
+    raw = np.asarray(raw, np.uint8)
+    n, nsb, bb = raw.shape
+    assert bb == QK2_BLOCK_BYTES, bb
+    scales = raw[:, :, 0:16]
+    qs = raw[:, :, 16:80].astype(np.int32)
+    d = raw[:, :, 80:82].copy().view(np.float16)[:, :, 0]
+    dmin = raw[:, :, 82:84].copy().view(np.float16)[:, :, 0]
+    q = ((qs[:, :, _Q2_BYTE] >> _Q2_SHIFT) & 3).astype(np.int8)
+    return Q2_KTensor(
+        d, dmin,
+        (scales & 0xF).reshape(n, nsb * 16),
+        (scales >> 4).reshape(n, nsb * 16),
+        q.reshape(n, nsb * QK_K),
+    )
+
+
+def to_bytes_q2_k(t: Q2_KTensor) -> np.ndarray:
+    n, k = t.qs.shape
+    nsb = k // QK_K
+    raw = np.zeros((n, nsb, QK2_BLOCK_BYTES), np.uint8)
+    raw[:, :, 0:16] = (
+        np.asarray(t.sc, np.uint8) | (np.asarray(t.mn, np.uint8) << 4)
+    ).reshape(n, nsb, 16)
+    q = np.asarray(t.qs, np.int32).reshape(n, nsb, QK_K)
+    packed = np.zeros((n, nsb, 64), np.int32)
+    np.add.at(packed.transpose(2, 0, 1), _Q2_BYTE,
+              (q & 3).transpose(2, 0, 1) << _Q2_SHIFT[:, None, None])
+    raw[:, :, 16:80] = packed.astype(np.uint8)
+    raw[:, :, 80:82] = np.asarray(t.d, np.float16).reshape(n, nsb, 1).view(np.uint8)
+    raw[:, :, 82:84] = np.asarray(t.dmin, np.float16).reshape(n, nsb, 1).view(np.uint8)
+    return raw
+
+
+def from_bytes_q3_k(raw: np.ndarray) -> Q3_KTensor:
+    raw = np.asarray(raw, np.uint8)
+    n, nsb, bb = raw.shape
+    assert bb == QK3_BLOCK_BYTES, bb
+    hmask = raw[:, :, 0:32].astype(np.int32)
+    qs = raw[:, :, 32:96].astype(np.int32)
+    sc16 = (_q3_scales(raw[:, :, 96:108]) - 32).astype(np.int8)
+    d = raw[:, :, 108:110].copy().view(np.float16)[:, :, 0]
+    q = (qs[:, :, _Q2_BYTE] >> _Q2_SHIFT) & 3
+    hbit = (hmask[:, :, _E % 32] >> (_E // 32)) & 1
+    q = (q - np.where(hbit, 0, 4)).astype(np.int8)
+    return Q3_KTensor(d, sc16.reshape(n, nsb * 16), q.reshape(n, nsb * QK_K))
+
+
+def to_bytes_q3_k(t: Q3_KTensor) -> np.ndarray:
+    n, k = t.qs.shape
+    nsb = k // QK_K
+    raw = np.zeros((n, nsb, QK3_BLOCK_BYTES), np.uint8)
+    qshift = np.asarray(t.qs, np.int32).reshape(n, nsb, QK_K)
+    hbit = (qshift >= 0).astype(np.int32)  # shifted >= 0 iff high bit set
+    q2 = (qshift + np.where(hbit, 0, 4)) & 3
+    packed = np.zeros((n, nsb, 64), np.int32)
+    np.add.at(packed.transpose(2, 0, 1), _Q2_BYTE,
+              q2.transpose(2, 0, 1) << _Q2_SHIFT[:, None, None])
+    raw[:, :, 32:96] = packed.astype(np.uint8)
+    hm = np.zeros((n, nsb, 32), np.int32)
+    np.add.at(hm.transpose(2, 0, 1), _E % 32,
+              hbit.transpose(2, 0, 1) << (_E // 32)[:, None, None])
+    raw[:, :, 0:32] = hm.astype(np.uint8)
+    # scales: inverse of _q3_scales (w0..w3 per llama.cpp kmask packing)
+    sc = (np.asarray(t.sc, np.int32) + 32).reshape(n, nsb, 16)
+    w0, w1, w2, w3 = sc[..., 0:4], sc[..., 4:8], sc[..., 8:12], sc[..., 12:16]
+    s12 = np.zeros((n, nsb, 12), np.int32)
+    s12[..., 0:4] = (w0 & 0xF) | ((w2 & 0xF) << 4)
+    s12[..., 4:8] = (w1 & 0xF) | ((w3 & 0xF) << 4)
+    s12[..., 8:12] = (
+        (w0 >> 4) | ((w1 >> 4) << 2) | ((w2 >> 4) << 4) | ((w3 >> 4) << 6)
+    )
+    raw[:, :, 96:108] = s12.astype(np.uint8)
+    raw[:, :, 108:110] = np.asarray(t.d, np.float16).reshape(n, nsb, 1).view(np.uint8)
+    return raw
+
+
+def dequantize_q2_k(t: Q2_KTensor) -> np.ndarray:
+    return (np.repeat(t.scp, 16, axis=-1) * np.asarray(t.qs, np.float32)
+            + np.repeat(t.mp, 16, axis=-1))
+
+
+def dequantize_q3_k(t: Q3_KTensor) -> np.ndarray:
+    return np.repeat(t.scp, 16, axis=-1) * np.asarray(t.qs, np.float32)
+
+
+def gemm_k16_ref(t, a_q) -> np.ndarray:
+    """Numpy golden for the per-16 native kernels (Q2_K/Q3_K/Q6_K):
+
+    out[m,n] = sum_j scp[n,j] * d_a[m,j//2] * sumi16 [+ mp[n,j] * d_a[m,j//2]
+    * sumq16] — exact int dots, f64 epilogue accumulation."""
+    qa = np.asarray(a_q.qs, np.int32)
+    m, k = qa.shape
+    nj = k // 16
+    qa3 = qa.reshape(m, nj, 16)
+    qw3 = np.asarray(t.qs, np.int32).reshape(t.qs.shape[0], nj, 16)
+    sumi = np.einsum("mji,nji->mnj", qa3, qw3).astype(np.float64)
+    d_a = np.repeat(np.asarray(a_q.d, np.float32).astype(np.float64), 2, axis=-1)
+    out = np.einsum("mnj,mj,nj->mn", sumi, d_a, t.scp.astype(np.float64))
+    mp = getattr(t, "mp", None)
+    if mp is not None:
+        sumq = qa3.sum(-1).astype(np.float64)  # [m, nj]
+        out = out + np.einsum("mj,mj,nj->mn", sumq, d_a, mp.astype(np.float64))
+    return out.astype(np.float32)

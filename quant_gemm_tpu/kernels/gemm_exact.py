@@ -544,36 +544,40 @@ def gemm_exact_fused(
 
 
 # ---------------------------------------------------------------------------
-# Q6_K: native per-16-scale serving kernel (no requantization)
+# K16: native per-16-scale serving kernel for Q2_K / Q3_K / Q6_K
+# (no requantization — the exact stored codes reach the MXU)
 # ---------------------------------------------------------------------------
 
 
 @jax.tree_util.register_pytree_node_class
-class PreparedQ6K:
-    """K-major device layout for Q6_K: shifted codes + per-16 f32 scales.
+class PreparedK16:
+    """K-major device layout for the per-16-scale K-quants.
 
-    Codes are stored as ``q - 32`` int8 (exact), so the kernel's per-16
-    int dots need no offset compensation; ``scp = f32(d) * f32(sc)`` is
-    the exact per-16 effective scale (products are not f16-representable).
+    Codes are stored pre-shifted as int8 (exact: q6_K q-32 in [-32,31],
+    q3_K q' in [-4,3], q2_K 0..3), so the per-16 int dots need no offset
+    compensation; ``scp = f32(d) * f32(sc)`` is the exact per-16 effective
+    scale (products are not f16-representable).  ``mp_t`` carries q2_K's
+    per-16 additive term (-dmin*mn); None for q3_K/q6_K.
     """
 
-    def __init__(self, n, k, qs_t, scp_t):
+    def __init__(self, qtype, n, k, qs_t, scp_t, mp_t=None):
+        self.qtype = qtype
         self.n = n
         self.k = k
-        self.qs_t = qs_t  # int8 [Kp, Np] codes - 32
+        self.qs_t = qs_t  # int8 [Kp, Np] shifted codes
         self.scp_t = scp_t  # f32 [Kp/16, Np]
-        self.qtype = "q6_k"
+        self.mp_t = mp_t  # f32 [Kp/16, Np] or None
 
     def tree_flatten(self):
-        return (self.qs_t, self.scp_t), (self.n, self.k)
+        return (self.qs_t, self.scp_t, self.mp_t), (self.qtype, self.n, self.k)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*aux, *children)
 
 
-def prepare_q6k(t) -> PreparedQ6K:
-    """Q6_KTensor (SoA, row-major) -> K-major padded device layout."""
+def prepare_k16(t) -> PreparedK16:
+    """Q2_K/Q3_K/Q6_KTensor (SoA, row-major) -> K-major padded layout."""
     import numpy as np
 
     qs = np.asarray(t.qs, np.int8)
@@ -586,16 +590,36 @@ def prepare_q6k(t) -> PreparedQ6K:
 
     qs = pad(qs, np_pad, kp)
     scp = pad(np.asarray(t.scp, np.float32), np_pad, kp // 16)
-    return PreparedQ6K(n, k, jnp.asarray(qs).T, jnp.asarray(scp).T)
+    mp = getattr(t, "mp", None)
+    mp_t = (
+        jnp.asarray(pad(np.asarray(mp, np.float32), np_pad, kp // 16)).T
+        if mp is not None else None
+    )
+    qtype = type(t).__name__.removesuffix("Tensor").lower()  # q2_k/q3_k/q6_k
+    return PreparedK16(qtype, n, k, jnp.asarray(qs).T, jnp.asarray(scp).T,
+                       mp_t)
 
 
-def _kernel_q6k(scp_ref, qs_ref, qa_ref, da_ref, out_ref, *, tkb16: int,
-                tkp: int):
-    """Per-16-scale exact kernel: out += scp_j * d_a[j//2] * int16dot_j.
+# Q6_K-era aliases (PreparedK16 generalizes the original Q6_K-only class)
+PreparedQ6K = PreparedK16
+prepare_q6k = prepare_k16
+
+
+def _kernel_k16(*refs, tkb16: int, tkp: int, has_min: bool):
+    """Per-16-scale exact kernel: out += scp_j * d_a[j//2] * int16dot_j
+    [+ mp_j * (d_a*sumq16)_j via one f32 dot per tile].
 
     Same skeleton as _kernel_w8 but the block loop walks 16-element
-    sub-blocks (Q6_K's scale granularity) and indexes the per-32 Q8_1
-    activation scale at j//2."""
+    sub-blocks (the K-quant scale granularity) and indexes the per-32
+    Q8_1 activation scale at j//2."""
+    it = iter(refs)
+    scp_ref = next(it)
+    mp_ref = next(it) if has_min else None
+    qs_ref = next(it)
+    qa_ref = next(it)
+    da_ref = next(it)
+    asq_ref = next(it) if has_min else None  # [nj_p, TM] f32 d_a*sumq16
+    out_ref = refs[-1]
     kt = pl.program_id(1)
 
     @pl.when(kt == 0)
@@ -610,21 +634,29 @@ def _kernel_q6k(scp_ref, qs_ref, qa_ref, da_ref, out_ref, *, tkb16: int,
         sl = slice(j * 16, (j + 1) * 16)
         sumi = _int_dot(qa[:, sl], qs_ref[sl, :]).astype(jnp.float32)
         acc += scp[j, :][None, :] * da[j // 2, :][:, None] * sumi
+    if has_min:
+        # additive per-16 term is linear across sub-blocks: ONE exact f32
+        # dot per tile (the q4_1 min-term trick at per-16 granularity)
+        asq = asq_ref[pl.ds(kt * tkb16, tkb16), :]
+        acc += _f32_dot_bt(asq, mp_ref[:])
     out_ref[:] += acc
 
 
-def gemm_exact_q6k(
-    w: PreparedQ6K,
+def gemm_exact_k16(
+    w: PreparedK16,
     a_q: Q8_1Tensor,
     *,
     tn: int | None = None,
     tkp: int = 512,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Native Q6_K x Q8_1 GEMM — serves llama.cpp Q6_K tensors (the output
-    layers of Q4_K_M models) with their EXACT stored codes and per-16
-    scales, instead of the old decode-then-requantize fallback.  Matches
-    ``formats.kquants.gemm_q6k_ref`` to f32 accumulation order."""
+    """Native per-16-scale K-quant GEMM (Q2_K/Q3_K/Q6_K x Q8_1).
+
+    Serves llama.cpp K-quant tensors (e.g. the Q6_K output layers of
+    Q4_K_M models, or whole Q2_K/Q3_K models) with their EXACT stored
+    codes and per-16 scales, instead of the old decode-then-requantize
+    fallback.  Matches ``formats.kquants.gemm_k16_ref`` to f32
+    accumulation order."""
     if interpret is None:
         interpret = _interpret_default()
     m, k = a_q.qs.shape
@@ -643,6 +675,7 @@ def gemm_exact_q6k(
     tn -= tn % 128
     while np_ % tn:
         tn -= 128
+    has_min = w.mp_t is not None
 
     def padm(x):
         x = jnp.asarray(x)
@@ -651,6 +684,17 @@ def gemm_exact_q6k(
 
     qa = pad_activation_k(padm(a_q.qs), k, kdim, False)
     da_t = pad_scales_k(padm(a_q.d).astype(jnp.float32), k, kdim, False).T
+    if has_min:
+        # exact per-16 activation code sums scaled by d_a (f32 products)
+        sumq16 = jnp.asarray(a_q.qs, jnp.int32).reshape(m, k // 16, 16).sum(-1)
+        d_a16 = jnp.repeat(jnp.asarray(a_q.d, jnp.float32), 2, axis=-1)
+        asq = padm(sumq16.astype(jnp.float32) * d_a16)  # [tm, k/16]
+        kb16 = kdim // 16
+        if asq.shape[1] != kb16:
+            asq = jnp.pad(asq, ((0, 0), (0, kb16 - asq.shape[1])))
+        asq_t = asq.T
+    else:
+        asq_t = None
 
     def wspec(bs):
         return pl.BlockSpec(
@@ -663,15 +707,21 @@ def gemm_exact_q6k(
             arr.shape, lambda nt, kt: (0,) * nd, memory_space=pltpu.VMEM
         )
 
+    operands = [w.scp_t]
+    in_specs = [wspec((tkb16, tn))]
+    if has_min:
+        operands.append(w.mp_t)
+        in_specs.append(wspec((tkb16, tn)))
+    operands += [w.qs_t, qa, da_t]
+    in_specs += [wspec((tkp, tn)), full_spec(qa), full_spec(da_t)]
+    if has_min:
+        operands.append(asq_t)
+        in_specs.append(full_spec(asq_t))
+
     out = pl.pallas_call(
-        functools.partial(_kernel_q6k, tkb16=tkb16, tkp=tkp),
+        functools.partial(_kernel_k16, tkb16=tkb16, tkp=tkp, has_min=has_min),
         grid=(np_ // tn, nkt),
-        in_specs=[
-            wspec((tkb16, tn)),
-            wspec((tkp, tn)),
-            full_spec(qa),
-            full_spec(da_t),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (tm, tn), lambda nt, kt: (0, nt), memory_space=pltpu.VMEM
         ),
@@ -680,9 +730,12 @@ def gemm_exact_q6k(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(w.scp_t, w.qs_t, qa, da_t)
+    )(*operands)
     return out[:m, : w.n]
 
 
-__all__ = ["gemm_exact", "gemm_exact_fused", "PreparedQ6K", "prepare_q6k",
-           "gemm_exact_q6k"]
+gemm_exact_q6k = gemm_exact_k16  # Q6_K-era alias
+
+
+__all__ = ["gemm_exact", "gemm_exact_fused", "PreparedK16", "prepare_k16",
+           "gemm_exact_k16", "PreparedQ6K", "prepare_q6k", "gemm_exact_q6k"]

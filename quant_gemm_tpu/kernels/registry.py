@@ -131,8 +131,10 @@ def dispatch(w, act, impl: str | None = None, quantize_act: bool = False,
     """
     if impl is not None:
         return KERNELS[impl](w, act, **kw)
-    if isinstance(w, _PreparedQ6K) or type(w).__name__ == "Q6_KTensor":
-        # native Q6_K: per-16-scale exact kernel, all shapes (W6A8 only)
+    if isinstance(w, _PreparedQ6K) or type(w).__name__ in (
+        "Q2_KTensor", "Q3_KTensor", "Q6_KTensor"
+    ):
+        # native per-16-scale K-quants: exact kernel, all shapes (WxA8)
         wq = w if isinstance(w, _PreparedQ6K) else _prepare_q6k(w)
         if not isinstance(act, Q8_1Tensor):
             act = _jq.quantize_q8_1(act.astype(jnp.float32))

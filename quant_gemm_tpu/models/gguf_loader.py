@@ -112,10 +112,10 @@ def _prep(t) -> gemm_pallas.PreparedWeight:
         from ..formats import kquants
 
         return gemm_pallas.prepare(kquants.to_effective_q5_k(t))
-    if t.__class__.__name__ == "Q6_KTensor":  # native per-16-scale serving
-        from ..kernels.gemm_exact import prepare_q6k
+    if t.__class__.__name__ in ("Q2_KTensor", "Q3_KTensor", "Q6_KTensor"):
+        from ..kernels.gemm_exact import prepare_k16  # native per-16 serving
 
-        return prepare_q6k(t)
+        return prepare_k16(t)
     return gemm_pallas.prepare(t)
 
 
@@ -137,6 +137,14 @@ def load_llama(path) -> tuple[dict, llama.LlamaConfig]:
             from ..formats import kquants
 
             embed = kquants.dequantize_q6_k(embed)
+        elif embed.__class__.__name__ == "Q2_KTensor":
+            from ..formats import kquants
+
+            embed = kquants.dequantize_q2_k(embed)
+        elif embed.__class__.__name__ == "Q3_KTensor":
+            from ..formats import kquants
+
+            embed = kquants.dequantize_q3_k(embed)
         else:
             embed = numpy_ref.dequantize(embed)
     out = {

@@ -374,8 +374,9 @@ def test_q3k_decode_llamacpp_semantics():
             )
 
 
-def test_gguf_q2k_q3k_load_as_float(tmp_path):
-    """q2_K/q3_K tensors in a GGUF load as dequantized float arrays."""
+def test_gguf_q2k_q3k_load_native(tmp_path):
+    """q2_K/q3_K tensors in a GGUF load as native SoA containers whose
+    dequant matches the llama.cpp byte decoder (byte-preserving)."""
     rng = np.random.default_rng(32)
     for qt, bb in (("q2_K", 84), ("q3_K", 110)):
         raw = rng.integers(0, 256, (8, 2, bb)).astype(np.uint8)
@@ -389,12 +390,15 @@ def test_gguf_q2k_q3k_load_as_float(tmp_path):
         )
         gf = gguf_file.GGUFFile(path)
         assert gf.tensors["w.weight"]["qtype"] == qt
-        x = gf.load("w.weight")
+        t = gf.load("w.weight")
         decode = {"q2_K": kquants.dequantize_q2_k_bytes,
                   "q3_K": kquants.dequantize_q3_k_bytes}[qt]
-        np.testing.assert_array_equal(x, decode(raw))
-        assert x.shape == (8, 512)
-        assert np.isfinite(x).all()
+        deq = {"q2_K": kquants.dequantize_q2_k,
+               "q3_K": kquants.dequantize_q3_k}[qt]
+        enc = {"q2_K": kquants.to_bytes_q2_k,
+               "q3_K": kquants.to_bytes_q3_k}[qt]
+        np.testing.assert_array_equal(deq(t), decode(raw))
+        np.testing.assert_array_equal(enc(t), raw)
 
 
 # ---------------------------------------------------------------------------
@@ -455,3 +459,38 @@ def test_gguf_q6k_native_load(tmp_path):
     t = gguf_file.GGUFFile(path).load("output.weight")
     assert t.__class__.__name__ == "Q6_KTensor"
     assert np.array_equal(kquants.to_bytes_q6_k(t), raw)
+
+
+@pytest.mark.parametrize("qt", ["q2_K", "q3_K"])
+def test_q23k_native_roundtrip_and_kernel(qt):
+    """Q2_K/Q3_K: byte round-trip exact, SoA dequant == llama.cpp byte
+    decoder, native per-16 kernel matches the integer golden, dispatch
+    routes the container."""
+    from quant_gemm_tpu.formats import jax_quant
+    from quant_gemm_tpu.kernels.gemm_exact import gemm_exact_k16, prepare_k16
+
+    rng = np.random.default_rng(11)
+    bb = {"q2_K": 84, "q3_K": 110}[qt]
+    raw = rng.integers(0, 256, (384, 2, bb), dtype=np.uint8)
+    if qt == "q2_K":
+        raw[:, :, 81] &= 0x7B  # finite d
+        raw[:, :, 83] &= 0x7B  # finite dmin
+        t = kquants.from_bytes_q2_k(raw)
+        assert np.array_equal(kquants.to_bytes_q2_k(t), raw)
+        assert np.array_equal(kquants.dequantize_q2_k(t),
+                              kquants.dequantize_q2_k_bytes(raw))
+    else:
+        raw[:, :, 109] &= 0x7B
+        t = kquants.from_bytes_q3_k(raw)
+        assert np.array_equal(kquants.to_bytes_q3_k(t), raw)
+        assert np.array_equal(kquants.dequantize_q3_k(t),
+                              kquants.dequantize_q3_k_bytes(raw))
+
+    a = datagen.normal((5, 512), seed=2)
+    a_q = numpy_ref.quantize_q8_1(a)
+    gold = kquants.gemm_k16_ref(t, a_q)
+    out = np.asarray(gemm_exact_k16(prepare_k16(t), jax_quant.device_put(a_q)))
+    m = ErrorMetrics.compute(out, gold)
+    assert m.nmse < 1e-12, m
+    out2 = np.asarray(dispatch(t, jax_quant.device_put(a_q)))
+    assert np.array_equal(out, out2)
