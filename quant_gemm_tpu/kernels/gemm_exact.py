@@ -466,6 +466,9 @@ def gemm_exact_fused(
     assert w.qh_t is None, "q5 formats: use quantize_q8_1 + gemm_exact"
     m, k = x.shape
     assert k == w.k
+    # the float activation rides VMEM-resident ([M, Kpad] f32); decode
+    # shapes only — prefill must quantize outside (dispatch handles this)
+    assert m <= 64, f"fused exact kernel is decode-only (M={m})"
     if tn is None:
         tn = 2048
     x = x.astype(jnp.float32)
