@@ -787,3 +787,68 @@ def gemm_k16_ref(t, a_q) -> np.ndarray:
         sumq = qa3.sum(-1).astype(np.float64)  # [m, nj]
         out = out + np.einsum("mj,mj,nj->mn", sumq, d_a, mp.astype(np.float64))
     return out.astype(np.float32)
+
+
+def quantize_q6_k(x: np.ndarray) -> Q6_KTensor:
+    """Format-exact Q6_K encoder (simplified two-level scale search).
+
+    Per-16: float scale f = amax/31, then 8-bit sub-scale sc = rint(f/d)
+    against the super-scale d = max|f|/127.  llama.cpp's make_qx_quants
+    would search harder; decode of either's bytes is identical semantics.
+    """
+    x = np.asarray(x, np.float32)
+    n, k = x.shape
+    assert k % QK_K == 0, k
+    g = x.reshape(n, k // 16, 16)
+    f = np.abs(g).max(-1) / 31.0  # [n, k/16]
+    d = (f.reshape(n, -1, 16).max(-1) / 127.0).clip(None, F16_MAX)
+    d = d.astype(np.float16)  # [n, k/256]
+    d32 = np.repeat(d.astype(np.float32), 16, axis=-1)
+    sc = np.where(d32 > 0, np.rint(f / np.where(d32 > 0, d32, 1.0)), 0.0)
+    sc = sc.clip(0, 127).astype(np.int8)
+    scp = d32 * sc.astype(np.float32)
+    inv = np.where(scp > 0, 1.0 / np.where(scp > 0, scp, 1.0), 0.0)
+    q = np.clip(np.rint(g * inv[..., None]), -32, 31).astype(np.int8)
+    return Q6_KTensor(d, sc, q.reshape(n, k))
+
+
+def quantize_q3_k(x: np.ndarray) -> Q3_KTensor:
+    """Format-exact Q3_K encoder (simplified; codes in [-4, 3])."""
+    x = np.asarray(x, np.float32)
+    n, k = x.shape
+    assert k % QK_K == 0, k
+    g = x.reshape(n, k // 16, 16)
+    f = np.abs(g).max(-1) / 4.0
+    d = (f.reshape(n, -1, 16).max(-1) / 31.0).clip(None, F16_MAX)
+    d = d.astype(np.float16)
+    d32 = np.repeat(d.astype(np.float32), 16, axis=-1)
+    sc = np.where(d32 > 0, np.rint(f / np.where(d32 > 0, d32, 1.0)), 0.0)
+    sc = sc.clip(-32, 31).astype(np.int8)
+    scp = d32 * sc.astype(np.float32)
+    inv = np.where(scp != 0, 1.0 / np.where(scp != 0, scp, 1.0), 0.0)
+    q = np.clip(np.rint(g * inv[..., None]), -4, 3).astype(np.int8)
+    return Q3_KTensor(d, sc, q.reshape(n, k))
+
+
+def quantize_q2_k(x: np.ndarray) -> Q2_KTensor:
+    """Format-exact Q2_K encoder (simplified; x ~ d*sc*q - dmin*mn)."""
+    x = np.asarray(x, np.float32)
+    n, k = x.shape
+    assert k % QK_K == 0, k
+    g = x.reshape(n, k // 16, 16)
+    mn_f = np.minimum(g.min(-1), 0.0)  # llama.cpp clamps positive mins to 0
+    sc_f = (g.max(-1) - mn_f) / 3.0
+    d = (sc_f.reshape(n, -1, 16).max(-1) / 15.0).clip(None, F16_MAX)
+    dmin = ((-mn_f).reshape(n, -1, 16).max(-1) / 15.0).clip(None, F16_MAX)
+    d, dmin = d.astype(np.float16), dmin.astype(np.float16)
+    d32 = np.repeat(d.astype(np.float32), 16, axis=-1)
+    dm32 = np.repeat(dmin.astype(np.float32), 16, axis=-1)
+    sc = np.where(d32 > 0, np.rint(sc_f / np.where(d32 > 0, d32, 1.0)), 0.0)
+    sc = sc.clip(0, 15).astype(np.uint8)
+    mn = np.where(dm32 > 0, np.rint(-mn_f / np.where(dm32 > 0, dm32, 1.0)), 0.0)
+    mn = mn.clip(0, 15).astype(np.uint8)
+    scp = d32 * sc.astype(np.float32)
+    mp = dm32 * mn.astype(np.float32)  # x ~ scp*q - mp
+    inv = np.where(scp > 0, 1.0 / np.where(scp > 0, scp, 1.0), 0.0)
+    q = np.clip(np.rint((g + mp[..., None]) * inv[..., None]), 0, 3)
+    return Q2_KTensor(d, dmin, sc, mn, q.astype(np.int8).reshape(n, k))

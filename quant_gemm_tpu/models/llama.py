@@ -118,11 +118,21 @@ def quantize_params(params: dict, qtype: str = "q4_0") -> dict:
 
         def quantize(w):
             return kquants.to_effective_q5_k(kquants.quantize_q5_k(w))
+    elif qtype in ("q2_k", "q3_k", "q6_k"):  # per-16 K-quants: native kernel
+        from ..formats import kquants
+        from ..kernels.gemm_exact import prepare_k16
+
+        qfn = {"q2_k": kquants.quantize_q2_k, "q3_k": kquants.quantize_q3_k,
+               "q6_k": kquants.quantize_q6_k}[qtype]
+
+        def prep(w):
+            return prepare_k16(qfn(np.asarray(w, np.float32)))
     else:
         quantize = numpy_ref.QUANTIZE[qtype]
 
-    def prep(w):
-        return gemm_pallas.prepare(quantize(np.asarray(w)))
+    if qtype not in ("q2_k", "q3_k", "q6_k"):
+        def prep(w):
+            return gemm_pallas.prepare(quantize(np.asarray(w)))
 
     out = {
         "embed": jnp.asarray(params["embed"], jnp.bfloat16),

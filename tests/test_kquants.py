@@ -494,3 +494,45 @@ def test_q23k_native_roundtrip_and_kernel(qt):
     assert m.nmse < 1e-12, m
     out2 = np.asarray(dispatch(t, jax_quant.device_put(a_q)))
     assert np.array_equal(out, out2)
+
+
+@pytest.mark.parametrize("qt,budget", [("q6_k", 2e-3), ("q3_k", 8e-2),
+                                       ("q2_k", 3e-1)])
+def test_k16_quantize_roundtrip(qt, budget):
+    """Encode direction for the per-16 K-quants: format-exact bytes
+    (stable through to_bytes/from_bytes) at the expected accuracy class."""
+    qf = {"q2_k": kquants.quantize_q2_k, "q3_k": kquants.quantize_q3_k,
+          "q6_k": kquants.quantize_q6_k}[qt]
+    deq = {"q2_k": kquants.dequantize_q2_k, "q3_k": kquants.dequantize_q3_k,
+           "q6_k": kquants.dequantize_q6_k}[qt]
+    enc = {"q2_k": kquants.to_bytes_q2_k, "q3_k": kquants.to_bytes_q3_k,
+           "q6_k": kquants.to_bytes_q6_k}[qt]
+    dec = {"q2_k": kquants.from_bytes_q2_k, "q3_k": kquants.from_bytes_q3_k,
+           "q6_k": kquants.from_bytes_q6_k}[qt]
+    x = datagen.normal((8, 512), seed=4)
+    t = qf(x)
+    y = deq(t)
+    nmse = float(((y - x) ** 2).mean() / (x ** 2).mean())
+    assert nmse < budget, (qt, nmse)
+    assert np.array_equal(deq(dec(enc(t))), y)
+
+
+@pytest.mark.slow
+def test_q6k_model_serving():
+    """A tiny llama quantized to q6_k serves through the native per-16
+    kernel; logits track the float reference at the format budget."""
+    import jax
+
+    from quant_gemm_tpu.models import llama
+
+    cfg = llama.LlamaConfig(vocab=48, dim=256, n_layers=1, n_heads=2,
+                            n_kv_heads=2, d_ff=256, max_seq=32)
+    params = llama.init_params(cfg, seed=1)
+    qp = llama.quantize_params(params, "q6_k")  # K dims must be 256-mults
+    toks = jnp.asarray([[3, 7, 9, 2]], jnp.int32)
+    out, _ = llama.jit_forward(qp, cfg, toks, llama.KVCache.init(cfg, 1))
+    ref, _ = jax.jit(llama.forward_float, static_argnames=("cfg",))(
+        params, cfg, toks, llama.KVCache.init(cfg, 1)
+    )
+    m = ErrorMetrics.compute(np.asarray(out), np.asarray(ref))
+    assert m.nmse < 2e-2, m
