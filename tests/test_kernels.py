@@ -233,7 +233,10 @@ def test_f16_round_matches_ieee():
     assert np.array_equal(emu, ref)
 
 
-@pytest.mark.parametrize("fmt", ["q4_0", "q4_1", "q8_0"])
+@pytest.mark.parametrize(
+    "fmt",
+    ["q4_0", pytest.param("q4_1", marks=pytest.mark.slow), "q8_0"],
+)
 def test_fused_exact_bit_identical(fmt, data):
     """gemm_exact_fused(w, x) == gemm_exact(w, quantize_q8_1(x)) EXACTLY —
     the reference's fused kernel contract (gemm_fused.cuh:158-302) with

@@ -429,7 +429,7 @@ def test_q6k_native_kernel_vs_golden():
     from quant_gemm_tpu.formats import jax_quant
     from quant_gemm_tpu.kernels.gemm_exact import gemm_exact_q6k, prepare_q6k
 
-    t = kquants.from_bytes_q6_k(_random_q6k(384, 512, seed=1))
+    t = kquants.from_bytes_q6_k(_random_q6k(256, 512, seed=1))
     a = datagen.normal((5, 512), seed=2)
     a_q = numpy_ref.quantize_q8_1(a)
     gold = kquants.gemm_q6k_ref(t, a_q)
@@ -471,7 +471,7 @@ def test_q23k_native_roundtrip_and_kernel(qt):
 
     rng = np.random.default_rng(11)
     bb = {"q2_K": 84, "q3_K": 110}[qt]
-    raw = rng.integers(0, 256, (384, 2, bb), dtype=np.uint8)
+    raw = rng.integers(0, 256, (256, 2, bb), dtype=np.uint8)
     if qt == "q2_K":
         raw[:, :, 81] &= 0x7B  # finite d
         raw[:, :, 83] &= 0x7B  # finite dmin
