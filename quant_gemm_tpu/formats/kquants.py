@@ -32,7 +32,7 @@ from typing import NamedTuple
 
 import numpy as np
 
-from ..utils import F16_MAX
+from ..utils import F16_MAX, f16_sat
 from .blocks import QK
 
 QK_K = 256  # super-block size
@@ -93,8 +93,8 @@ def quantize_q4_k(x: np.ndarray) -> Q4_KTensor:
 
     sup_scale = scale.reshape(n, -1, NSB).max(axis=2)  # [N, nsb]
     sup_min = minv.reshape(n, -1, NSB).max(axis=2)
-    d = (sup_scale / 63.0).clip(-F16_MAX, F16_MAX).astype(np.float16)
-    dmin = (sup_min / 63.0).clip(-F16_MAX, F16_MAX).astype(np.float16)
+    d = f16_sat(sup_scale / 63.0)
+    dmin = f16_sat(sup_min / 63.0)
     d32 = d.astype(np.float32)
     dmin32 = dmin.astype(np.float32)
 
@@ -284,8 +284,8 @@ def quantize_q5_k(x: np.ndarray) -> Q5_KTensor:
 
     sup_scale = scale.reshape(n, -1, NSB).max(axis=2)
     sup_min = minv.reshape(n, -1, NSB).max(axis=2)
-    d = (sup_scale / 63.0).clip(-F16_MAX, F16_MAX).astype(np.float16)
-    dmin = (sup_min / 63.0).clip(-F16_MAX, F16_MAX).astype(np.float16)
+    d = f16_sat(sup_scale / 63.0)
+    dmin = f16_sat(sup_min / 63.0)
     d32 = d.astype(np.float32)
     dmin32 = dmin.astype(np.float32)
 
@@ -801,8 +801,7 @@ def quantize_q6_k(x: np.ndarray) -> Q6_KTensor:
     assert k % QK_K == 0, k
     g = x.reshape(n, k // 16, 16)
     f = np.abs(g).max(-1) / 31.0  # [n, k/16]
-    d = (f.reshape(n, -1, 16).max(-1) / 127.0).clip(None, F16_MAX)
-    d = d.astype(np.float16)  # [n, k/256]
+    d = f16_sat(f.reshape(n, -1, 16).max(-1) / 127.0)  # [n, k/256]
     d32 = np.repeat(d.astype(np.float32), 16, axis=-1)
     sc = np.where(d32 > 0, np.rint(f / np.where(d32 > 0, d32, 1.0)), 0.0)
     sc = sc.clip(0, 127).astype(np.int8)
@@ -819,8 +818,7 @@ def quantize_q3_k(x: np.ndarray) -> Q3_KTensor:
     assert k % QK_K == 0, k
     g = x.reshape(n, k // 16, 16)
     f = np.abs(g).max(-1) / 4.0
-    d = (f.reshape(n, -1, 16).max(-1) / 31.0).clip(None, F16_MAX)
-    d = d.astype(np.float16)
+    d = f16_sat(f.reshape(n, -1, 16).max(-1) / 31.0)
     d32 = np.repeat(d.astype(np.float32), 16, axis=-1)
     sc = np.where(d32 > 0, np.rint(f / np.where(d32 > 0, d32, 1.0)), 0.0)
     sc = sc.clip(-32, 31).astype(np.int8)
@@ -838,9 +836,8 @@ def quantize_q2_k(x: np.ndarray) -> Q2_KTensor:
     g = x.reshape(n, k // 16, 16)
     mn_f = np.minimum(g.min(-1), 0.0)  # llama.cpp clamps positive mins to 0
     sc_f = (g.max(-1) - mn_f) / 3.0
-    d = (sc_f.reshape(n, -1, 16).max(-1) / 15.0).clip(None, F16_MAX)
-    dmin = ((-mn_f).reshape(n, -1, 16).max(-1) / 15.0).clip(None, F16_MAX)
-    d, dmin = d.astype(np.float16), dmin.astype(np.float16)
+    d = f16_sat(sc_f.reshape(n, -1, 16).max(-1) / 15.0)
+    dmin = f16_sat((-mn_f).reshape(n, -1, 16).max(-1) / 15.0)
     d32 = np.repeat(d.astype(np.float32), 16, axis=-1)
     dm32 = np.repeat(dmin.astype(np.float32), 16, axis=-1)
     sc = np.where(d32 > 0, np.rint(sc_f / np.where(d32 > 0, d32, 1.0)), 0.0)
@@ -852,3 +849,17 @@ def quantize_q2_k(x: np.ndarray) -> Q2_KTensor:
     inv = np.where(scp > 0, 1.0 / np.where(scp > 0, scp, 1.0), 0.0)
     q = np.clip(np.rint((g + mp[..., None]) * inv[..., None]), 0, 3)
     return Q2_KTensor(d, dmin, sc, mn, q.astype(np.int8).reshape(n, k))
+
+
+#: Per-16-scale K-quant containers (served by kernels.gemm_exact_k16);
+#: the single source of truth for type dispatch across the engine.
+K16_TENSORS = (Q2_KTensor, Q3_KTensor, Q6_KTensor)
+
+#: Container -> dequantizer (float32 [N, K]) for every K-quant SoA type.
+DEQUANT = {
+    Q4_KTensor: dequantize_q4_k,
+    Q5_KTensor: dequantize_q5_k,
+    Q2_KTensor: dequantize_q2_k,
+    Q3_KTensor: dequantize_q3_k,
+    Q6_KTensor: dequantize_q6_k,
+}

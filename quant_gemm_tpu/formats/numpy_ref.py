@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..utils import F16_MAX
+from ..utils import F16_MAX, f16_sat
 
 from .blocks import (
     QK,
@@ -103,7 +103,7 @@ def quantize_q4_0(x: np.ndarray) -> Q4_0Tensor:
     """d = amax/7, q = clip(rint(x/d), -8, 7) + 8  (include/quantize.h:35-70)."""
     xb = _blocks(x)
     amax = np.abs(xb).max(axis=-1)
-    d = (amax / 7.0).clip(-F16_MAX, F16_MAX).astype(np.float16)
+    d = f16_sat(amax / 7.0)
     inv = _safe_inv(d)
     q = np.clip(np.rint(xb * inv[..., None]), -8, 7).astype(np.int8) + 8
     return Q4_0Tensor(pack_planar_4bit(q.reshape(x.shape)), d)
@@ -114,8 +114,8 @@ def quantize_q4_1(x: np.ndarray) -> Q4_1Tensor:
     xb = _blocks(x)
     mn = xb.min(axis=-1)
     mx = xb.max(axis=-1)
-    d = ((mx - mn) / 15.0).clip(-F16_MAX, F16_MAX).astype(np.float16)
-    m = mn.clip(-F16_MAX, F16_MAX).astype(np.float16)
+    d = f16_sat((mx - mn) / 15.0)
+    m = f16_sat(mn)
     inv = _safe_inv(d)
     q = np.clip(np.rint((xb - mn[..., None]) * inv[..., None]), 0, 15)
     return Q4_1Tensor(pack_planar_4bit(q.astype(np.uint8).reshape(x.shape)), d, m)
@@ -125,7 +125,7 @@ def quantize_q5_0(x: np.ndarray) -> Q5_0Tensor:
     """d = amax/15, q = clip(rint(x/d), -16, 15) + 16 (framework to_q5_0)."""
     xb = _blocks(x)
     amax = np.abs(xb).max(axis=-1)
-    d = (amax / 15.0).clip(-F16_MAX, F16_MAX).astype(np.float16)
+    d = f16_sat(amax / 15.0)
     inv = _safe_inv(d)
     q = np.clip(np.rint(xb * inv[..., None]) + 16, 0, 31).astype(np.uint8)
     q = q.reshape(x.shape)
@@ -137,8 +137,8 @@ def quantize_q5_1(x: np.ndarray) -> Q5_1Tensor:
     xb = _blocks(x)
     mn = xb.min(axis=-1)
     mx = xb.max(axis=-1)
-    d = ((mx - mn) / 31.0).clip(-F16_MAX, F16_MAX).astype(np.float16)
-    m = mn.clip(-F16_MAX, F16_MAX).astype(np.float16)
+    d = f16_sat((mx - mn) / 31.0)
+    m = f16_sat(mn)
     inv = _safe_inv(d)
     q = np.clip(np.rint((xb - mn[..., None]) * inv[..., None]), 0, 31).astype(np.uint8)
     q = q.reshape(x.shape)
@@ -149,7 +149,7 @@ def quantize_q8_0(x: np.ndarray) -> Q8_0Tensor:
     """d = amax/127, q = clip(rint(x/d), -127, 127)."""
     xb = _blocks(x)
     amax = np.abs(xb).max(axis=-1)
-    d = (amax / 127.0).clip(-F16_MAX, F16_MAX).astype(np.float16)
+    d = f16_sat(amax / 127.0)
     inv = _safe_inv(d)
     q = np.clip(np.rint(xb * inv[..., None]), -127, 127).astype(np.int8)
     return Q8_0Tensor(q.reshape(x.shape), d)
@@ -163,11 +163,11 @@ def quantize_q8_1(x: np.ndarray) -> Q8_1Tensor:
     """
     xb = _blocks(x)
     amax = np.abs(xb).max(axis=-1)
-    d = (amax / 127.0).clip(-F16_MAX, F16_MAX).astype(np.float16)
+    d = f16_sat(amax / 127.0)
     inv = _safe_inv(d)
     q = np.clip(np.rint(xb * inv[..., None]), -127, 127).astype(np.int8)
     sum_q = q.astype(np.int32).sum(axis=-1)
-    s = (sum_q.astype(np.float32) * d.astype(np.float32)).clip(-F16_MAX, F16_MAX).astype(np.float16)
+    s = f16_sat(sum_q.astype(np.float32) * d.astype(np.float32))
     return Q8_1Tensor(q.reshape(x.shape), d, s)
 
 

@@ -51,6 +51,29 @@ def _as_prepared(w):
     return w if isinstance(w, _gp.PreparedWeight) else _gp.prepare(w)
 
 
+def _is_k16(w) -> bool:
+    from ..formats import kquants as _kq
+
+    return isinstance(w, _kq.K16_TENSORS)
+
+
+def _k16_dequant_gemm(wq, act):
+    """WxA16 fallback for the per-16 K-quants: dequantize on device (XLA
+    fuses the expand into the matmul read) and contract in bf16/f32."""
+    from jax import numpy as _jnp
+
+    scp16 = _jnp.repeat(wq.scp_t, 16, axis=0)  # [Kp, Np]
+    wt = wq.qs_t.astype(_jnp.float32) * scp16
+    if wq.mp_t is not None:  # q2_K additive term
+        wt = wt + _jnp.repeat(wq.mp_t, 16, axis=0)
+    kdim = wq.qs_t.shape[0]
+    a = act.astype(_jnp.float32)
+    if a.shape[1] != kdim:
+        a = _jnp.pad(a, ((0, 0), (0, kdim - a.shape[1])))
+    out = jnp.dot(a, wt, preferred_element_type=_jnp.float32)
+    return out[:, : wq.n]
+
+
 def _xla_dequant(w_q, act, **kw):
     if isinstance(act, Q8_1Tensor):
         return _gx.gemm_wxa8_scaled_xla(w_q, act)
@@ -131,14 +154,17 @@ def dispatch(w, act, impl: str | None = None, quantize_act: bool = False,
     """
     if impl is not None:
         return KERNELS[impl](w, act, **kw)
-    if isinstance(w, _PreparedQ6K) or type(w).__name__ in (
-        "Q2_KTensor", "Q3_KTensor", "Q6_KTensor"
-    ):
-        # native per-16-scale K-quants: exact kernel, all shapes (WxA8)
+    if isinstance(w, _PreparedQ6K) or _is_k16(w):
+        # native per-16-scale K-quants (Q2_K/Q3_K/Q6_K)
         wq = w if isinstance(w, _PreparedQ6K) else _prepare_q6k(w)
-        if not isinstance(act, Q8_1Tensor):
-            act = _jq.quantize_q8_1(act.astype(jnp.float32))
-        return _gemm_exact_q6k(wq, act, **kw)
+        if isinstance(act, Q8_1Tensor) or quantize_act:
+            if not isinstance(act, Q8_1Tensor):
+                act = _jq.quantize_q8_1(act.astype(jnp.float32))
+            return _gemm_exact_q6k(wq, act, **kw)
+        # WxA16 (act_mode='bf16' accuracy mode): XLA dequant + matmul —
+        # materializes the float weight, so use only where accuracy trumps
+        # memory; the WxA8 exact kernel above is the serving path
+        return _k16_dequant_gemm(wq, act)
     k = w.k if isinstance(w, _gp.PreparedWeight) else (
         w.qs.shape[-1] if hasattr(w, "qs") else w.packed.shape[-1] * 2
     )

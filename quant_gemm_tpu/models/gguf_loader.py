@@ -104,16 +104,14 @@ def _concat_quantized(parts):
 def _prep(t) -> gemm_pallas.PreparedWeight:
     if isinstance(t, np.ndarray):  # float tensor in a quantized slot
         return gemm_pallas.prepare(numpy_ref.quantize_q4_0(np.asarray(t, np.float32)))
-    if t.__class__.__name__ == "Q4_KTensor":  # K-quants: effective q4_1 form
-        from ..formats import kquants
+    from ..formats import kquants
 
+    if isinstance(t, kquants.Q4_KTensor):  # K-quants: effective q4_1 form
         return gemm_pallas.prepare(kquants.to_effective(t))
-    if t.__class__.__name__ == "Q5_KTensor":  # K-quants: effective q5_1 form
-        from ..formats import kquants
-
+    if isinstance(t, kquants.Q5_KTensor):  # K-quants: effective q5_1 form
         return gemm_pallas.prepare(kquants.to_effective_q5_k(t))
-    if t.__class__.__name__ in ("Q2_KTensor", "Q3_KTensor", "Q6_KTensor"):
-        from ..kernels.gemm_exact import prepare_k16  # native per-16 serving
+    if isinstance(t, kquants.K16_TENSORS):  # native per-16 serving
+        from ..kernels.gemm_exact import prepare_k16
 
         return prepare_k16(t)
     return gemm_pallas.prepare(t)
@@ -125,28 +123,10 @@ def load_llama(path) -> tuple[dict, llama.LlamaConfig]:
     cfg = config_from_metadata(gf.metadata)
     embed = gf.load(_EMBED)
     if not isinstance(embed, np.ndarray):
-        if embed.__class__.__name__ == "Q4_KTensor":
-            from ..formats import kquants
+        from ..formats import kquants
 
-            embed = kquants.dequantize_q4_k(embed)
-        elif embed.__class__.__name__ == "Q5_KTensor":
-            from ..formats import kquants
-
-            embed = kquants.dequantize_q5_k(embed)
-        elif embed.__class__.__name__ == "Q6_KTensor":
-            from ..formats import kquants
-
-            embed = kquants.dequantize_q6_k(embed)
-        elif embed.__class__.__name__ == "Q2_KTensor":
-            from ..formats import kquants
-
-            embed = kquants.dequantize_q2_k(embed)
-        elif embed.__class__.__name__ == "Q3_KTensor":
-            from ..formats import kquants
-
-            embed = kquants.dequantize_q3_k(embed)
-        else:
-            embed = numpy_ref.dequantize(embed)
+        deq = kquants.DEQUANT.get(type(embed))
+        embed = deq(embed) if deq else numpy_ref.dequantize(embed)
     out = {
         "embed": jnp.asarray(embed, jnp.bfloat16),
         "final_norm": jnp.asarray(np.asarray(gf.load(_OUT_NORM), np.float32)),

@@ -154,11 +154,15 @@ class Server:
         # buckets) -> bounded set of compiled prefill programs
         self.max_chunk = max_prefill_chunk or prefill_bucket * 8
         if cfg.ring:
-            # ring caches bound every forward call (and its bucket padding)
-            # by ring_chunk — the ring's write margin
+            # ring caches bound every forward call INCLUDING its bucket
+            # padding by ring_chunk (the ring's write margin): clamp the
+            # chunk to a bucket multiple that rounds up within ring_chunk
             assert prefill_bucket <= cfg.ring_chunk, (
                 prefill_bucket, cfg.ring_chunk)
-            self.max_chunk = min(self.max_chunk, cfg.ring_chunk)
+            self.max_chunk = min(
+                self.max_chunk,
+                cfg.ring_chunk // prefill_bucket * prefill_bucket,
+            )
             assert not context_shift, (
                 "ring caches don't shift (llama.shift_context docstring); "
                 "generation is bounded by max_seq = the RoPE table size"

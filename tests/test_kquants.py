@@ -536,3 +536,15 @@ def test_q6k_model_serving():
     )
     m = ErrorMetrics.compute(np.asarray(out), np.asarray(ref))
     assert m.nmse < 2e-2, m
+
+
+def test_k16_a16_accuracy_mode():
+    """dispatch(k16 weight, float act) without quantize_act serves the
+    WxA16 accuracy mode (XLA dequant + matmul), matching dequantize-then-
+    dot instead of silently quantizing the activations."""
+    t = kquants.quantize_q6_k(datagen.normal((256, 512), seed=7))
+    a = datagen.normal((4, 512), seed=8)
+    out = np.asarray(dispatch(t, jnp.asarray(a, jnp.float32)))
+    gold = refg.gemm_fp32(a, kquants.dequantize_q6_k(t))
+    m = ErrorMetrics.compute(out, gold)
+    assert m.nmse < 1e-9, m  # no activation quantization in this mode

@@ -13,7 +13,7 @@ pytestmark = pytest.mark.slow  # full-model interpret-mode: `pytest -m ""`
 # where an EAGER forward re-traces every call (~15 s each); jit compiles once
 # per shape and replays in ~16 ms.  These wrappers are the single biggest
 # test-suite speedup (531 s -> well under 2 min for this file).
-FWD = jax.jit(llama.forward, static_argnames=("cfg", "act_mode"))
+FWD = llama.jit_forward  # the shared-jit-cache entry point under test
 FWD_FLOAT = jax.jit(llama.forward_float, static_argnames=("cfg",))
 GREEDY = jax.jit(llama.greedy_decode,
                  static_argnames=("cfg", "steps", "act_mode"))

@@ -179,3 +179,18 @@ def test_ring_server_long_generation():
         return srv.run_until_done()[rid]
 
     assert run(RING_CFG) == run(LIN_CFG)
+
+
+def test_ring_server_clamps_chunk_to_bucket_multiple():
+    """Bucket padding must never exceed the ring write margin: with a
+    bucket that doesn't divide ring_chunk, max_chunk clamps to the largest
+    bucket multiple <= ring_chunk (round_up(chunk, bucket) <= ring_chunk)."""
+    from quant_gemm_tpu.models import serve
+
+    cfg = RING_CFG._replace(n_layers=1, ring_chunk=256)
+    params = llama.init_params(cfg, seed=3)
+    qp = llama.quantize_params(params, "q8_0")
+    srv = serve.Server(qp, cfg, n_slots=1, prefill_bucket=96)
+    assert srv.max_chunk == 192  # 256 // 96 * 96
+    padded = (srv.max_chunk + 95) // 96 * 96  # worst-case bucket padding
+    assert padded <= cfg.ring_chunk
