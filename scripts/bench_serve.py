@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--prefill", type=int, default=512)
     ap.add_argument("--kv", default="bf16", choices=["bf16", "q8"],
                     help="KV cache precision")
+    ap.add_argument("--window", type=int, default=0,
+                    help="sliding-window attention width (0 = full causal)")
+    ap.add_argument("--ring", action="store_true",
+                    help="ring-buffer KV cache (O(window) memory; needs "
+                         "--window)")
     ap.add_argument("--ctx", type=int, default=0,
                     help="pre-filled context length per slot for the decode "
                          "bench (cache-read cost is proportional to it)")
@@ -50,8 +55,12 @@ def main():
     cfg = llama.LlamaConfig(
         vocab=args.vocab, dim=args.dim, n_layers=args.layers,
         n_heads=args.heads, n_kv_heads=args.heads, d_ff=args.dff,
-        max_seq=args.seq,
+        max_seq=args.seq, window=args.window, ring=args.ring,
     )
+    if args.ring:
+        assert args.window, "--ring needs --window"
+        print(f"ring cache: {cfg.ring_capacity + cfg.ring_chunk} slots "
+              f"(window {args.window}) vs max_seq {args.seq}", flush=True)
     print(f"device: {jax.devices()[0]}", flush=True)
     t0 = time.time()
     params = llama.init_params(cfg, seed=0)
