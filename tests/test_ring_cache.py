@@ -194,3 +194,37 @@ def test_ring_server_clamps_chunk_to_bucket_multiple():
     assert srv.max_chunk == 192  # 256 // 96 * 96
     padded = (srv.max_chunk + 95) // 96 * 96  # worst-case bucket padding
     assert padded <= cfg.ring_chunk
+
+
+@pytest.mark.slow
+def test_tp_serving_ring_cache():
+    """Megatron-TP serving over the ring cache matches the single-chip
+    ring run (kv-head-sharded ring buffers; same forward loop)."""
+    from quant_gemm_tpu.models import llama_tp
+    from quant_gemm_tpu.parallel.sharding import make_mesh
+
+    devices = jax.devices()[:2]
+    if len(devices) < 2:
+        pytest.skip("needs 2 virtual devices")
+    mesh = make_mesh({"tp": 2}, devices)
+    cfg = llama.LlamaConfig(vocab=64, dim=128, n_layers=1, n_heads=2,
+                            n_kv_heads=2, d_ff=256, max_seq=512, window=48,
+                            ring=True, ring_chunk=32)
+    params = llama.init_params(cfg, seed=5)
+    qp = llama.quantize_params(params, "q8_0")
+    sp = llama_tp.shard_params_tp(params, cfg, mesh, "q8_0")
+    rng = np.random.default_rng(4)
+    toks = jnp.asarray(rng.integers(1, 64, (2, 20)), jnp.int32)
+
+    c1 = llama.KVCache.init(cfg, 2)
+    l1, c1 = llama.forward(qp, cfg, toks, c1)
+    ct = llama_tp.init_cache_tp(cfg, 2, mesh)
+    assert ct.k.shape[3] == cfg.ring_capacity + cfg.ring_chunk
+    l2, ct = llama_tp.forward_tp(sp, cfg, toks, ct, mesh)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=2e-2,
+                               rtol=2e-2)
+    nxt = jnp.argmax(l1[:, -1], -1)[:, None].astype(jnp.int32)
+    d1, _ = llama.forward(qp, cfg, nxt, c1)
+    d2, _ = llama_tp.forward_tp(sp, cfg, nxt, ct, mesh)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=2e-2,
+                               rtol=2e-2)
