@@ -1,0 +1,164 @@
+"""Decode-step component breakdown: where does the serving floor gap go?
+
+VERDICT r1 weak #3: the end-to-end decode step ran at ~52% of its combined
+weights+KV DMA floor.  This script decomposes the step on the real chip by
+timing each component CLASS with the slope method (the same measurement
+the serving bench uses), then compares the sum against the measured full
+step:
+
+  1. the step's quantized GEMMs, measured stand-alone at serving shapes
+     (fused-exact decode kernels, one per linear);
+  2. flash_decode per layer at the benched context;
+  3. the per-step cache writes (dus inserts into a donated cache);
+  4. the full fori_loop step (scripts/bench_serve.py methodology).
+
+The gap (full - sum of parts) is dispatch/fusion overhead XLA adds between
+Pallas calls — the thing to attack if it dominates.
+
+Usage: python scripts/profile_decode.py [--layers 16 --dim 2048 ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from quant_gemm_tpu.harness import benchmark as bm  # noqa: E402
+from quant_gemm_tpu.models import llama  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=16)
+    ap.add_argument("--dim", type=int, default=2048)
+    ap.add_argument("--dff", type=int, default=8192)
+    ap.add_argument("--heads", type=int, default=16)
+    ap.add_argument("--vocab", type=int, default=32000)
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--seq", type=int, default=1024)
+    ap.add_argument("--ctx", type=int, default=896)
+    ap.add_argument("--kv", default="q8", choices=["bf16", "q8"])
+    args = ap.parse_args()
+
+    cfg = llama.LlamaConfig(
+        vocab=args.vocab, dim=args.dim, n_layers=args.layers,
+        n_heads=args.heads, n_kv_heads=args.heads, d_ff=args.dff,
+        max_seq=args.seq,
+    )
+    print(f"device: {jax.devices()[0]}", flush=True)
+    qparams = llama.quantize_params(llama.init_params(cfg, seed=0), "q4_0")
+    rope = llama.make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base,
+                                 freq_scale=cfg.rope_scale)
+    b = args.slots
+    rng = np.random.default_rng(0)
+
+    # ---- 1. stand-alone GEMMs at the step's shapes -----------------------
+    from quant_gemm_tpu.kernels import dispatch
+
+    lyr = qparams["layers"][0]
+    shapes = [
+        ("wqkv", lyr["wqkv"], cfg.dim),
+        ("wo", lyr["wo"], args.heads * cfg.head_dim),
+        ("wgu", lyr["wgu"], cfg.dim),
+        ("w_down", lyr["w_down"], cfg.d_ff),
+    ]
+    gemm_us = 0.0
+    for name, w, kk in shapes:
+        x = jnp.asarray(rng.normal(0, 1, (b, kk)), jnp.float32)
+        r = bm.benchmark_kernel(
+            functools.partial(dispatch, quantize_act=True), (w, x),
+            name=f"gemm {name}",
+            bytes_accessed=bm.weight_bytes("q4_0", w.n, w.k),
+        )
+        print(f"  {r.row()}", flush=True)
+        gemm_us += r.time_s * 1e6
+    xh = jnp.asarray(rng.normal(0, 1, (b, cfg.dim)), jnp.float32)
+    r = bm.benchmark_kernel(
+        functools.partial(dispatch, quantize_act=True),
+        (qparams["lm_head"], xh), name="gemm lm_head",
+        bytes_accessed=bm.weight_bytes("q4_0", cfg.vocab, cfg.dim),
+    )
+    print(f"  {r.row()}", flush=True)
+    lmhead_us = r.time_s * 1e6
+    layers_gemm_us = gemm_us * args.layers
+    print(f"GEMMs: {layers_gemm_us:.0f} us/step (layers) + "
+          f"{lmhead_us:.0f} (lm_head)", flush=True)
+
+    # ---- 2. flash_decode at the benched context --------------------------
+    from quant_gemm_tpu.ops.attention import flash_decode
+
+    cache = llama.KVCache.init(cfg, b, args.kv)
+    cache = cache._replace(pos=jnp.full((b,), args.ctx, jnp.int32))
+    q = jnp.asarray(rng.normal(0, 1, (b, args.heads, 1, cfg.head_dim)),
+                    jnp.float32)
+    kc = jnp.asarray(rng.normal(0, 1, (b, args.heads, 1, cfg.head_dim)),
+                     jnp.bfloat16)
+    r = bm.benchmark_kernel(
+        lambda qq, kk, vv, pp: flash_decode(
+            qq, kk, vv, pp, layer=0, k_current=kc, v_current=kc,
+            k_scale=cache.ks, v_scale=cache.vs),
+        (q, cache.k, cache.v, cache.pos), name=f"flash_decode ctx{args.ctx}",
+    )
+    print(f"  {r.row()}", flush=True)
+    attn_us = r.time_s * 1e6 * args.layers
+    print(f"attention: {attn_us:.0f} us/step ({args.layers} layers)",
+          flush=True)
+
+    # ---- 3. cache writes --------------------------------------------------
+    vals = jnp.zeros((args.layers, b, args.heads, 1, cfg.head_dim),
+                     cache.k.dtype)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def write_step(k_buf, vals, pos):
+        for bb in range(b):
+            k_buf = jax.lax.dynamic_update_slice(
+                k_buf, vals[:, bb][:, None], (0, bb, 0, pos[bb], 0))
+        return k_buf
+
+    r = bm.benchmark_kernel(write_step, (cache.k, vals, cache.pos),
+                            name="cache write (k)")
+    print(f"  {r.row()}", flush=True)
+    write_us = r.time_s * 1e6 * 2  # k and v
+
+    # ---- 4. the full step -------------------------------------------------
+    @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("n",))
+    def decode_loop(qp, c, toks, n):
+        def body(_, carry):
+            t, cc = carry
+            logits, cc = llama.forward(qp, cfg, t, cc, act_mode="q8_1",
+                                       rope_cache=rope)
+            return jnp.argmax(logits[:, -1:], -1).astype(jnp.int32), cc
+        return jax.lax.fori_loop(0, n, body, (toks, c))
+
+    toks = jnp.asarray(rng.integers(1, cfg.vocab, (b, 1)), jnp.int32)
+    import time as _time
+
+    cache = llama.KVCache.init(cfg, b, args.kv)
+    cache = cache._replace(pos=jnp.full((b,), args.ctx, jnp.int32))
+    ts = {}
+    for n in (8, 40):
+        t0 = _time.perf_counter()
+        toks2, cache = jax.block_until_ready(decode_loop(qparams, cache, toks, n))
+        ts[n] = _time.perf_counter() - t0
+    step_us = (ts[40] - ts[8]) / 32 * 1e6
+    print(f"full step: {step_us:.0f} us", flush=True)
+
+    parts = layers_gemm_us + lmhead_us + attn_us + write_us
+    print(
+        f"\nbreakdown: gemms {layers_gemm_us + lmhead_us:.0f} + attention "
+        f"{attn_us:.0f} + writes {write_us:.0f} = {parts:.0f} us; full "
+        f"{step_us:.0f} us -> unexplained {step_us - parts:.0f} us "
+        f"({100 * (step_us - parts) / step_us:.0f}%)",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

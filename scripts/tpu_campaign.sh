@@ -40,4 +40,7 @@ run python scripts/bench_serve.py --steps 64 --seq 4096 --window 1024 --ring --c
 # 5. per-16 K-quant decode kernel (q6_k lm-head-sized GEMM)
 run python scripts/perf_lab.py 4
 
+# 6. decode-step component breakdown (serving-floor attack, VERDICT #5)
+run python scripts/profile_decode.py
+
 echo "campaign complete: see $LOG"
