@@ -291,3 +291,25 @@ def test_dispatch_quantize_act_q5_unfused(data):
     gold = refg.gemm_wxa8(w_q, a_q)
     m = ErrorMetrics.compute(out, gold)
     assert m.nmse < 1e-12, m
+
+
+def test_fused_exact_degenerate_blocks(data):
+    """Fused in-kernel quantization handles degenerate activation blocks
+    exactly like quantize_q8_1: all-zero blocks (d=0 -> codes 0, s=0) and
+    f16-saturating amax blocks (d clips to F16_MAX — the documented
+    saturation policy) stay bit-identical to the unfused path."""
+    from quant_gemm_tpu.kernels import gemm_exact_fused
+
+    _, w, _ = data
+    rng = np.random.default_rng(3)
+    a = rng.normal(0, 1, (4, K)).astype(np.float32)
+    a[0, 0:32] = 0.0  # zero block
+    a[1, 32:64] = 7e8  # amax/127 overflows f16 -> saturates
+    a[2, 64:96] = -7e8
+    w_q = numpy_ref.quantize_q4_0(w)
+    wp = prepare(w_q)
+    a_q = jax_quant.quantize_q8_1(jnp.asarray(a))
+    base = np.asarray(gemm_exact(wp, a_q))
+    fused = np.asarray(gemm_exact_fused(wp, jnp.asarray(a)))
+    assert np.array_equal(base, fused)
+    assert np.isfinite(fused).all()
