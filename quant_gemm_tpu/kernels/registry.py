@@ -15,6 +15,8 @@ xla_dequant           dequantize + jnp.dot (naive rung; XLA-fused)
 xla_compensated       reference compensation formula as two XLA matmuls
 xla_int               exact per-block int32 einsum (correctness oracle)
 pallas_exact          Pallas int8-MXU per-block dots + compensation epilogue
+pallas_k16            per-16-scale exact kernel for the native K-quants
+                      (Q2_K/Q3_K/Q6_K containers or PreparedK16)
 pallas_exact_fused    pallas_exact with IN-KERNEL true-Q8_1 activation
                       quantization (f16-rounded d, stored sum s) — bit-
                       identical to quantize_q8_1 + pallas_exact, one fewer
@@ -117,12 +119,19 @@ def _pallas_exact_fused(w, act, **kw):
     return _gemm_exact_fused(_as_prepared(w), act, **kw)
 
 
+def _pallas_k16(w, act, **kw):
+    assert isinstance(act, Q8_1Tensor)
+    wq = w if isinstance(w, _PreparedQ6K) else _prepare_q6k(w)
+    return _gemm_exact_q6k(wq, act, **kw)
+
+
 KERNELS: Dict[str, Callable] = {
     "xla_dequant": _xla_dequant,
     "xla_compensated": _xla_compensated,
     "xla_int": _xla_int,
     "pallas_exact": _pallas_exact,
     "pallas_exact_fused": _pallas_exact_fused,
+    "pallas_k16": _pallas_k16,
     "pallas_f32": _pallas_f32,
     "pallas_bf16": _pallas_bf16,
     "pallas_fused_quant": _pallas_fused_quant,
