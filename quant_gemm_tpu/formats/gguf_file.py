@@ -78,6 +78,8 @@ def _kv_type_of(v: Any) -> int:
         return 12  # f64
     if isinstance(v, str):
         return _KV_STRING
+    if isinstance(v, (list, tuple)):
+        return _KV_ARRAY
     raise TypeError(type(v))
 
 
@@ -85,6 +87,23 @@ def _write_value(f: BinaryIO, v: Any) -> None:
     t = _kv_type_of(v)
     if t == _KV_STRING:
         _write_str(f, v)
+    elif t == _KV_ARRAY:
+        # homogeneous array (e.g. tokenizer.ggml.tokens/scores/token_type);
+        # llama.cpp writes f32 scores and i32 token types
+        assert len(v) > 0, "GGUF arrays must be non-empty"
+        if isinstance(v[0], str):
+            etype = _KV_STRING
+        elif isinstance(v[0], float):
+            etype = 6  # f32 (llama.cpp convention for scores)
+        else:
+            etype = 5  # i32
+        f.write(struct.pack("<I", etype))
+        f.write(struct.pack("<Q", len(v)))
+        for e in v:
+            if etype == _KV_STRING:
+                _write_str(f, e)
+            else:
+                f.write(struct.pack(_KV_FMT[etype], e))
     else:
         f.write(struct.pack(_KV_FMT[t], v))
 

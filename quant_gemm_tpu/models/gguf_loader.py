@@ -152,12 +152,17 @@ def load_llama(path) -> tuple[dict, llama.LlamaConfig]:
 
 
 def export_gguf(path, params: dict, cfg: llama.LlamaConfig,
-                qtype: str = "q4_0") -> None:
+                qtype: str = "q4_0",
+                tokenizer_metadata: dict | None = None) -> None:
     """Write float params (llama.init_params layout) as a quantized GGUF.
 
     Linears quantize to ``qtype``; embeddings and norms stay f32.  Output
     uses llama.cpp tensor names + ``llama.*`` metadata, so the file loads
     back via :func:`load_llama` AND into llama.cpp itself.
+
+    ``tokenizer_metadata``: extra ``tokenizer.ggml.*`` keys (tokens/scores/
+    token_type/...) to embed, making the file self-contained for
+    ``scripts/generate.py`` prompt->text runs.
     """
     quantize = numpy_ref.QUANTIZE[qtype]
     tensors: dict = {
@@ -189,6 +194,8 @@ def export_gguf(path, params: dict, cfg: llama.LlamaConfig,
     if cfg.rope_scale != 1.0:
         metadata["llama.rope.scaling.type"] = "linear"
         metadata["llama.rope.scaling.factor"] = 1.0 / cfg.rope_scale
+    if tokenizer_metadata:
+        metadata.update(tokenizer_metadata)
     write_gguf(path, tensors, metadata)
 
 

@@ -1,0 +1,82 @@
+"""Text generation from a single GGUF file (llama.cpp `main` analogue).
+
+Loads model weights AND the GGUF-embedded SPM tokenizer, then generates
+through the continuous-batching server (greedy by default; temperature /
+top-k / top-p supported per request).
+
+Usage:
+    python scripts/generate.py -m model.gguf -p "Once upon a time" -n 64
+    python scripts/generate.py -m model.gguf --ids 1,123,456 -n 16  # raw ids
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-m", "--model", required=True, help="GGUF path")
+    ap.add_argument("-p", "--prompt", default=None)
+    ap.add_argument("--ids", default=None,
+                    help="comma-separated token ids (skips the tokenizer)")
+    ap.add_argument("-n", "--n-predict", type=int, default=64)
+    ap.add_argument("--temp", type=float, default=0.0)
+    ap.add_argument("--top-k", type=int, default=0)
+    ap.add_argument("--top-p", type=float, default=1.0)
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--kv", default="bf16", choices=["bf16", "q8"])
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (tests / no-TPU boxes)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from quant_gemm_tpu.formats.gguf_file import GGUFFile
+    from quant_gemm_tpu.models import serve
+    from quant_gemm_tpu.models.gguf_loader import load_llama
+    from quant_gemm_tpu.models.tokenizer import SPMTokenizer
+
+    t0 = time.time()
+    qparams, cfg = load_llama(args.model)
+    print(f"loaded {args.model} in {time.time()-t0:.1f}s: {cfg}",
+          file=sys.stderr, flush=True)
+
+    tok = None
+    if args.ids is not None:
+        prompt_ids = [int(x) for x in args.ids.split(",")]
+    else:
+        if args.prompt is None:
+            ap.error("need -p/--prompt or --ids")
+        md = GGUFFile(args.model).metadata
+        tok = SPMTokenizer.from_gguf(md)
+        prompt_ids = tok.encode(args.prompt)
+        print(f"prompt -> {len(prompt_ids)} tokens: {prompt_ids}",
+              file=sys.stderr, flush=True)
+
+    srv = serve.Server(qparams, cfg, n_slots=1, cache_qtype=args.kv,
+                       eos_id=tok.eos_id if tok else None)
+    rid = srv.submit(prompt_ids, max_new=args.n_predict,
+                     temperature=args.temp, top_k=args.top_k,
+                     top_p=args.top_p, seed=args.seed)
+    t0 = time.time()
+    out_ids = srv.run_until_done()[rid]
+    dt = time.time() - t0
+    print(f"{len(out_ids)} tokens in {dt:.1f}s "
+          f"({len(out_ids)/max(dt,1e-9):.1f} tok/s)",
+          file=sys.stderr, flush=True)
+    if tok is not None:
+        print(tok.decode(prompt_ids) + tok.decode(out_ids))
+    else:
+        print(",".join(str(i) for i in out_ids))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""SPM tokenizer (GGUF-embedded vocab): encode/decode semantics."""
+
+import numpy as np
+import pytest
+
+from quant_gemm_tpu.models.tokenizer import (
+    SPMTokenizer,
+    TOKEN_BYTE,
+    TOKEN_CONTROL,
+    TOKEN_NORMAL,
+    TOKEN_UNKNOWN,
+)
+
+
+def _vocab():
+    """Tiny SPM-style vocab: specials, byte fallback, and scored merges."""
+    tokens = ["<unk>", "<s>", "</s>"]
+    types = [TOKEN_UNKNOWN, TOKEN_CONTROL, TOKEN_CONTROL]
+    scores = [0.0, 0.0, 0.0]
+    for b in range(256):  # byte fallback table
+        tokens.append(f"<0x{b:02X}>")
+        types.append(TOKEN_BYTE)
+        scores.append(-1e6)
+    # pieces: higher score = preferred merge (SentencePiece convention:
+    # scores are log-probs, longer learned pieces usually score higher
+    # than character-by-character merges)
+    # NOTE: like a real SentencePiece vocab, every learned piece's merge
+    # CHAIN is present (e.g. "▁the" forms via th -> ▁th -> ▁the)
+    pieces = {"▁": -2.0, "a": -3.0, "b": -3.1, "c": -3.2, "ab": -1.5,
+              "▁ab": -1.0, "▁abc": -0.5, "bc": -1.8, "▁the": -0.9,
+              "t": -3.3, "h": -3.4, "e": -3.5, "th": -2.5, "he": -2.6,
+              "▁th": -2.2}
+    for p, s in pieces.items():
+        tokens.append(p)
+        types.append(TOKEN_NORMAL)
+        scores.append(s)
+    return SPMTokenizer(tokens, scores, types)
+
+
+def test_greedy_merge_prefers_best_score():
+    tok = _vocab()
+    ids = tok.encode("abc", add_bos=False)
+    # "▁abc" (score -0.5) beats any partial segmentation
+    assert [tok.tokens[i] for i in ids] == ["▁abc"]
+    ids2 = tok.encode("ab", add_bos=False)
+    assert [tok.tokens[i] for i in ids2] == ["▁ab"]
+
+
+def test_bos_and_space_prefix():
+    tok = _vocab()
+    ids = tok.encode("ab")
+    assert ids[0] == tok.bos_id
+    assert tok.tokens[ids[1]] == "▁ab"
+
+
+def test_multi_word():
+    tok = _vocab()
+    ids = tok.encode("the ab", add_bos=False)
+    assert [tok.tokens[i] for i in ids] == ["▁the", "▁ab"]
+
+
+def test_byte_fallback_roundtrip():
+    tok = _vocab()
+    ids = tok.encode("a€b", add_bos=False)  # '€' not in vocab -> 3 bytes
+    names = [tok.tokens[i] for i in ids]
+    assert sum(n.startswith("<0x") for n in names) == 3
+    assert tok.decode(ids) == "a€b"
+
+
+def test_decode_skips_control_restores_spaces():
+    tok = _vocab()
+    ids = tok.encode("the ab")
+    assert tok.decode(ids) == "the ab"  # <s> skipped, ▁ -> space
+
+
+def test_gguf_metadata_roundtrip(tmp_path):
+    """Tokenizer arrays survive the GGUF writer/reader and rebuild the
+    same tokenizer (the scripts/generate.py load path)."""
+    from quant_gemm_tpu.formats import gguf_file
+
+    tok = _vocab()
+    path = tmp_path / "tok.gguf"
+    gguf_file.write_gguf(
+        path,
+        {"dummy.weight": np.zeros((8, 32), np.float32)},
+        metadata={
+            "tokenizer.ggml.model": "llama",
+            "tokenizer.ggml.tokens": tok.tokens,
+            "tokenizer.ggml.scores": [float(s) for s in tok.scores],
+            "tokenizer.ggml.token_type": [int(t) for t in tok.token_types],
+            "tokenizer.ggml.bos_token_id": 1,
+            "tokenizer.ggml.eos_token_id": 2,
+        },
+    )
+    md = gguf_file.GGUFFile(path).metadata
+    tok2 = SPMTokenizer.from_gguf(md)
+    for text in ("abc", "the ab", "a€b"):
+        assert tok2.encode(text) == tok.encode(text)
+        assert tok2.decode(tok2.encode(text)) == text
+
+
+def test_bpe_refused():
+    with pytest.raises(ValueError, match="SPM"):
+        SPMTokenizer.from_gguf({"tokenizer.ggml.model": "gpt2",
+                                "tokenizer.ggml.tokens": ["a"]})
+
+
+@pytest.mark.slow
+def test_generate_cli_end_to_end(tmp_path):
+    """scripts/generate.py: tiny GGUF (weights + embedded tokenizer) ->
+    prompt in, text out, via the real CLI in a subprocess."""
+    import subprocess
+    import sys
+
+    from quant_gemm_tpu.models import llama
+    from quant_gemm_tpu.models.gguf_loader import export_gguf
+
+    tok = _vocab()
+    cfg = llama.LlamaConfig(vocab=len(tok.tokens), dim=64, n_layers=1,
+                            n_heads=2, n_kv_heads=2, d_ff=128, max_seq=64)
+    params = llama.init_params(cfg, seed=0)
+    path = tmp_path / "tiny.gguf"
+    export_gguf(path, params, cfg, qtype="q8_0", tokenizer_metadata={
+        "tokenizer.ggml.model": "llama",
+        "tokenizer.ggml.tokens": tok.tokens,
+        "tokenizer.ggml.scores": [float(s) for s in tok.scores],
+        "tokenizer.ggml.token_type": [int(t) for t in tok.token_types],
+        "tokenizer.ggml.bos_token_id": 1,
+        "tokenizer.ggml.eos_token_id": 2,
+    })
+    r = subprocess.run(
+        [sys.executable, "scripts/generate.py", "-m", str(path),
+         "-p", "the ab", "-n", "4", "--cpu"],
+        capture_output=True, text=True, timeout=900, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "tokens in" in r.stderr  # throughput line
+    assert r.stdout.strip().startswith("the ab")  # echo + generation
