@@ -7,9 +7,10 @@ score with byte fallback.  This is the pure-Python equivalent, so
 ``scripts/generate.py`` can run prompt -> text end to end from a single
 .gguf file, like the reference ecosystem's ``main`` binary.
 
-Scope: the "llama" (SPM) tokenizer family.  GPT-2-BPE vocabularies
-(``tokenizer.ggml.model == "gpt2"``) use merge ranks instead of scores and
-are refused loudly rather than mis-tokenized.
+Also here: :class:`BPETokenizer` for GPT-2-style byte-level BPE
+vocabularies (``tokenizer.ggml.model == "gpt2"`` — Llama-3, Qwen-class
+GGUFs) with the per-model pretokenizer regexes llama.cpp selects by
+``tokenizer.ggml.pre``; :func:`tokenizer_from_gguf` picks the right one.
 """
 
 from __future__ import annotations
@@ -56,8 +57,8 @@ class SPMTokenizer:
         model = metadata.get("tokenizer.ggml.model", "llama")
         if model not in ("llama", "spm"):
             raise ValueError(
-                f"tokenizer.ggml.model={model!r}: only the SPM ('llama') "
-                "family is implemented; BPE vocabularies need merge ranks"
+                f"tokenizer.ggml.model={model!r} is not SPM — use "
+                "tokenizer_from_gguf (routes 'gpt2' to BPETokenizer)"
             )
         tokens = metadata["tokenizer.ggml.tokens"]
         scores = metadata.get("tokenizer.ggml.scores", [0.0] * len(tokens))
@@ -127,3 +128,142 @@ class SPMTokenizer:
 
 __all__ = ["SPMTokenizer", "TOKEN_NORMAL", "TOKEN_UNKNOWN", "TOKEN_CONTROL",
            "TOKEN_BYTE"]
+
+
+# ---------------------------------------------------------------------------
+# GPT-2-style byte-level BPE (tokenizer.ggml.model == "gpt2": Llama-3,
+# Qwen-class GGUFs). llama.cpp: llm_tokenizer_bpe with per-model
+# pretokenizer regexes selected by tokenizer.ggml.pre.
+# ---------------------------------------------------------------------------
+
+
+def _bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's reversible byte <-> printable-unicode table."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("¡"), ord("¬") + 1))
+          + list(range(ord("®"), ord("ÿ") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+_B2U = _bytes_to_unicode()
+_U2B = {u: b for b, u in _B2U.items()}
+
+# pretokenizer regexes (llama.cpp llm_tokenizer_bpe per tokenizer.ggml.pre)
+_PRE_PATTERNS = {
+    "gpt2": (r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"
+             r"| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"),
+    "llama3": (r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+"
+               r"|\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+"
+               r"|\s+(?!\S)|\s+"),
+}
+_PRE_PATTERNS["llama-bpe"] = _PRE_PATTERNS["llama3"]
+_PRE_PATTERNS["default"] = _PRE_PATTERNS["gpt2"]
+
+
+class BPETokenizer:
+    """Byte-level BPE with GGUF merge ranks (Llama-3 / GPT-2 vocabs)."""
+
+    def __init__(
+        self,
+        tokens: Sequence[str],
+        merges: Sequence[str],
+        token_types: Sequence[int] | None = None,
+        bos_id: int = 0,
+        eos_id: int = 0,
+        pre: str = "gpt2",
+        add_bos: bool = True,
+    ):
+        import regex
+
+        self.tokens = list(tokens)
+        self.token_types = (
+            list(token_types) if token_types is not None
+            else [TOKEN_NORMAL] * len(tokens)
+        )
+        self.vocab = {t: i for i, t in enumerate(self.tokens)}
+        self.ranks = {}
+        for r, m in enumerate(merges):
+            a, _, b = m.partition(" ")
+            self.ranks[(a, b)] = r
+        self.bos_id, self.eos_id = bos_id, eos_id
+        self.add_bos = add_bos
+        pat = _PRE_PATTERNS.get(pre)
+        if pat is None:
+            raise ValueError(
+                f"tokenizer.ggml.pre={pre!r} has no implemented "
+                f"pretokenizer; known: {sorted(_PRE_PATTERNS)}"
+            )
+        self._pat = regex.compile(pat)
+
+    @classmethod
+    def from_gguf(cls, metadata: dict) -> "BPETokenizer":
+        return cls(
+            metadata["tokenizer.ggml.tokens"],
+            metadata.get("tokenizer.ggml.merges", []),
+            metadata.get("tokenizer.ggml.token_type"),
+            bos_id=int(metadata.get("tokenizer.ggml.bos_token_id", 0)),
+            eos_id=int(metadata.get("tokenizer.ggml.eos_token_id", 0)),
+            pre=metadata.get("tokenizer.ggml.pre", "gpt2"),
+            add_bos=bool(metadata.get("tokenizer.ggml.add_bos_token", True)),
+        )
+
+    def _bpe_word(self, word: list[str]) -> list[str]:
+        while len(word) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(word) - 1):
+                r = self.ranks.get((word[i], word[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            word[best_i : best_i + 2] = [word[best_i] + word[best_i + 1]]
+        return word
+
+    def encode(self, text: str, add_bos: bool | None = None) -> list[int]:
+        ids = [self.bos_id] if (self.add_bos if add_bos is None else add_bos) else []
+        for piece in self._pat.findall(text):
+            word = [_B2U[b] for b in piece.encode("utf-8")]
+            for sym in self._bpe_word(word):
+                tid = self.vocab.get(sym)
+                if tid is not None:
+                    ids.append(tid)
+                else:  # letter-by-letter fallback (every byte is in vocab
+                    ids.extend(self.vocab.get(c, 0) for c in sym)
+        return ids
+
+    def decode(self, ids: Sequence[int]) -> str:
+        chars = []
+        for tid in ids:
+            if not 0 <= tid < len(self.tokens):
+                continue
+            if self.token_types[tid] == TOKEN_CONTROL:
+                continue
+            chars.append(self.tokens[tid])
+        out = bytearray()
+        for c in "".join(chars):
+            b = _U2B.get(c)
+            if b is None:  # not a byte-unicode char (e.g. special token text)
+                out += c.encode("utf-8")
+            else:
+                out.append(b)
+        return out.decode("utf-8", errors="replace")
+
+
+def tokenizer_from_gguf(metadata: dict):
+    """Build the right tokenizer for a GGUF: SPM ('llama') or BPE ('gpt2')."""
+    model = metadata.get("tokenizer.ggml.model", "llama")
+    if model in ("llama", "spm"):
+        return SPMTokenizer.from_gguf(metadata)
+    if model == "gpt2":
+        return BPETokenizer.from_gguf(metadata)
+    raise ValueError(f"unknown tokenizer.ggml.model {model!r}")
+
+
+__all__ += ["BPETokenizer", "tokenizer_from_gguf"]

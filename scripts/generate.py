@@ -42,7 +42,7 @@ def main() -> None:
     from quant_gemm_tpu.formats.gguf_file import GGUFFile
     from quant_gemm_tpu.models import serve
     from quant_gemm_tpu.models.gguf_loader import load_llama
-    from quant_gemm_tpu.models.tokenizer import SPMTokenizer
+    from quant_gemm_tpu.models.tokenizer import tokenizer_from_gguf
 
     t0 = time.time()
     qparams, cfg = load_llama(args.model)
@@ -56,7 +56,7 @@ def main() -> None:
         if args.prompt is None:
             ap.error("need -p/--prompt or --ids")
         md = GGUFFile(args.model).metadata
-        tok = SPMTokenizer.from_gguf(md)
+        tok = tokenizer_from_gguf(md)
         prompt_ids = tok.encode(args.prompt)
         print(f"prompt -> {len(prompt_ids)} tokens: {prompt_ids}",
               file=sys.stderr, flush=True)

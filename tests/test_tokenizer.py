@@ -136,3 +136,69 @@ def test_generate_cli_end_to_end(tmp_path):
     assert r.returncode == 0, r.stderr[-800:]
     assert "tokens in" in r.stderr  # throughput line
     assert r.stdout.strip().startswith("the ab")  # echo + generation
+
+
+# ---------------------------------------------------------------------------
+# BPE (Llama-3 / GPT-2 GGUF vocabularies)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_vocab():
+    """Tiny byte-level BPE vocab verified against HF GPT2Tokenizer
+    semantics: base byte alphabet + ranked merges."""
+    from quant_gemm_tpu.models.tokenizer import BPETokenizer, _B2U
+
+    base = [_B2U[b] for b in range(256)]
+    merges = ["Ġ t", "h e", "Ġt he", "a b", "Ġ ab", "l l", "he ll",
+              "hell o", "Ġthe Ġab"]
+    built = []
+    for m in merges:
+        a, _, b = m.partition(" ")
+        built.append(a + b)
+    tokens = ["<|bos|>"] + base + built
+    types = [TOKEN_CONTROL] + [TOKEN_NORMAL] * (len(tokens) - 1)
+    return BPETokenizer(tokens, merges, types, bos_id=0, eos_id=0)
+
+
+def test_bpe_merge_ranks():
+    tok = _bpe_vocab()
+    ids = tok.encode("the ab", add_bos=False)
+    # "the" splits as "t h e" -> rank0 can't apply (no leading space);
+    # "h e"->"he" (rank 1) then no "t he" merge exists -> ["t", "he"];
+    # " ab" -> "Ġ ab" (rank 4) -> ["Ġab"]
+    assert [tok.tokens[i] for i in ids] == ["t", "he", "Ġab"]
+    assert tok.decode(ids) == "the ab"
+
+
+def test_bpe_space_prefix_merges():
+    tok = _bpe_vocab()
+    ids = tok.encode(" the ab", add_bos=False)
+    # " the" -> "Ġt"+"he" -> "Ġthe"; " ab" -> "Ġab"; NOT the cross-word
+    # "ĠtheĠab" merge (pretokenizer splits words first)
+    assert [tok.tokens[i] for i in ids] == ["Ġthe", "Ġab"]
+    assert tok.decode(ids) == " the ab"
+
+
+def test_bpe_utf8_roundtrip():
+    tok = _bpe_vocab()
+    for text in ("hello", "a€b c", "  x", "1234 ab"):
+        ids = tok.encode(text, add_bos=False)
+        assert tok.decode(ids) == text, text
+
+
+def test_bpe_factory_and_bos():
+    from quant_gemm_tpu.models.tokenizer import tokenizer_from_gguf, _B2U
+
+    base = [_B2U[b] for b in range(256)]
+    md = {
+        "tokenizer.ggml.model": "gpt2",
+        "tokenizer.ggml.pre": "llama3",
+        "tokenizer.ggml.tokens": ["<|bos|>"] + base,
+        "tokenizer.ggml.merges": [],
+        "tokenizer.ggml.token_type": [TOKEN_CONTROL] + [TOKEN_NORMAL] * 256,
+        "tokenizer.ggml.bos_token_id": 0,
+    }
+    tok = tokenizer_from_gguf(md)
+    ids = tok.encode("ab")
+    assert ids[0] == 0 and len(ids) == 3  # bos + 'a' + 'b'
+    assert tok.decode(ids) == "ab"
