@@ -267,3 +267,38 @@ def tokenizer_from_gguf(metadata: dict):
 
 
 __all__ += ["BPETokenizer", "tokenizer_from_gguf"]
+
+
+def render_chat(metadata: dict, messages: list[dict],
+                add_generation_prompt: bool = True) -> str:
+    """Render a chat through the GGUF-embedded Jinja template
+    (``tokenizer.chat_template`` — llama.cpp's --chat path).
+
+    ``messages``: [{"role": "user", "content": "..."}, ...].
+    """
+    template = metadata.get("tokenizer.chat_template")
+    if not template:
+        raise ValueError("GGUF carries no tokenizer.chat_template")
+    import jinja2
+
+    env = jinja2.Environment(  # noqa: S701 — text templating, not HTML
+        loader=jinja2.BaseLoader(), keep_trailing_newline=True
+    )
+    env.globals["raise_exception"] = lambda msg: (_ for _ in ()).throw(
+        jinja2.TemplateError(msg)
+    )
+
+    def _get(name, default=""):
+        tid = metadata.get(f"tokenizer.ggml.{name}_token_id")
+        toks = metadata.get("tokenizer.ggml.tokens")
+        return toks[int(tid)] if tid is not None and toks else default
+
+    return env.from_string(template).render(
+        messages=messages,
+        add_generation_prompt=add_generation_prompt,
+        bos_token=_get("bos", "<s>"),
+        eos_token=_get("eos", "</s>"),
+    )
+
+
+__all__ += ["render_chat"]

@@ -22,6 +22,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("-m", "--model", required=True, help="GGUF path")
     ap.add_argument("-p", "--prompt", default=None)
+    ap.add_argument("--chat", action="store_true",
+                    help="wrap the prompt as a user turn via the GGUF's "
+                         "tokenizer.chat_template")
     ap.add_argument("--ids", default=None,
                     help="comma-separated token ids (skips the tokenizer)")
     ap.add_argument("-n", "--n-predict", type=int, default=64)
@@ -57,7 +60,12 @@ def main() -> None:
             ap.error("need -p/--prompt or --ids")
         md = GGUFFile(args.model).metadata
         tok = tokenizer_from_gguf(md)
-        prompt_ids = tok.encode(args.prompt)
+        text = args.prompt
+        if args.chat:
+            from quant_gemm_tpu.models.tokenizer import render_chat
+
+            text = render_chat(md, [{"role": "user", "content": text}])
+        prompt_ids = tok.encode(text)
         print(f"prompt -> {len(prompt_ids)} tokens: {prompt_ids}",
               file=sys.stderr, flush=True)
 

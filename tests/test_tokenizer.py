@@ -202,3 +202,23 @@ def test_bpe_factory_and_bos():
     ids = tok.encode("ab")
     assert ids[0] == 0 and len(ids) == 3  # bos + 'a' + 'b'
     assert tok.decode(ids) == "ab"
+
+
+def test_chat_template_render():
+    """tokenizer.chat_template renders through Jinja with bos/eos bound."""
+    from quant_gemm_tpu.models.tokenizer import render_chat
+
+    md = {
+        "tokenizer.chat_template": (
+            "{{ bos_token }}{% for m in messages %}"
+            "[{{ m.role }}]{{ m.content }}[/{{ m.role }}]{% endfor %}"
+            "{% if add_generation_prompt %}[assistant]{% endif %}"
+        ),
+        "tokenizer.ggml.tokens": ["<unk>", "<s>", "</s>"],
+        "tokenizer.ggml.bos_token_id": 1,
+        "tokenizer.ggml.eos_token_id": 2,
+    }
+    out = render_chat(md, [{"role": "user", "content": "hi"}])
+    assert out == "<s>[user]hi[/user][assistant]"
+    with pytest.raises(ValueError, match="chat_template"):
+        render_chat({}, [])
