@@ -166,13 +166,15 @@ class GGUFFile:
             self._data_start = (pos + align - 1) // align * align
 
     def raw(self, name: str) -> np.ndarray:
+        """Zero-copy view of one tensor's payload bytes (mmap-backed, so
+        multi-GB model files page in lazily instead of being read whole)."""
         info = self.tensors[name]
         n_elems = int(np.prod(info["shape"]))
         nbytes = tensor_nbytes(info["qtype"], n_elems)
-        with open(self.path, "rb") as f:
-            f.seek(self._data_start + info["offset"])
-            buf = np.frombuffer(f.read(nbytes), np.uint8)
-        return buf
+        if not hasattr(self, "_mm"):
+            self._mm = np.memmap(self.path, np.uint8, mode="r")
+        off = self._data_start + info["offset"]
+        return np.asarray(self._mm[off : off + nbytes])
 
     def load(self, name: str):
         """Return a SoA container (quantized) or float ndarray (f32/f16)."""
