@@ -35,7 +35,7 @@ DEFAULT_ALIGNMENT = 32
 
 GGML_TYPES = {0: "f32", 1: "f16", 2: "q4_0", 3: "q4_1", 6: "q5_0", 7: "q5_1",
               8: "q8_0", 9: "q8_1", 10: "q2_K", 11: "q3_K", 12: "q4_K",
-              13: "q5_K", 14: "q6_K"}
+              13: "q5_K", 14: "q6_K", 20: "iq4_nl"}
 GGML_IDS = {v: k for k, v in GGML_TYPES.items()}
 
 # GGUF metadata value types
@@ -113,6 +113,11 @@ def tensor_nbytes(qtype: str, n_elems: int) -> int:
         return n_elems * 4
     if qtype == "f16":
         return n_elems * 2
+    if qtype == "iq4_nl":
+        from . import kquants
+
+        assert n_elems % QK == 0
+        return n_elems // QK * kquants.IQ4_NL_BLOCK_BYTES
     if qtype.endswith("_K"):
         from . import kquants
 
@@ -207,6 +212,11 @@ class GGUFFile:
                 lead + (k // kquants.QK_K, kquants.QK6_BLOCK_BYTES)
             )
             return kquants.from_bytes_q6_k(aos)
+        if qt == "iq4_nl":
+            from . import kquants
+
+            aos = buf.reshape(lead + (k // QK, kquants.IQ4_NL_BLOCK_BYTES))
+            return kquants.from_bytes_iq4_nl(aos)
         if qt in ("q2_K", "q3_K"):
             from . import kquants
 

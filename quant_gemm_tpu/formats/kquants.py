@@ -863,3 +863,61 @@ DEQUANT = {
     Q3_KTensor: dequantize_q3_k,
     Q6_KTensor: dequantize_q6_k,
 }
+
+
+# ---------------------------------------------------------------------------
+# IQ4_NL (block_iq4_nl, 18 B per 32 elements): non-linear 4-bit via a fixed
+# 16-entry int8 codebook.  x = d * KVALUES[q].  Not in the reference repo
+# (an llama.cpp i-quant); supported because real HF GGUFs use it.  The
+# codebook values are int8, so serving maps EXACTLY onto the q8_0 path:
+# the loader expands codes through the LUT into a Q8_0Tensor (d f16 kept
+# verbatim) and the exact int8-MXU kernel serves it unchanged.
+# ---------------------------------------------------------------------------
+
+IQ4_NL_BLOCK_BYTES = 18
+KVALUES_IQ4NL = np.array(
+    [-127, -104, -83, -65, -49, -35, -22, -10, 1, 13, 25, 38, 53, 69, 89,
+     113], np.int8)
+
+
+def from_bytes_iq4_nl(raw: np.ndarray):
+    """AoS uint8 [N, K/32, 18] -> Q8_0Tensor with LUT-expanded int8 codes
+    (dequant q*d is bit-identical to llama.cpp dequantize_row_iq4_nl)."""
+    from .blocks import Q8_0Tensor
+
+    raw = np.asarray(raw, np.uint8)
+    n, nb, bb = raw.shape
+    assert bb == IQ4_NL_BLOCK_BYTES, bb
+    d = raw[:, :, 0:2].copy().view(np.float16)[:, :, 0]
+    qs = raw[:, :, 2:18].astype(np.uint8)
+    lo = KVALUES_IQ4NL[qs & 0xF]  # elements 0..15 of each block
+    hi = KVALUES_IQ4NL[qs >> 4]  # elements 16..31
+    codes = np.concatenate([lo, hi], axis=-1).reshape(n, nb * QK)
+    return Q8_0Tensor(codes, d)
+
+
+def quantize_iq4_nl(x: np.ndarray) -> np.ndarray:
+    """Format-exact IQ4_NL encoder -> AoS bytes [N, K/32, 18].
+
+    Simplified scale fit (d = amax/127, nearest codebook value per code);
+    llama.cpp's quantize_row_iq4_nl searches scale candidates — decode of
+    either's bytes is identical semantics."""
+    x = np.asarray(x, np.float32)
+    n, k = x.shape
+    assert k % QK == 0
+    xb = x.reshape(n, k // QK, QK)
+    amax = np.abs(xb).max(-1)
+    d = f16_sat(amax / 127.0)
+    inv = np.where(d > 0, 1.0 / np.where(d > 0, d, 1).astype(np.float32), 0.0)
+    scaled = xb * inv[..., None]  # target codebook values
+    q = np.abs(scaled[..., None] - KVALUES_IQ4NL.astype(np.float32)).argmin(-1)
+    raw = np.zeros((n, k // QK, IQ4_NL_BLOCK_BYTES), np.uint8)
+    raw[:, :, 0:2] = d.reshape(n, -1, 1).view(np.uint8)
+    raw[:, :, 2:18] = (q[:, :, :16] | (q[:, :, 16:] << 4)).astype(np.uint8)
+    return raw
+
+
+def dequantize_iq4_nl_bytes(raw: np.ndarray) -> np.ndarray:
+    t = from_bytes_iq4_nl(raw)
+    return (np.asarray(t.qs, np.float32)
+            * np.repeat(np.asarray(t.d, np.float32), QK, axis=-1))

@@ -548,3 +548,34 @@ def test_k16_a16_accuracy_mode():
     gold = refg.gemm_fp32(a, kquants.dequantize_q6_k(t))
     m = ErrorMetrics.compute(out, gold)
     assert m.nmse < 1e-9, m  # no activation quantization in this mode
+
+
+def test_iq4_nl_roundtrip_and_gguf(tmp_path):
+    """IQ4_NL (llama.cpp i-quant, GGUF type 20): format-exact encoder,
+    LUT-expanded Q8_0 container serving, GGUF load path."""
+    x = datagen.normal((64, 256), seed=9)
+    raw = kquants.quantize_iq4_nl(x)
+    y = kquants.dequantize_iq4_nl_bytes(raw)
+    nmse = float(((y - x) ** 2).mean() / (x ** 2).mean())
+    assert nmse < 9e-3  # non-linear codebook beats q4_0's ~9.4e-3 class
+    t = kquants.from_bytes_iq4_nl(raw)
+    assert type(t).__name__ == "Q8_0Tensor"  # serves via the q8_0 path
+
+    path = tmp_path / "iq4.gguf"
+    gguf_file.write_gguf(
+        path,
+        {"w.weight": gguf_file.RawTensor("iq4_nl", (64, 256), raw.tobytes())},
+    )
+    t2 = gguf_file.GGUFFile(path).load("w.weight")
+    np.testing.assert_array_equal(np.asarray(t.qs), np.asarray(t2.qs))
+    np.testing.assert_array_equal(np.asarray(t.d), np.asarray(t2.d))
+
+    # exact kernel serves the container through dispatch
+    from quant_gemm_tpu.formats import jax_quant
+
+    a = datagen.normal((4, 256), seed=10)
+    a_q = numpy_ref.quantize_q8_1(a)
+    out = np.asarray(dispatch(prepare(t), jax_quant.device_put(a_q)))
+    gold = refg.gemm_wxa8(t, a_q)
+    m = ErrorMetrics.compute(out, gold)
+    assert m.nmse < 1e-12, m
