@@ -274,6 +274,18 @@ def write_gguf(path, tensors: dict, metadata: dict | None = None) -> None:
             shape = aos.shape[:-2] + (aos.shape[-2] * kquants.QK_K,)
             blobs.append((name, shape, "q5_K", aos.tobytes()))
             continue
+        elif t.__class__.__name__ in ("Q2_KTensor", "Q3_KTensor",
+                                      "Q6_KTensor"):
+            from . import kquants
+
+            enc = {"Q2_KTensor": ("q2_K", kquants.to_bytes_q2_k),
+                   "Q3_KTensor": ("q3_K", kquants.to_bytes_q3_k),
+                   "Q6_KTensor": ("q6_K", kquants.to_bytes_q6_k)}
+            qt, fn = enc[t.__class__.__name__]
+            aos = fn(t)
+            shape = aos.shape[:-2] + (aos.shape[-2] * kquants.QK_K,)
+            blobs.append((name, shape, qt, aos.tobytes()))
+            continue
         else:
             qt = t.spec.name
             aos = gguf_blocks.to_bytes(t)

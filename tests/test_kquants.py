@@ -579,3 +579,60 @@ def test_iq4_nl_roundtrip_and_gguf(tmp_path):
     gold = refg.gemm_wxa8(t, a_q)
     m = ErrorMetrics.compute(out, gold)
     assert m.nmse < 1e-12, m
+
+
+@pytest.mark.slow
+def test_q4km_pattern_model_serving(tmp_path):
+    """The real Q4_K_M file pattern: q4_K layer weights + a q6_K
+    output.weight in ONE GGUF, loaded and served end to end — the q6_K
+    lm_head goes through the native per-16 kernel, not requantization."""
+    from quant_gemm_tpu.formats.gguf_file import write_gguf
+    from quant_gemm_tpu.kernels.gemm_exact import PreparedK16
+    from quant_gemm_tpu.models import llama
+    from quant_gemm_tpu.models.gguf_loader import load_llama
+
+    cfg = llama.LlamaConfig(vocab=64, dim=256, n_layers=1, n_heads=2,
+                            n_kv_heads=2, d_ff=256, max_seq=32)
+    params = llama.init_params(cfg, seed=2)
+    tensors = {
+        "token_embd.weight": np.asarray(params["embed"], np.float32),
+        "output_norm.weight": np.asarray(params["final_norm"], np.float32),
+        "output.weight": kquants.quantize_q6_k(
+            np.asarray(params["lm_head"], np.float32)),
+    }
+    lyr = params["layers"][0]
+    names = {"attn_norm": "blk.0.attn_norm.weight",
+             "mlp_norm": "blk.0.ffn_norm.weight"}
+    for k_, n_ in names.items():
+        tensors[n_] = np.asarray(lyr[k_], np.float32)
+    for k_, n_ in [("wq", "blk.0.attn_q.weight"), ("wk", "blk.0.attn_k.weight"),
+                   ("wv", "blk.0.attn_v.weight"), ("wo", "blk.0.attn_output.weight"),
+                   ("w_gate", "blk.0.ffn_gate.weight"), ("w_up", "blk.0.ffn_up.weight"),
+                   ("w_down", "blk.0.ffn_down.weight")]:
+        tensors[n_] = kquants.quantize_q4_k(np.asarray(lyr[k_], np.float32))
+    path = tmp_path / "q4km.gguf"
+    write_gguf(path, tensors, metadata={
+        "general.architecture": "llama",
+        "llama.embedding_length": cfg.dim,
+        "llama.block_count": cfg.n_layers,
+        "llama.attention.head_count": cfg.n_heads,
+        "llama.attention.head_count_kv": cfg.n_kv_heads,
+        "llama.feed_forward_length": cfg.d_ff,
+        "llama.context_length": cfg.max_seq,
+        "llama.vocab_size": cfg.vocab,
+    })
+
+    qparams, cfg2 = load_llama(path)
+    assert isinstance(qparams["lm_head"], PreparedK16)  # native q6_K
+    toks = jnp.asarray([[3, 7, 9, 2]], jnp.int32)
+    out, cache = llama.jit_forward(qparams, cfg2, toks,
+                                   llama.KVCache.init(cfg2, 1))
+    import jax
+
+    ref, _ = jax.jit(llama.forward_float, static_argnames=("cfg",))(
+        params, cfg2, toks, llama.KVCache.init(cfg2, 1))
+    m = ErrorMetrics.compute(np.asarray(out), np.asarray(ref))
+    assert m.nmse < 5e-2, m  # 4-bit weights end to end on random params
+    nxt = jnp.argmax(out[:, -1:], -1).astype(jnp.int32)
+    d, _ = llama.jit_forward(qparams, cfg2, nxt, cache)
+    assert bool(jnp.isfinite(d).all())
