@@ -35,7 +35,7 @@ DEFAULT_ALIGNMENT = 32
 
 GGML_TYPES = {0: "f32", 1: "f16", 2: "q4_0", 3: "q4_1", 6: "q5_0", 7: "q5_1",
               8: "q8_0", 9: "q8_1", 10: "q2_K", 11: "q3_K", 12: "q4_K",
-              13: "q5_K", 14: "q6_K", 20: "iq4_nl"}
+              13: "q5_K", 14: "q6_K", 20: "iq4_nl", 23: "iq4_xs"}
 GGML_IDS = {v: k for k, v in GGML_TYPES.items()}
 
 # GGUF metadata value types
@@ -118,6 +118,11 @@ def tensor_nbytes(qtype: str, n_elems: int) -> int:
 
         assert n_elems % QK == 0
         return n_elems // QK * kquants.IQ4_NL_BLOCK_BYTES
+    if qtype == "iq4_xs":
+        from . import kquants
+
+        assert n_elems % kquants.QK_K == 0
+        return n_elems // kquants.QK_K * kquants.IQ4_XS_BLOCK_BYTES
     if qtype.endswith("_K"):
         from . import kquants
 
@@ -217,6 +222,13 @@ class GGUFFile:
 
             aos = buf.reshape(lead + (k // QK, kquants.IQ4_NL_BLOCK_BYTES))
             return kquants.from_bytes_iq4_nl(aos)
+        if qt == "iq4_xs":
+            from . import kquants
+
+            aos = buf.reshape(
+                lead + (k // kquants.QK_K, kquants.IQ4_XS_BLOCK_BYTES)
+            )
+            return kquants.from_bytes_iq4_xs(aos)
         if qt in ("q2_K", "q3_K"):
             from . import kquants
 

@@ -921,3 +921,60 @@ def dequantize_iq4_nl_bytes(raw: np.ndarray) -> np.ndarray:
     t = from_bytes_iq4_nl(raw)
     return (np.asarray(t.qs, np.float32)
             * np.repeat(np.asarray(t.d, np.float32), QK, axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# IQ4_XS (block_iq4_xs, 136 B per 256 elements): the super-block variant of
+# IQ4_NL — per-32 6-bit sub-scales over the same 16-entry int8 codebook.
+# x = d * (sc_j - 32) * KVALUES[q].  Served via the q8_0-style exact kernel
+# with F32 effective per-32 scales (d*(sc-32) is not f16-representable).
+# ---------------------------------------------------------------------------
+
+IQ4_XS_BLOCK_BYTES = 136  # 2 d + 2 scales_h + 4 scales_l + 128 qs
+
+
+class EffectiveQ80(NamedTuple):
+    """q8_0-shaped view with f32 per-32 scales (IQ4_XS effective form);
+    feeds gemm_pallas.prepare() / the exact kernel directly."""
+
+    qs: np.ndarray  # i8 [N, K] codebook values
+    d: np.ndarray  # f32 [N, K/32] effective scales
+
+    spec = _EffSpec("iq4_xs", 8, False, False, 0)
+
+    @property
+    def k(self) -> int:
+        return self.qs.shape[-1]
+
+
+def _iq4xs_scales(raw: np.ndarray) -> np.ndarray:
+    """[N, nsb, 136] bytes -> int32 [N, nsb, 8] 6-bit sub-scales minus 32."""
+    sh = (raw[:, :, 2].astype(np.int32)
+          | (raw[:, :, 3].astype(np.int32) << 8))  # u16 scales_h
+    sl = raw[:, :, 4:8].astype(np.int32)  # 4 bytes of 4-bit pairs
+    j = np.arange(8)
+    lo = (sl[:, :, j // 2] >> (4 * (j % 2))) & 0xF
+    hi = (sh[:, :, None] >> (2 * j)) & 3
+    return (lo | (hi << 4)) - 32
+
+
+def from_bytes_iq4_xs(raw: np.ndarray) -> EffectiveQ80:
+    raw = np.asarray(raw, np.uint8)
+    n, nsb, bb = raw.shape
+    assert bb == IQ4_XS_BLOCK_BYTES, bb
+    d = raw[:, :, 0:2].copy().view(np.float16).astype(np.float32)[:, :, 0]
+    sc = _iq4xs_scales(raw)  # [n, nsb, 8]
+    # per 32-element sub-block: 16 bytes, byte j holds elements j (lo
+    # nibble) and j+16 (hi) — llama.cpp dequantize_row_iq4_xs
+    qs = raw[:, :, 8:136].astype(np.uint8).reshape(n, nsb, 8, 16)
+    lo = KVALUES_IQ4NL[qs & 0xF]
+    hi = KVALUES_IQ4NL[qs >> 4]
+    codes = np.concatenate([lo, hi], axis=-1).reshape(n, nsb, 256)
+    eff = (d[:, :, None] * sc).reshape(n, nsb * 8)  # f32 per-32
+    return EffectiveQ80(codes.reshape(n, nsb * QK_K), eff)
+
+
+def dequantize_iq4_xs_bytes(raw: np.ndarray) -> np.ndarray:
+    t = from_bytes_iq4_xs(raw)
+    return (np.asarray(t.qs, np.float32)
+            * np.repeat(t.d, QK, axis=-1))

@@ -200,6 +200,9 @@ def codes(t) -> np.ndarray:
         return lo | (hi << 4)
     if isinstance(t, (Q8_0Tensor, Q8_1Tensor)):
         return np.asarray(t.qs).astype(np.int32)
+    if getattr(t, "spec", None) is not None and t.spec.bits == 8:
+        # effective 8-bit views (e.g. kquants.EffectiveQ80 for IQ4_XS)
+        return np.asarray(t.qs).astype(np.int32)
     raise TypeError(type(t))
 
 

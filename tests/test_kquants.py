@@ -636,3 +636,45 @@ def test_q4km_pattern_model_serving(tmp_path):
     nxt = jnp.argmax(out[:, -1:], -1).astype(jnp.int32)
     d, _ = llama.jit_forward(qparams, cfg2, nxt, cache)
     assert bool(jnp.isfinite(d).all())
+
+
+def test_iq4_xs_decode_and_kernel(tmp_path):
+    """IQ4_XS (GGUF type 23): vectorized decode pinned against a scalar
+    llama.cpp dequantize_row_iq4_xs transcription; served through the
+    q8_0-style exact kernel with f32 effective per-32 scales."""
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, (256, 2, 136), dtype=np.uint8)
+    raw[:, :, 1] &= 0x3B  # keep d finite and small-ish
+    t = kquants.from_bytes_iq4_xs(raw)
+    # scalar transcription on one block
+    blk = raw[5, 1]
+    d = float(blk[0:2].copy().view(np.float16)[0])
+    sh = int(blk[2]) | (int(blk[3]) << 8)
+    y = np.zeros(256, np.float32)
+    for ib in range(8):
+        ls = (((int(blk[4 + ib // 2]) >> (4 * (ib % 2))) & 0xF)
+              | (((sh >> (2 * ib)) & 3) << 4))
+        dl = d * (ls - 32)
+        for j in range(16):
+            q = int(blk[8 + ib * 16 + j])
+            y[ib * 32 + j] = dl * float(kquants.KVALUES_IQ4NL[q & 0xF])
+            y[ib * 32 + j + 16] = dl * float(kquants.KVALUES_IQ4NL[q >> 4])
+    got = kquants.dequantize_iq4_xs_bytes(raw)[5, 256:512]
+    np.testing.assert_allclose(got, y, rtol=1e-6)
+
+    # GGUF round trip + exact kernel serving
+    path = tmp_path / "iq4xs.gguf"
+    gguf_file.write_gguf(path, {"w.weight": gguf_file.RawTensor(
+        "iq4_xs", (256, 512), raw.tobytes())})
+    t2 = gguf_file.GGUFFile(path).load("w.weight")
+    np.testing.assert_array_equal(np.asarray(t.qs), np.asarray(t2.qs))
+    np.testing.assert_array_equal(t.d, t2.d)
+
+    from quant_gemm_tpu.formats import jax_quant
+
+    a = datagen.normal((4, 512), seed=11)
+    a_q = numpy_ref.quantize_q8_1(a)
+    out = np.asarray(dispatch(prepare(t), jax_quant.device_put(a_q)))
+    gold = refg.gemm_wxa8(t, a_q)
+    m = ErrorMetrics.compute(out, gold)
+    assert m.nmse < 1e-10, m
