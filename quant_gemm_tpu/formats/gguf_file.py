@@ -89,11 +89,13 @@ def _write_value(f: BinaryIO, v: Any) -> None:
         _write_str(f, v)
     elif t == _KV_ARRAY:
         # homogeneous array (e.g. tokenizer.ggml.tokens/scores/token_type);
-        # llama.cpp writes f32 scores and i32 token types
-        assert len(v) > 0, "GGUF arrays must be non-empty"
-        if isinstance(v[0], str):
+        # llama.cpp writes f32 scores and i32 token types.  numpy scalars
+        # coerce; empty arrays write as i32[] (element type is moot)
+        if len(v) == 0:
+            etype = 5
+        elif isinstance(v[0], str):
             etype = _KV_STRING
-        elif isinstance(v[0], float):
+        elif isinstance(v[0], (float, np.floating)):
             etype = 6  # f32 (llama.cpp convention for scores)
         else:
             etype = 5  # i32
@@ -102,8 +104,10 @@ def _write_value(f: BinaryIO, v: Any) -> None:
         for e in v:
             if etype == _KV_STRING:
                 _write_str(f, e)
+            elif etype == 6:
+                f.write(struct.pack("<f", float(e)))
             else:
-                f.write(struct.pack(_KV_FMT[etype], e))
+                f.write(struct.pack("<i", int(e)))
     else:
         f.write(struct.pack(_KV_FMT[t], v))
 
@@ -175,9 +179,24 @@ class GGUFFile:
             pos = f.tell()
             self._data_start = (pos + align - 1) // align * align
 
+    def close(self) -> None:
+        """Release the mmap (loaded containers COPY out of it during
+        decode; only ``raw()`` views alias the file)."""
+        mm = self.__dict__.pop("_mm", None)
+        if mm is not None:
+            del mm
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
     def raw(self, name: str) -> np.ndarray:
         """Zero-copy view of one tensor's payload bytes (mmap-backed, so
-        multi-GB model files page in lazily instead of being read whole)."""
+        multi-GB model files page in lazily instead of being read whole).
+        The view ALIASES the file until :meth:`close`; ``load()`` decodes
+        into fresh arrays, so containers outlive the mapping."""
         info = self.tensors[name]
         n_elems = int(np.prod(info["shape"]))
         nbytes = tensor_nbytes(info["qtype"], n_elems)

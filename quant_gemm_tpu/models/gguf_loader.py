@@ -118,8 +118,8 @@ def _prep(t) -> gemm_pallas.PreparedWeight:
 
 
 def load_llama(path) -> tuple[dict, llama.LlamaConfig]:
-    """GGUF file -> (qparams ready for llama.forward, config)."""
-    gf = GGUFFile(path)
+    """GGUF file (path or an open GGUFFile) -> (qparams, config)."""
+    gf = path if isinstance(path, GGUFFile) else GGUFFile(path)
     cfg = config_from_metadata(gf.metadata)
     embed = gf.load(_EMBED)
     if not isinstance(embed, np.ndarray):

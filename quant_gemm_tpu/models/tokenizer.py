@@ -77,40 +77,74 @@ class SPMTokenizer:
     # -- encode ------------------------------------------------------------
 
     def encode(self, text: str, add_bos: bool = True) -> list[int]:
-        """SPM greedy merge: start from unicode characters, repeatedly merge
-        the adjacent pair whose concatenation is the highest-scored vocab
-        entry, then byte-fall-back any symbol not in the vocab."""
+        """SPM greedy merge (llm_tokenizer_spm): a heap of candidate
+        bigrams ordered by (score, position) over a linked list of symbols
+        — O(n log n), matching llama.cpp's result exactly — then byte
+        fallback for any symbol not in the vocab."""
+        import heapq
+
         s = text.replace(" ", _SPACE)
         if self.add_space_prefix and not s.startswith(_SPACE):
             s = _SPACE + s
         syms = list(s)
-        while len(syms) > 1:
-            best, best_i = None, -1
-            for i in range(len(syms) - 1):
-                tid = self.vocab.get(syms[i] + syms[i + 1])
-                if tid is not None:
-                    sc = self.scores[tid]
-                    if best is None or sc > best:
-                        best, best_i = sc, i
-            if best is None:
-                break
-            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        n = len(syms)
+        prev = list(range(-1, n - 1))
+        nxt = list(range(1, n + 1))
+        alive = [True] * n
+
+        heap: list[tuple[float, int, str]] = []
+
+        def push(i):
+            j = nxt[i]
+            if j >= n:
+                return
+            tid = self.vocab.get(syms[i] + syms[j])
+            if tid is not None:
+                heapq.heappush(heap, (-self.scores[tid], i, syms[i] + syms[j]))
+
+        for i in range(n - 1):
+            push(i)
+        while heap:
+            _negsc, i, merged = heapq.heappop(heap)
+            j = nxt[i] if i < n else n
+            # stale if either side changed since this candidate was pushed
+            if i >= n or not alive[i] or j >= n or syms[i] + syms[j] != merged:
+                continue
+            syms[i] = merged
+            alive[j] = False
+            nxt[i] = nxt[j]
+            if nxt[j] < n:
+                prev[nxt[j]] = i
+            if prev[i] >= 0:
+                push(prev[i])
+            push(i)
+
         out = [self.bos_id] if add_bos else []
-        for sym in syms:
+        i = 0
+        while i < n:
+            if not alive[i]:
+                i = nxt[i]
+                continue
+            sym = syms[i]
             tid = self.vocab.get(sym)
             if tid is not None:
                 out.append(tid)
-                continue
-            for b in sym.encode("utf-8"):  # byte fallback
-                out.append(self.byte_tokens.get(b, self.unk_id))
+            else:
+                for b in sym.encode("utf-8"):  # byte fallback
+                    out.append(self.byte_tokens.get(b, self.unk_id))
+            i = nxt[i]
         return out
 
     # -- decode ------------------------------------------------------------
 
     def decode(self, ids: Sequence[int]) -> str:
         """Token ids -> text: byte tokens collect into raw bytes, normal
-        pieces concatenate with the space marker restored."""
+        pieces concatenate with the space marker restored.  The leading
+        space is stripped ONLY when the first decoded piece carries the
+        add_space_prefix marker (so decoding a continuation — ids that
+        don't start a text — keeps its real leading space)."""
         chunks: list[bytes] = []
+        first_piece = None
         for tid in ids:
             if not 0 <= tid < len(self.tokens):
                 continue
@@ -120,10 +154,16 @@ class SPMTokenizer:
             t = self.tokens[tid]
             if tt == TOKEN_BYTE and len(t) == 6 and t[:3] == "<0x":
                 chunks.append(bytes([int(t[3:5], 16)]))
+                if first_piece is None:
+                    first_piece = ""
             else:
                 chunks.append(t.replace(_SPACE, " ").encode("utf-8"))
+                if first_piece is None:
+                    first_piece = t
         text = b"".join(chunks).decode("utf-8", errors="replace")
-        return text[1:] if text.startswith(" ") else text
+        strip = (self.add_space_prefix and first_piece is not None
+                 and first_piece.startswith(_SPACE))
+        return text[1:] if strip and text.startswith(" ") else text
 
 
 __all__ = ["SPMTokenizer", "TOKEN_NORMAL", "TOKEN_UNKNOWN", "TOKEN_CONTROL",
@@ -180,7 +220,13 @@ class BPETokenizer:
         pre: str = "gpt2",
         add_bos: bool = True,
     ):
-        import regex
+        try:
+            import regex
+        except ImportError as e:  # pragma: no cover
+            raise ImportError(
+                "BPETokenizer needs the 'regex' package (\\p{L} classes): "
+                "pip install quant_gemm_tpu[tokenizer]"
+            ) from e
 
         self.tokens = list(tokens)
         self.token_types = (
@@ -266,6 +312,36 @@ def tokenizer_from_gguf(metadata: dict):
     raise ValueError(f"unknown tokenizer.ggml.model {model!r}")
 
 
+def encode_with_specials(tok, text: str) -> list[int]:
+    """Tokenize chat-template output: special (control) tokens appearing
+    as literal text map to their single token ids; the segments between
+    them run through the normal pipeline WITHOUT bos/space-prefix
+    injection (the template supplies bos itself).
+
+    Without this, '<s>[INST]...' would re-tokenize the '<s>' as byte
+    fallbacks / regex fragments and a second BOS would be prepended —
+    corrupted model input (llama.cpp parses specials the same way)."""
+    import re
+
+    specials = {t: i for i, (t, tt) in
+                enumerate(zip(tok.tokens, tok.token_types))
+                if tt == TOKEN_CONTROL}
+    if not specials:
+        return tok.encode(text, add_bos=False)
+    pat = re.compile("|".join(
+        re.escape(t) for t in sorted(specials, key=len, reverse=True)))
+    ids: list[int] = []
+    posn = 0
+    for m in pat.finditer(text):
+        if m.start() > posn:
+            ids.extend(tok.encode(text[posn:m.start()], add_bos=False))
+        ids.append(specials[m.group(0)])
+        posn = m.end()
+    if posn < len(text):
+        ids.extend(tok.encode(text[posn:], add_bos=False))
+    return ids
+
+
 __all__ += ["BPETokenizer", "tokenizer_from_gguf"]
 
 
@@ -279,7 +355,12 @@ def render_chat(metadata: dict, messages: list[dict],
     template = metadata.get("tokenizer.chat_template")
     if not template:
         raise ValueError("GGUF carries no tokenizer.chat_template")
-    import jinja2
+    try:
+        import jinja2
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "render_chat needs jinja2: pip install quant_gemm_tpu[tokenizer]"
+        ) from e
 
     env = jinja2.Environment(  # noqa: S701 — text templating, not HTML
         loader=jinja2.BaseLoader(), keep_trailing_newline=True
@@ -301,4 +382,4 @@ def render_chat(metadata: dict, messages: list[dict],
     )
 
 
-__all__ += ["render_chat"]
+__all__ += ["render_chat", "encode_with_specials"]

@@ -48,7 +48,8 @@ def main() -> None:
     from quant_gemm_tpu.models.tokenizer import tokenizer_from_gguf
 
     t0 = time.time()
-    qparams, cfg = load_llama(args.model)
+    gf = GGUFFile(args.model)  # parsed once: weights AND tokenizer metadata
+    qparams, cfg = load_llama(gf)
     print(f"loaded {args.model} in {time.time()-t0:.1f}s: {cfg}",
           file=sys.stderr, flush=True)
 
@@ -58,14 +59,18 @@ def main() -> None:
     else:
         if args.prompt is None:
             ap.error("need -p/--prompt or --ids")
-        md = GGUFFile(args.model).metadata
+        md = gf.metadata
         tok = tokenizer_from_gguf(md)
-        text = args.prompt
         if args.chat:
-            from quant_gemm_tpu.models.tokenizer import render_chat
+            from quant_gemm_tpu.models.tokenizer import (
+                encode_with_specials, render_chat)
 
-            text = render_chat(md, [{"role": "user", "content": text}])
-        prompt_ids = tok.encode(text)
+            text = render_chat(md, [{"role": "user", "content": args.prompt}])
+            # the template supplies bos and special tokens as literal text;
+            # map them to their ids instead of re-tokenizing them
+            prompt_ids = encode_with_specials(tok, text)
+        else:
+            prompt_ids = tok.encode(args.prompt)
         print(f"prompt -> {len(prompt_ids)} tokens: {prompt_ids}",
               file=sys.stderr, flush=True)
 
@@ -81,7 +86,9 @@ def main() -> None:
           f"({len(out_ids)/max(dt,1e-9):.1f} tok/s)",
           file=sys.stderr, flush=True)
     if tok is not None:
-        print(tok.decode(prompt_ids) + tok.decode(out_ids))
+        # decode prompt+output TOGETHER: decoding the continuation alone
+        # would mis-strip its leading space
+        print(tok.decode(list(prompt_ids) + list(out_ids)))
     else:
         print(",".join(str(i) for i in out_ids))
 

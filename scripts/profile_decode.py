@@ -140,12 +140,19 @@ def main():
     toks = jnp.asarray(rng.integers(1, cfg.vocab, (b, 1)), jnp.int32)
     import time as _time
 
-    cache = llama.KVCache.init(cfg, b, args.kv)
-    cache = cache._replace(pos=jnp.full((b,), args.ctx, jnp.int32))
+    def fresh():
+        c = llama.KVCache.init(cfg, b, args.kv)
+        return c._replace(pos=jnp.full((b,), args.ctx, jnp.int32))
+
+    # compile both loop lengths BEFORE timing (each n is its own program;
+    # without warmup the slope would difference two compile times)
+    for n in (8, 40):
+        jax.block_until_ready(decode_loop(qparams, fresh(), toks, n))
     ts = {}
     for n in (8, 40):
+        c = fresh()
         t0 = _time.perf_counter()
-        toks2, cache = jax.block_until_ready(decode_loop(qparams, cache, toks, n))
+        jax.block_until_ready(decode_loop(qparams, c, toks, n))
         ts[n] = _time.perf_counter() - t0
     step_us = (ts[40] - ts[8]) / 32 * 1e6
     print(f"full step: {step_us:.0f} us", flush=True)

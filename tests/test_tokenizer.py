@@ -222,3 +222,63 @@ def test_chat_template_render():
     assert out == "<s>[user]hi[/user][assistant]"
     with pytest.raises(ValueError, match="chat_template"):
         render_chat({}, [])
+
+
+def test_continuation_decode_keeps_leading_space():
+    """Decoding prompt and continuation ids TOGETHER must preserve the
+    word boundary (the space strip applies only to the text-initial
+    add_space_prefix marker)."""
+    tok = _vocab()
+    prompt = tok.encode("the ab")
+    cont = tok.encode("the ab", add_bos=False)  # e.g. generated ids
+    assert tok.decode(list(prompt) + list(cont)) == "the ab the ab"
+
+
+def test_encode_with_specials_maps_control_tokens():
+    """Chat-template output re-tokenizes with special tokens mapped to
+    their single ids — no byte-fallback mangling, no extra BOS."""
+    from quant_gemm_tpu.models.tokenizer import encode_with_specials
+
+    tok = _vocab()
+    text = "<s>ab</s><s>the"
+    ids = encode_with_specials(tok, text)
+    names = [tok.tokens[i] for i in ids]
+    assert names == ["<s>", "▁ab", "</s>", "<s>", "▁the"]
+    assert ids.count(tok.bos_id) == 2  # exactly the template's, no extra
+
+
+def test_spm_heap_merge_matches_linear_scan():
+    """The O(n log n) heap merge must produce the same segmentation as a
+    brute-force best-scan (same score-then-position greedy order)."""
+    tok = _vocab()
+
+    def brute(text):
+        s = text.replace(" ", "▁")
+        if not s.startswith("▁"):
+            s = "▁" + s
+        syms = list(s)
+        while len(syms) > 1:
+            best, best_i = None, -1
+            for i in range(len(syms) - 1):
+                tid = tok.vocab.get(syms[i] + syms[i + 1])
+                if tid is not None and (best is None or tok.scores[tid] > best):
+                    best, best_i = tok.scores[tid], i
+            if best is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+
+    rng = np.random.default_rng(0)
+    alphabet = "abcthe "
+    for _ in range(50):
+        text = "".join(rng.choice(list(alphabet), size=rng.integers(1, 30)))
+        ids = tok.encode(text, add_bos=False)
+        want = []
+        for sym in brute(text):
+            tid = tok.vocab.get(sym)
+            if tid is not None:
+                want.append(tid)
+            else:
+                want.extend(tok.byte_tokens.get(b, tok.unk_id)
+                            for b in sym.encode("utf-8"))
+        assert ids == want, (text, ids, want)
