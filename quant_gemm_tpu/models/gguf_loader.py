@@ -148,6 +148,14 @@ def load_llama(path) -> tuple[dict, llama.LlamaConfig]:
         lyr["w_down"] = _prep(gf.load(names["w_down"]))
         out["layers"].append(lyr)
     out["lm_head"] = _prep(gf.load(_OUTPUT))
+    if "rope_freqs.weight" in gf.tensors:
+        # llama.cpp bakes Llama-3.1 frequency scaling as per-dim DIVISORS
+        # (ggml rope_ext: theta = theta_base / freq_factor)
+        factors = np.asarray(gf.load("rope_freqs.weight"), np.float32)
+        base_inv = 1.0 / (cfg.rope_base ** (
+            np.arange(0, cfg.head_dim, 2, dtype=np.float64) / cfg.head_dim))
+        out["rope_inv_freq"] = jnp.asarray(
+            base_inv.astype(np.float32) / factors.reshape(-1))
     return out, cfg
 
 

@@ -111,13 +111,20 @@ _HF_BLK = {
 
 
 def config_from_hf(cfg_json: dict) -> llama.LlamaConfig:
-    """HF config.json -> LlamaConfig."""
+    """HF config.json -> LlamaConfig.
+
+    rope_scaling types: 'linear' maps to cfg.rope_scale; 'llama3'
+    (frequency-dependent, Llama-3.1+) is handled by the LOADER attaching
+    per-dim inverse frequencies to the params (cfg stays scale=1); other
+    types (yarn, ...) are refused loudly rather than mispositioning."""
     rs = cfg_json.get("rope_scaling") or {}
     rope_scale = 1.0
     if rs:
-        if rs.get("type", rs.get("rope_type", "linear")) != "linear":
+        stype = rs.get("type", rs.get("rope_type", "linear"))
+        if stype == "linear":
+            rope_scale = 1.0 / float(rs.get("factor", 1.0))
+        elif stype != "llama3":
             raise ValueError(f"unsupported rope scaling {rs!r}")
-        rope_scale = 1.0 / float(rs.get("factor", 1.0))
     return llama.LlamaConfig(
         vocab=int(cfg_json["vocab_size"]),
         dim=int(cfg_json["hidden_size"]),
@@ -164,7 +171,18 @@ def load_hf_llama(model_dir, qtype: str = "q4_0"):
             for i in range(cfg.n_layers)
         ],
     }
-    return llama.quantize_params(params, qtype), cfg
+    qparams = llama.quantize_params(params, qtype)
+    rs = json.loads((model_dir / "config.json").read_text()).get(
+        "rope_scaling") or {}
+    if rs.get("rope_type", rs.get("type")) == "llama3":
+        from ..ops.rope import llama3_inv_freq
+
+        qparams["rope_inv_freq"] = jnp.asarray(llama3_inv_freq(
+            cfg.head_dim, cfg.rope_base, float(rs["factor"]),
+            float(rs["low_freq_factor"]), float(rs["high_freq_factor"]),
+            int(rs["original_max_position_embeddings"]),
+        ))
+    return qparams, cfg
 
 
 __all__ = ["SafetensorsFile", "write_safetensors", "config_from_hf",

@@ -28,7 +28,7 @@ import numpy as np
 from ..formats import jax_quant
 from ..kernels import gemm_pallas
 from ..ops.rms_norm import rms_norm
-from ..ops.rope import apply_rope, rope_cache as make_rope_cache
+from ..ops.rope import apply_rope, llama3_inv_freq, rope_cache as make_rope_cache
 from ..ops.activations import silu_mul
 
 
@@ -155,6 +155,16 @@ def quantize_params(params: dict, qtype: str = "q4_0") -> dict:
         out["layers"].append(q)
     out["lm_head"] = prep(params["lm_head"])
     return out
+
+
+def rope_for(cfg: LlamaConfig, params: dict | None = None):
+    """The model's RoPE tables: cfg's base/linear-scale spectrum, or the
+    per-dimension inverse frequencies a loader attached to the params
+    (``params["rope_inv_freq"]`` — Llama-3.1-style frequency scaling /
+    GGUF ``rope_freqs.weight``)."""
+    inv = params.get("rope_inv_freq") if isinstance(params, dict) else None
+    return make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base,
+                           freq_scale=cfg.rope_scale, inv_freq=inv)
 
 
 def _linear(w: gemm_pallas.PreparedWeight, x: jax.Array, act_mode: str) -> jax.Array:
@@ -423,8 +433,7 @@ def forward(
     b, t = tokens.shape
     pos0 = cache.pos  # [B]
     if rope_cache is None:
-        rope_cache = make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base,
-                               freq_scale=cfg.rope_scale)
+        rope_cache = rope_for(cfg, qparams)
 
     x = qparams["embed"][tokens].astype(jnp.float32)  # [B, T, D]
     positions = pos0[:, None] + jnp.arange(t)[None, :]  # [B, T]

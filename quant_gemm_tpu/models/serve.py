@@ -179,7 +179,7 @@ class Server:
         self.queue: list[Request] = []
         self.finished: dict[int, Request] = {}
         self._next_rid = 0
-        self._rope = llama.make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base, freq_scale=cfg.rope_scale)
+        self._rope = llama.rope_for(cfg, qparams)
         self._pending_tok = np.zeros(n_slots, np.int32)
         self._temps = np.zeros(n_slots, np.float32)
         self._topk = np.zeros(n_slots, np.int32)

@@ -25,11 +25,46 @@ DEFAULT_BASE = 10000.0
 
 
 def rope_cache(max_pos: int, head_dim: int, base: float = DEFAULT_BASE,
-               freq_scale: float = 1.0, dtype=jnp.float32):
-    """cos/sin tables [max_pos, head_dim/2] (rope.cuh:223-250)."""
-    inv_freq = 1.0 / (base ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
-    t = np.arange(max_pos, dtype=np.float64)[:, None] * inv_freq[None, :] * freq_scale
-    return jnp.asarray(np.cos(t), dtype), jnp.asarray(np.sin(t), dtype)
+               freq_scale: float = 1.0, dtype=jnp.float32, inv_freq=None):
+    """cos/sin tables [max_pos, head_dim/2] (rope.cuh:223-250).
+
+    ``inv_freq``: optional per-dimension inverse frequencies [head_dim/2]
+    overriding the standard ``base**(-2i/d)`` spectrum — the hook for
+    Llama-3.1-style frequency-dependent scaling (:func:`llama3_inv_freq`)
+    or a GGUF ``rope_freqs.weight`` factor tensor.  May be a traced jnp
+    array (the math below is jnp so it works under jit).
+    """
+    if inv_freq is None:
+        inv_freq = 1.0 / (
+            base ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim)
+        )
+    t = (jnp.arange(max_pos, dtype=jnp.float32)[:, None]
+         * jnp.asarray(inv_freq, jnp.float32)[None, :] * freq_scale)
+    return jnp.cos(t).astype(dtype), jnp.sin(t).astype(dtype)
+
+
+def llama3_inv_freq(head_dim: int, base: float, factor: float,
+                    low_freq_factor: float, high_freq_factor: float,
+                    original_max_pos: int) -> np.ndarray:
+    """Llama-3.1 frequency-dependent RoPE scaling (HF rope_type='llama3').
+
+    Long wavelengths (low frequencies) divide by ``factor``, short ones
+    stay, the band between interpolates smoothly — matching transformers'
+    ``_compute_llama3_parameters`` / llama.cpp's baked ``rope_freqs``.
+    """
+    inv_freq = 1.0 / (
+        base ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim)
+    )
+    wavelen = 2.0 * np.pi / inv_freq
+    low_wl = original_max_pos / low_freq_factor
+    high_wl = original_max_pos / high_freq_factor
+    smooth = (original_max_pos / wavelen - low_freq_factor) / (
+        high_freq_factor - low_freq_factor
+    )
+    interp = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+    out = np.where(wavelen > low_wl, inv_freq / factor,
+                   np.where(wavelen < high_wl, inv_freq, interp))
+    return out.astype(np.float32)
 
 
 def apply_rope(x, pos, cache, interleaved: bool = False):

@@ -264,3 +264,30 @@ def test_context_shift_noop_below_trigger():
     assert int(shifted.pos[0]) == int(cache.pos[0])
     np.testing.assert_array_equal(np.asarray(shifted.k[:, :, :, :3]),
                                   np.asarray(cache.k[:, :, :, :3]))
+
+
+@pytest.mark.slow
+def test_rope_inv_freq_attached_to_params():
+    """A loader-attached rope_inv_freq (Llama-3.1 scaling / GGUF
+    rope_freqs.weight) changes the model's rotation: forward runs finite
+    and differs from the default spectrum."""
+    cfg = llama.LlamaConfig(vocab=48, dim=64, n_layers=1, n_heads=2,
+                            n_kv_heads=2, d_ff=128, max_seq=32)
+    params = llama.init_params(cfg, seed=1)
+    qp = llama.quantize_params(params, "q8_0")
+    toks = jnp.asarray([[3, 7, 9, 2]], jnp.int32)
+    base, _ = llama.jit_forward(qp, cfg, toks, llama.KVCache.init(cfg, 1))
+
+    from quant_gemm_tpu.ops.rope import llama3_inv_freq
+
+    qp2 = dict(qp)
+    qp2["rope_inv_freq"] = jnp.asarray(
+        llama3_inv_freq(cfg.head_dim, cfg.rope_base, 8.0, 1.0, 4.0, 16))
+    out, _ = llama.jit_forward(qp2, cfg, toks, llama.KVCache.init(cfg, 1))
+    assert bool(jnp.isfinite(out).all())
+    assert not np.allclose(np.asarray(out), np.asarray(base))
+    # rope_for picks the attached spectrum up
+    c1, s1 = llama.rope_for(cfg, qp2)
+    t = np.arange(cfg.max_seq, dtype=np.float32)[:, None] * np.asarray(
+        qp2["rope_inv_freq"])[None, :]
+    np.testing.assert_allclose(np.asarray(c1), np.cos(t), rtol=1e-5)

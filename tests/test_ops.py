@@ -340,3 +340,42 @@ def test_flash_decode_window_with_current_token_multi_tile():
         ref = np.einsum("bgrs,bgsd->bgrd", pr, vf)
         np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5,
                                    err_msg=f"pos={pos_vals} win={win}")
+
+
+def test_llama3_rope_scaling_matches_transformers():
+    """llama3_inv_freq pins against HF transformers' rope init (the
+    Llama-3.1 frequency-dependent scaling contract)."""
+    from quant_gemm_tpu.ops.rope import llama3_inv_freq
+
+    try:
+        from transformers.modeling_rope_utils import ROPE_INIT_FUNCTIONS
+    except ImportError:
+        import pytest as _pytest
+
+        _pytest.skip("transformers unavailable")
+
+    class Cfg:
+        rope_theta = 500000.0
+        head_dim = 128
+        hidden_size = 4096
+        num_attention_heads = 32
+        max_position_embeddings = 131072
+        rope_scaling = {"rope_type": "llama3", "factor": 8.0,
+                        "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                        "original_max_position_embeddings": 8192}
+        partial_rotary_factor = 1.0
+
+    hf_inv, _ = ROPE_INIT_FUNCTIONS["llama3"](Cfg(), device="cpu")
+    mine = llama3_inv_freq(128, 500000.0, 8.0, 1.0, 4.0, 8192)
+    np.testing.assert_allclose(mine, hf_inv.numpy(), rtol=1e-6)
+
+
+def test_rope_cache_inv_freq_override():
+    """rope_cache(inv_freq=...) rotates with the supplied spectrum."""
+    from quant_gemm_tpu.ops.rope import rope_cache
+
+    inv = np.array([1.0, 0.5, 0.25, 0.125], np.float32)
+    cos_t, sin_t = rope_cache(8, 8, inv_freq=inv)
+    t = np.arange(8, dtype=np.float32)[:, None] * inv[None, :]
+    np.testing.assert_allclose(np.asarray(cos_t), np.cos(t), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sin_t), np.sin(t), rtol=1e-6)
