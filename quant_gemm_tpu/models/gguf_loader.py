@@ -60,6 +60,7 @@ def config_from_metadata(md: dict) -> llama.LlamaConfig:
         eps=float(md.get("llama.attention.layer_norm_rms_epsilon", 1e-5)),
         window=int(md.get("llama.attention.sliding_window", 0)),
         rope_scale=_rope_scale_from_metadata(md),
+        head_dim_override=int(md.get("llama.attention.key_length", 0)),
     )
 
 
@@ -199,6 +200,8 @@ def export_gguf(path, params: dict, cfg: llama.LlamaConfig,
     }
     if cfg.window:
         metadata["llama.attention.sliding_window"] = cfg.window
+    if cfg.head_dim_override:
+        metadata["llama.attention.key_length"] = cfg.head_dim_override
     if cfg.rope_scale != 1.0:
         metadata["llama.rope.scaling.type"] = "linear"
         metadata["llama.rope.scaling.factor"] = 1.0 / cfg.rope_scale

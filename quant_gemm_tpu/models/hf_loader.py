@@ -138,6 +138,7 @@ def config_from_hf(cfg_json: dict) -> llama.LlamaConfig:
         eps=float(cfg_json.get("rms_norm_eps", 1e-5)),
         window=int(cfg_json.get("sliding_window") or 0),
         rope_scale=rope_scale,
+        head_dim_override=int(cfg_json.get("head_dim") or 0),
     )
 
 

@@ -46,10 +46,11 @@ class LlamaConfig(NamedTuple):
     rope_scale: float = 1.0  # linear RoPE position scaling (1/factor)
     ring: bool = False  # O(window) ring-buffer KV cache (needs window > 0)
     ring_chunk: int = 256  # max tokens per forward() call in ring mode
+    head_dim_override: int = 0  # explicit head_dim (Mistral-Nemo class); 0 = dim/heads
 
     @property
     def head_dim(self) -> int:
-        return self.dim // self.n_heads
+        return self.head_dim_override or self.dim // self.n_heads
 
     @property
     def ring_capacity(self) -> int:

@@ -291,3 +291,33 @@ def test_rope_inv_freq_attached_to_params():
     t = np.arange(cfg.max_seq, dtype=np.float32)[:, None] * np.asarray(
         qp2["rope_inv_freq"])[None, :]
     np.testing.assert_allclose(np.asarray(c1), np.cos(t), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_explicit_head_dim():
+    """Mistral-Nemo-class configs: head_dim != dim // n_heads round-trips
+    through init/quantize/forward and the GGUF export/load metadata."""
+    import tempfile
+
+    from quant_gemm_tpu.models.gguf_loader import export_gguf, load_llama
+
+    cfg = llama.LlamaConfig(vocab=48, dim=128, n_layers=1, n_heads=2,
+                            n_kv_heads=2, d_ff=128, max_seq=32,
+                            head_dim_override=32)  # != 128 // 2
+    assert cfg.head_dim == 32
+    params = llama.init_params(cfg, seed=1)
+    assert params["layers"][0]["wq"].shape == (2 * 32, 128)
+    qp = llama.quantize_params(params, "q8_0")
+    toks = jnp.asarray([[3, 7, 9, 2]], jnp.int32)
+    out, _ = llama.jit_forward(qp, cfg, toks, llama.KVCache.init(cfg, 1))
+    assert bool(jnp.isfinite(out).all())
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/hd.gguf"
+        export_gguf(path, params, cfg, qtype="q8_0")
+        qp2, cfg2 = load_llama(path)
+        assert cfg2.head_dim == 32
+        out2, _ = llama.jit_forward(qp2, cfg2, toks,
+                                    llama.KVCache.init(cfg2, 1))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
+                                   rtol=1e-4, atol=1e-4)
