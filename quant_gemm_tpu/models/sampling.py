@@ -50,6 +50,37 @@ def filter_logits(scaled: jax.Array, top_k: jax.Array,
     return jnp.where(scaled >= thr[:, None], scaled, NEG_INF)
 
 
+def min_p_filter(scaled: jax.Array, min_p: jax.Array) -> jax.Array:
+    """llama.cpp min-p: keep tokens whose probability is >= min_p times
+    the max probability.  In logit space that is a plain threshold
+    ``l >= l_max + log(min_p)`` — no sort needed.  min_p <= 0 disables."""
+    mp = jnp.clip(jnp.asarray(min_p, jnp.float32), 0.0, 1.0)
+    lmax = jnp.max(scaled, axis=-1)
+    thr = jnp.where(mp > 0.0, lmax + jnp.log(jnp.maximum(mp, 1e-10)),
+                    NEG_INF)
+    return jnp.where(scaled >= thr[:, None], scaled, NEG_INF)
+
+
+def apply_repeat_penalty(logits: jax.Array, recent: jax.Array,
+                         penalty: jax.Array) -> jax.Array:
+    """llama.cpp repetition penalty over a recent-token window.
+
+    ``recent`` int32 [B, W] (entries < 0 are empty), ``penalty`` f32 [B]
+    (1.0 disables).  Penalized positive logits divide by the penalty,
+    negative ones multiply — exactly llama_sample_repetition_penalties.
+    """
+    b, v = logits.shape
+    pen = jnp.asarray(penalty, jnp.float32)
+    safe = jnp.where(recent >= 0, recent, v)  # park empties out of range
+    mask = jnp.zeros((b, v + 1), bool).at[
+        jnp.arange(b)[:, None], safe
+    ].set(True)[:, :v]
+    pb = pen[:, None]
+    penalized = jnp.where(logits > 0, logits / pb, logits * pb)
+    out = jnp.where(mask, penalized, logits)
+    return jnp.where((pen != 1.0)[:, None], out, logits)
+
+
 def sample(
     logits: jax.Array,  # [B, V]
     keys: jax.Array,  # [B, 2] uint32 per-request base keys
@@ -57,20 +88,28 @@ def sample(
     temperature: jax.Array,  # f32 [B]; <= 0 = greedy
     top_k: jax.Array | None = None,  # int32 [B]; <= 0 = off
     top_p: jax.Array | None = None,  # f32 [B]; >= 1 = off
+    min_p: jax.Array | None = None,  # f32 [B]; <= 0 = off
+    recent: jax.Array | None = None,  # int32 [B, W] recent tokens (< 0 empty)
+    repeat_penalty: jax.Array | None = None,  # f32 [B]; 1.0 = off
 ) -> jax.Array:
     """Sample one token per row; jittable, fully dynamic per-row config."""
     b = logits.shape[0]
     t = jnp.asarray(temperature, jnp.float32)
+    logits = logits.astype(jnp.float32)
+    if recent is not None and repeat_penalty is not None:
+        logits = apply_repeat_penalty(logits, recent, repeat_penalty)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    scaled = logits.astype(jnp.float32) / jnp.maximum(t, 1e-6)[:, None]
+    scaled = logits / jnp.maximum(t, 1e-6)[:, None]
     tk = (jnp.zeros(b, jnp.int32) if top_k is None
           else jnp.asarray(top_k, jnp.int32))
     tp = (jnp.ones(b, jnp.float32) if top_p is None
           else jnp.asarray(top_p, jnp.float32))
     filtered = filter_logits(scaled, tk, tp)
+    if min_p is not None:
+        filtered = min_p_filter(filtered, min_p)
     step_keys = jax.vmap(jax.random.fold_in)(keys, positions.astype(jnp.int32))
     drawn = jax.vmap(jax.random.categorical)(step_keys, filtered)
     return jnp.where(t <= 0.0, greedy, drawn.astype(jnp.int32))
 
 
-__all__ = ["sample", "filter_logits"]
+__all__ = ["sample", "filter_logits", "min_p_filter", "apply_repeat_penalty"]

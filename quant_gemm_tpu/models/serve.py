@@ -61,8 +61,8 @@ def _prefill_step(qparams, rope, tokens, c1, length, *, cfg, act_mode, t):
 @functools.partial(
     jax.jit, static_argnames=("cfg", "act_mode"), donate_argnums=(3,)
 )
-def _decode_step(qparams, rope, tokens, cache, keys, temps, topk, topp, *,
-                 cfg, act_mode):
+def _decode_step(qparams, rope, tokens, cache, keys, temps, topk, topp,
+                 minp, recent, rpen, *, cfg, act_mode):
     logits, cache = llama.forward(
         qparams, cfg, tokens, cache, act_mode=act_mode, rope_cache=rope
     )
@@ -70,17 +70,19 @@ def _decode_step(qparams, rope, tokens, cache, keys, temps, topk, topp, *,
     # forward advanced it) — same scheme as llama.sample_decode, so replays
     # match across entry points
     nxt = sampling.sample(
-        logits[:, -1], keys, cache.pos - 1, temps, topk, topp
+        logits[:, -1], keys, cache.pos - 1, temps, topk, topp,
+        min_p=minp, recent=recent, repeat_penalty=rpen,
     )
     return nxt, cache
 
 
 @jax.jit
-def _sample_one(logits, key, position, temp, topk, topp):
+def _sample_one(logits, key, position, temp, topk, topp, minp, recent, rpen):
     return sampling.sample(
         logits[None], key[None], jnp.asarray([position]),
         jnp.asarray([temp]), jnp.asarray([topk]),
-        jnp.asarray([topp]),
+        jnp.asarray([topp]), jnp.asarray([minp]),
+        recent[None], jnp.asarray([rpen]),
     )[0]
 
 
@@ -115,6 +117,9 @@ def _shift_cache(cache, rope, *, cfg, keep):
     return llama.shift_context(cache, cfg, keep, rope_cache=rope)
 
 
+PENALTY_WINDOW = 64  # recent tokens a slot's repeat penalty sees
+
+
 @dataclasses.dataclass
 class Request:
     rid: int
@@ -123,6 +128,8 @@ class Request:
     temperature: float = 0.0
     top_k: int = 0
     top_p: float = 1.0
+    min_p: float = 0.0
+    repeat_penalty: float = 1.0
     seed: Optional[int] = None
     generated: list = dataclasses.field(default_factory=list)
     done: bool = False
@@ -184,6 +191,9 @@ class Server:
         self._temps = np.zeros(n_slots, np.float32)
         self._topk = np.zeros(n_slots, np.int32)
         self._topp = np.ones(n_slots, np.float32)
+        self._minp = np.zeros(n_slots, np.float32)
+        self._rpen = np.ones(n_slots, np.float32)
+        self._recent = np.full((n_slots, PENALTY_WINDOW), -1, np.int32)
         self._keys = jnp.zeros((n_slots, 2), jnp.uint32)
         self._n_steps = 0
         self._n_tokens = 0
@@ -199,6 +209,8 @@ class Server:
         temperature: float = 0.0,
         top_k: int = 0,
         top_p: float = 1.0,
+        min_p: float = 0.0,
+        repeat_penalty: float = 1.0,
         seed: Optional[int] = None,
     ) -> int:
         if not prompt:
@@ -207,6 +219,7 @@ class Server:
             raise ValueError(f"max_new must be >= 1, got {max_new}")
         r = Request(self._next_rid, list(prompt), max_new,
                     temperature=temperature, top_k=top_k, top_p=top_p,
+                    min_p=min_p, repeat_penalty=repeat_penalty,
                     seed=seed)
         self._next_rid += 1
         self.queue.append(r)
@@ -248,9 +261,15 @@ class Server:
             self._temps[s] = r.temperature
             self._topk[s] = r.top_k
             self._topp[s] = r.top_p
+            self._minp[s] = r.min_p
+            self._rpen[s] = r.repeat_penalty
+            self._recent[s] = -1
+            tail = r.prompt[-PENALTY_WINDOW:]
+            self._recent[s, : len(tail)] = tail
             tok = int(_sample_one(
                 last_logits, rkey, len(r.prompt) - 1, r.temperature,
-                r.top_k, r.top_p,
+                r.top_k, r.top_p, r.min_p,
+                jnp.asarray(self._recent[s]), r.repeat_penalty,
             ))
             r.generated.append(tok)
             self._n_prefill_tokens += len(r.prompt)
@@ -262,6 +281,8 @@ class Server:
                 self.finished[r.rid] = r
                 continue
             self._pending_tok[s] = tok
+            self._recent[s] = np.roll(self._recent[s], -1)
+            self._recent[s, -1] = tok  # admit-time token is generated too
             self.slots[s] = r
 
     def step(self) -> dict[int, int]:
@@ -281,7 +302,8 @@ class Server:
         nxt, self.cache = _decode_step(
             self.qparams, self._rope, tokens, self.cache, self._keys,
             jnp.asarray(self._temps), jnp.asarray(self._topk),
-            jnp.asarray(self._topp),
+            jnp.asarray(self._topp), jnp.asarray(self._minp),
+            jnp.asarray(self._recent), jnp.asarray(self._rpen),
             cfg=self.cfg, act_mode=self.act_mode,
         )
         nxt = np.asarray(nxt)
@@ -294,6 +316,8 @@ class Server:
             tok = int(nxt[s])
             r.generated.append(tok)
             self._pending_tok[s] = tok
+            self._recent[s] = np.roll(self._recent[s], -1)
+            self._recent[s, -1] = tok
             out[r.rid] = tok
             if (
                 len(r.generated) >= r.max_new

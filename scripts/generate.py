@@ -31,6 +31,8 @@ def main() -> None:
     ap.add_argument("--temp", type=float, default=0.0)
     ap.add_argument("--top-k", type=int, default=0)
     ap.add_argument("--top-p", type=float, default=1.0)
+    ap.add_argument("--min-p", type=float, default=0.0)
+    ap.add_argument("--repeat-penalty", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--kv", default="bf16", choices=["bf16", "q8"])
     ap.add_argument("--cpu", action="store_true",
@@ -78,7 +80,8 @@ def main() -> None:
                        eos_id=tok.eos_id if tok else None)
     rid = srv.submit(prompt_ids, max_new=args.n_predict,
                      temperature=args.temp, top_k=args.top_k,
-                     top_p=args.top_p, seed=args.seed)
+                     top_p=args.top_p, min_p=args.min_p,
+                     repeat_penalty=args.repeat_penalty, seed=args.seed)
     t0 = time.time()
     out_ids = srv.run_until_done()[rid]
     dt = time.time() - t0

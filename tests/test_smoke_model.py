@@ -44,3 +44,39 @@ def test_smoke_forward_decode_serve():
     assert set(results) == set(rids)
     assert [len(results[r]) for r in rids] == [3, 2]
     assert all(0 <= t < CFG.vocab for r in rids for t in results[r])
+
+
+def test_sampling_min_p_and_repeat_penalty():
+    """min-p keeps only tokens near the mode; repetition penalty pushes
+    recent tokens down (llama.cpp llama_sample_* semantics)."""
+    import jax
+
+    from quant_gemm_tpu.models import sampling
+
+    logits = jnp.asarray([[0.0, 3.0, 2.9, -2.0, 1.0]], jnp.float32)
+    # min_p = 0.5: keep tokens with prob >= 0.5 * p_max -> ids 1, 2 only
+    filt = sampling.min_p_filter(logits, jnp.asarray([0.5]))
+    kept = np.isfinite(np.asarray(filt))[0]
+    assert list(np.where(kept)[0]) == [1, 2]
+
+    # repeat penalty: id 1 was recent; positive logit divides
+    pen = sampling.apply_repeat_penalty(
+        logits, jnp.asarray([[1, -1, -1]]), jnp.asarray([2.0]))
+    assert np.asarray(pen)[0, 1] == 1.5  # 3.0 / 2.0
+    assert np.asarray(pen)[0, 2] == 2.9  # untouched
+    # negative recent logit multiplies
+    pen2 = sampling.apply_repeat_penalty(
+        logits, jnp.asarray([[3, -1, -1]]), jnp.asarray([2.0]))
+    assert np.asarray(pen2)[0, 3] == -4.0
+    # penalty 1.0 disables exactly
+    pen3 = sampling.apply_repeat_penalty(
+        logits, jnp.asarray([[1, 3, -1]]), jnp.asarray([1.0]))
+    np.testing.assert_array_equal(np.asarray(pen3), np.asarray(logits))
+
+    # full sample() with greedy + penalty: recent argmax gets dethroned
+    keys = jnp.zeros((1, 2), jnp.uint32)
+    tok = sampling.sample(logits, keys, jnp.asarray([0]),
+                          jnp.asarray([0.0]),
+                          recent=jnp.asarray([[1, -1, -1]]),
+                          repeat_penalty=jnp.asarray([4.0]))
+    assert int(tok[0]) == 2  # 3.0/4 = 0.75 < 2.9
