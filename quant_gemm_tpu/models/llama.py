@@ -28,7 +28,7 @@ import numpy as np
 from ..formats import jax_quant
 from ..kernels import gemm_pallas
 from ..ops.rms_norm import rms_norm
-from ..ops.rope import apply_rope, llama3_inv_freq, rope_cache as make_rope_cache
+from ..ops.rope import apply_rope, rope_cache as make_rope_cache
 from ..ops.activations import silu_mul
 
 
