@@ -81,6 +81,19 @@ def apply_repeat_penalty(logits: jax.Array, recent: jax.Array,
     return jnp.where((pen != 1.0)[:, None], out, logits)
 
 
+def apply_logit_bias(logits: jax.Array, bias_ids: jax.Array,
+                     bias_vals: jax.Array) -> jax.Array:
+    """Sparse per-row logit biases (llama.cpp --logit-bias): ``bias_ids``
+    int32 [B, K] (< 0 empty) add ``bias_vals`` f32 [B, K].  A bias of
+    -inf bans the token outright."""
+    b, v = logits.shape
+    safe = jnp.where(bias_ids >= 0, bias_ids, v)  # park empties
+    padded = jnp.pad(logits, ((0, 0), (0, 1)))
+    out = padded.at[jnp.arange(b)[:, None], safe].add(
+        jnp.asarray(bias_vals, jnp.float32))
+    return out[:, :v]
+
+
 def sample(
     logits: jax.Array,  # [B, V]
     keys: jax.Array,  # [B, 2] uint32 per-request base keys
@@ -91,11 +104,15 @@ def sample(
     min_p: jax.Array | None = None,  # f32 [B]; <= 0 = off
     recent: jax.Array | None = None,  # int32 [B, W] recent tokens (< 0 empty)
     repeat_penalty: jax.Array | None = None,  # f32 [B]; 1.0 = off
+    bias_ids: jax.Array | None = None,  # int32 [B, K]; < 0 = empty slot
+    bias_vals: jax.Array | None = None,  # f32 [B, K]
 ) -> jax.Array:
     """Sample one token per row; jittable, fully dynamic per-row config."""
     b = logits.shape[0]
     t = jnp.asarray(temperature, jnp.float32)
     logits = logits.astype(jnp.float32)
+    if bias_ids is not None and bias_vals is not None:
+        logits = apply_logit_bias(logits, bias_ids, bias_vals)
     if recent is not None and repeat_penalty is not None:
         logits = apply_repeat_penalty(logits, recent, repeat_penalty)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -112,4 +129,5 @@ def sample(
     return jnp.where(t <= 0.0, greedy, drawn.astype(jnp.int32))
 
 
-__all__ = ["sample", "filter_logits", "min_p_filter", "apply_repeat_penalty"]
+__all__ = ["sample", "filter_logits", "min_p_filter", "apply_repeat_penalty",
+           "apply_logit_bias"]

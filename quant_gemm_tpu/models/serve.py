@@ -62,7 +62,7 @@ def _prefill_step(qparams, rope, tokens, c1, length, *, cfg, act_mode, t):
     jax.jit, static_argnames=("cfg", "act_mode"), donate_argnums=(3,)
 )
 def _decode_step(qparams, rope, tokens, cache, keys, temps, topk, topp,
-                 minp, recent, rpen, *, cfg, act_mode):
+                 minp, recent, rpen, bias_ids, bias_vals, *, cfg, act_mode):
     logits, cache = llama.forward(
         qparams, cfg, tokens, cache, act_mode=act_mode, rope_cache=rope
     )
@@ -72,17 +72,20 @@ def _decode_step(qparams, rope, tokens, cache, keys, temps, topk, topp,
     nxt = sampling.sample(
         logits[:, -1], keys, cache.pos - 1, temps, topk, topp,
         min_p=minp, recent=recent, repeat_penalty=rpen,
+        bias_ids=bias_ids, bias_vals=bias_vals,
     )
     return nxt, cache
 
 
 @jax.jit
-def _sample_one(logits, key, position, temp, topk, topp, minp, recent, rpen):
+def _sample_one(logits, key, position, temp, topk, topp, minp, recent, rpen,
+                bias_ids, bias_vals):
     return sampling.sample(
         logits[None], key[None], jnp.asarray([position]),
         jnp.asarray([temp]), jnp.asarray([topk]),
         jnp.asarray([topp]), jnp.asarray([minp]),
         recent[None], jnp.asarray([rpen]),
+        bias_ids[None], bias_vals[None],
     )[0]
 
 
@@ -118,6 +121,7 @@ def _shift_cache(cache, rope, *, cfg, keep):
 
 
 PENALTY_WINDOW = 64  # recent tokens a slot's repeat penalty sees
+BIAS_SLOTS = 8  # sparse logit-bias entries per request (llama.cpp --logit-bias)
 
 
 @dataclasses.dataclass
@@ -130,6 +134,7 @@ class Request:
     top_p: float = 1.0
     min_p: float = 0.0
     repeat_penalty: float = 1.0
+    logit_bias: Optional[dict] = None  # {token_id: bias}; +-inf bans/forces
     seed: Optional[int] = None
     generated: list = dataclasses.field(default_factory=list)
     done: bool = False
@@ -194,6 +199,8 @@ class Server:
         self._minp = np.zeros(n_slots, np.float32)
         self._rpen = np.ones(n_slots, np.float32)
         self._recent = np.full((n_slots, PENALTY_WINDOW), -1, np.int32)
+        self._bias_ids = np.full((n_slots, BIAS_SLOTS), -1, np.int32)
+        self._bias_vals = np.zeros((n_slots, BIAS_SLOTS), np.float32)
         self._keys = jnp.zeros((n_slots, 2), jnp.uint32)
         self._n_steps = 0
         self._n_tokens = 0
@@ -211,16 +218,19 @@ class Server:
         top_p: float = 1.0,
         min_p: float = 0.0,
         repeat_penalty: float = 1.0,
+        logit_bias: Optional[dict] = None,
         seed: Optional[int] = None,
     ) -> int:
         if not prompt:
             raise ValueError("empty prompt")
         if max_new < 1:
             raise ValueError(f"max_new must be >= 1, got {max_new}")
+        if logit_bias and len(logit_bias) > BIAS_SLOTS:
+            raise ValueError(f"at most {BIAS_SLOTS} logit biases per request")
         r = Request(self._next_rid, list(prompt), max_new,
                     temperature=temperature, top_k=top_k, top_p=top_p,
                     min_p=min_p, repeat_penalty=repeat_penalty,
-                    seed=seed)
+                    logit_bias=logit_bias, seed=seed)
         self._next_rid += 1
         self.queue.append(r)
         return r.rid
@@ -263,6 +273,11 @@ class Server:
             self._topp[s] = r.top_p
             self._minp[s] = r.min_p
             self._rpen[s] = r.repeat_penalty
+            self._bias_ids[s] = -1
+            self._bias_vals[s] = 0.0
+            for j, (tid, bv) in enumerate(sorted((r.logit_bias or {}).items())):
+                self._bias_ids[s, j] = int(tid)
+                self._bias_vals[s, j] = float(bv)
             self._recent[s] = -1
             tail = r.prompt[-PENALTY_WINDOW:]
             self._recent[s, : len(tail)] = tail
@@ -270,6 +285,8 @@ class Server:
                 last_logits, rkey, len(r.prompt) - 1, r.temperature,
                 r.top_k, r.top_p, r.min_p,
                 jnp.asarray(self._recent[s]), r.repeat_penalty,
+                jnp.asarray(self._bias_ids[s]),
+                jnp.asarray(self._bias_vals[s]),
             ))
             r.generated.append(tok)
             self._n_prefill_tokens += len(r.prompt)
@@ -304,6 +321,7 @@ class Server:
             jnp.asarray(self._temps), jnp.asarray(self._topk),
             jnp.asarray(self._topp), jnp.asarray(self._minp),
             jnp.asarray(self._recent), jnp.asarray(self._rpen),
+            jnp.asarray(self._bias_ids), jnp.asarray(self._bias_vals),
             cfg=self.cfg, act_mode=self.act_mode,
         )
         nxt = np.asarray(nxt)

@@ -80,3 +80,21 @@ def test_sampling_min_p_and_repeat_penalty():
                           recent=jnp.asarray([[1, -1, -1]]),
                           repeat_penalty=jnp.asarray([4.0]))
     assert int(tok[0]) == 2  # 3.0/4 = 0.75 < 2.9
+
+
+def test_logit_bias_bans_and_forces():
+    """Sparse logit bias: -inf bans a token; a huge positive bias forces it
+    (llama.cpp --logit-bias semantics)."""
+    from quant_gemm_tpu.models import sampling
+
+    logits = jnp.asarray([[0.0, 3.0, 2.9, -2.0, 1.0]], jnp.float32)
+    keys = jnp.zeros((1, 2), jnp.uint32)
+    banned = sampling.sample(
+        logits, keys, jnp.asarray([0]), jnp.asarray([0.0]),
+        bias_ids=jnp.asarray([[1, -1]]),
+        bias_vals=jnp.asarray([[float("-inf"), 0.0]]))
+    assert int(banned[0]) == 2
+    forced = sampling.sample(
+        logits, keys, jnp.asarray([0]), jnp.asarray([0.0]),
+        bias_ids=jnp.asarray([[3, -1]]), bias_vals=jnp.asarray([[100.0, 0.0]]))
+    assert int(forced[0]) == 3
