@@ -202,9 +202,18 @@ def export_gguf(path, params: dict, cfg: llama.LlamaConfig,
         metadata["llama.attention.sliding_window"] = cfg.window
     if cfg.head_dim_override:
         metadata["llama.attention.key_length"] = cfg.head_dim_override
+        metadata["llama.attention.value_length"] = cfg.head_dim_override
     if cfg.rope_scale != 1.0:
         metadata["llama.rope.scaling.type"] = "linear"
         metadata["llama.rope.scaling.factor"] = 1.0 / cfg.rope_scale
+    if "rope_inv_freq" in params:
+        # round-trip Llama-3.1 frequency scaling as llama.cpp's baked
+        # rope_freqs.weight divisor tensor (theta = theta_base / factor)
+        inv = np.asarray(params["rope_inv_freq"], np.float32)
+        base_inv = 1.0 / (cfg.rope_base ** (
+            np.arange(0, cfg.head_dim, 2, dtype=np.float64) / cfg.head_dim))
+        tensors["rope_freqs.weight"] = (
+            base_inv.astype(np.float32) / inv).astype(np.float32)
     if tokenizer_metadata:
         metadata.update(tokenizer_metadata)
     write_gguf(path, tensors, metadata)

@@ -120,7 +120,7 @@ def config_from_hf(cfg_json: dict) -> llama.LlamaConfig:
     rs = cfg_json.get("rope_scaling") or {}
     rope_scale = 1.0
     if rs:
-        stype = rs.get("type", rs.get("rope_type", "linear"))
+        stype = rs.get("rope_type", rs.get("type", "linear"))
         if stype == "linear":
             rope_scale = 1.0 / float(rs.get("factor", 1.0))
         elif stype != "llama3":
@@ -150,7 +150,8 @@ def load_hf_llama(model_dir, qtype: str = "q4_0"):
     the K-quant effective-scale mapping all apply).
     """
     model_dir = pathlib.Path(model_dir)
-    cfg = config_from_hf(json.loads((model_dir / "config.json").read_text()))
+    cfg_json = json.loads((model_dir / "config.json").read_text())
+    cfg = config_from_hf(cfg_json)
     shards = sorted(model_dir.glob("*.safetensors"))
     assert shards, f"no .safetensors under {model_dir}"
     where: dict[str, SafetensorsFile] = {}
@@ -173,8 +174,7 @@ def load_hf_llama(model_dir, qtype: str = "q4_0"):
         ],
     }
     qparams = llama.quantize_params(params, qtype)
-    rs = json.loads((model_dir / "config.json").read_text()).get(
-        "rope_scaling") or {}
+    rs = cfg_json.get("rope_scaling") or {}
     if rs.get("rope_type", rs.get("type")) == "llama3":
         from ..ops.rope import llama3_inv_freq
 

@@ -267,6 +267,10 @@ def shift_context(cache: KVCache, cfg: LlamaConfig, keep: int,
     int8 (q8) caches dequantize -> rotate -> requantize the shifted keys
     (rotation mixes lanes, so per-vector scales are recomputed).
 
+    Models with a loader-attached spectrum (``rope_inv_freq``) must pass
+    ``rope_cache=rope_for(cfg, qparams)`` — the inverse rotation has to
+    use the SAME frequencies the keys were rotated with (the Server does).
+
     Ring caches (cfg.ring) don't support shifting: the slot mapping
     g % R is not shift-invariant.  A ring model's generation length is
     bounded by max_seq (the RoPE table) — size max_seq generously; the
@@ -650,8 +654,7 @@ def greedy_decode(
     """Prefill the prompt then greedily decode ``steps`` tokens (jit-able)."""
     b = prompt.shape[0]
     cache = KVCache.init(cfg, b)
-    rc = make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base,
-                               freq_scale=cfg.rope_scale)
+    rc = rope_for(cfg, qparams)
     logits, cache = forward(qparams, cfg, prompt, cache, act_mode=act_mode, rope_cache=rc)
     tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
 
@@ -694,8 +697,7 @@ def sample_decode(
     topk = jnp.full((b,), top_k, jnp.int32)
     topp = jnp.full((b,), top_p, jnp.float32)
     cache = KVCache.init(cfg, b)
-    rc = make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base,
-                               freq_scale=cfg.rope_scale)
+    rc = rope_for(cfg, qparams)
     logits, cache = forward(qparams, cfg, prompt, cache, act_mode=act_mode,
                             rope_cache=rc)
     tok = sampling.sample(logits[:, -1], keys, cache.pos - 1, temps, topk,

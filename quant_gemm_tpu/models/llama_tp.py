@@ -184,7 +184,7 @@ def forward_tp(qparams: dict, cfg: llama.LlamaConfig, tokens, cache,
     shard_map with a TPContext (two psums per layer, local-head attention).
     One loop for single-chip and TP keeps the paths from drifting."""
     tp = mesh.shape[axis]
-    rope_cache = llama.make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base, freq_scale=cfg.rope_scale)
+    rope_cache = llama.rope_for(cfg, qparams)
 
     def spec_of(leaf):
         # stacked weight planes are [tp, rows, cols]; norms/embed replicated

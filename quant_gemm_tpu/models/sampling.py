@@ -123,7 +123,11 @@ def sample(
           else jnp.asarray(top_p, jnp.float32))
     filtered = filter_logits(scaled, tk, tp)
     if min_p is not None:
-        filtered = min_p_filter(filtered, min_p)
+        # llama.cpp applies min-p BEFORE temperature: the keep set comes
+        # from the raw distribution, then the mask carries to the scaled
+        # logits (scaling is monotone, so positions align)
+        keep = jnp.isfinite(min_p_filter(logits, min_p))
+        filtered = jnp.where(keep, filtered, NEG_INF)
     step_keys = jax.vmap(jax.random.fold_in)(keys, positions.astype(jnp.int32))
     drawn = jax.vmap(jax.random.categorical)(step_keys, filtered)
     return jnp.where(t <= 0.0, greedy, drawn.astype(jnp.int32))

@@ -280,7 +280,10 @@ class Server:
                 self._bias_vals[s, j] = float(bv)
             self._recent[s] = -1
             tail = r.prompt[-PENALTY_WINDOW:]
-            self._recent[s, : len(tail)] = tail
+            # RIGHT-align: the roll-in of generated tokens evicts from the
+            # left, so left-aligning would evict prompt tokens while empty
+            # (-1) slots remain free
+            self._recent[s, PENALTY_WINDOW - len(tail):] = tail
             tok = int(_sample_one(
                 last_logits, rkey, len(r.prompt) - 1, r.temperature,
                 r.top_k, r.top_p, r.min_p,

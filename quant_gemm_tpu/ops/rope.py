@@ -18,6 +18,7 @@ positions (the reference's batched-sequence kernel).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -38,6 +39,13 @@ def rope_cache(max_pos: int, head_dim: int, base: float = DEFAULT_BASE,
         inv_freq = 1.0 / (
             base ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim)
         )
+    if not isinstance(inv_freq, jax.core.Tracer):
+        # concrete spectrum: compute the phases in f64 (an f32 product
+        # rounds by up to ~4e-3 rad at position ~1e5) and cast the tables
+        iv = np.asarray(inv_freq, np.float64)
+        t = np.arange(max_pos, dtype=np.float64)[:, None] * iv[None, :] * freq_scale
+        return jnp.asarray(np.cos(t), dtype), jnp.asarray(np.sin(t), dtype)
+    # traced spectrum (jit operand): jnp math, f32
     t = (jnp.arange(max_pos, dtype=jnp.float32)[:, None]
          * jnp.asarray(inv_freq, jnp.float32)[None, :] * freq_scale)
     return jnp.cos(t).astype(dtype), jnp.sin(t).astype(dtype)

@@ -288,9 +288,10 @@ def test_rope_inv_freq_attached_to_params():
     assert not np.allclose(np.asarray(out), np.asarray(base))
     # rope_for picks the attached spectrum up
     c1, s1 = llama.rope_for(cfg, qp2)
-    t = np.arange(cfg.max_seq, dtype=np.float32)[:, None] * np.asarray(
-        qp2["rope_inv_freq"])[None, :]
-    np.testing.assert_allclose(np.asarray(c1), np.cos(t), rtol=1e-5)
+    t = np.arange(cfg.max_seq, dtype=np.float64)[:, None] * np.asarray(
+        qp2["rope_inv_freq"], np.float64)[None, :]
+    np.testing.assert_allclose(np.asarray(c1), np.cos(t), rtol=1e-5,
+                               atol=1e-6)
 
 
 @pytest.mark.slow
@@ -321,3 +322,33 @@ def test_explicit_head_dim():
                                     llama.KVCache.init(cfg2, 1))
         np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_rope_inv_freq_export_roundtrip():
+    """export_gguf writes rope_freqs.weight divisors so the Llama-3.1
+    spectrum survives an export/reload; decode helpers honor it too."""
+    import tempfile
+
+    from quant_gemm_tpu.models.gguf_loader import export_gguf, load_llama
+    from quant_gemm_tpu.ops.rope import llama3_inv_freq
+
+    cfg = llama.LlamaConfig(vocab=48, dim=64, n_layers=1, n_heads=2,
+                            n_kv_heads=2, d_ff=128, max_seq=32)
+    params = llama.init_params(cfg, seed=1)
+    inv = llama3_inv_freq(cfg.head_dim, cfg.rope_base, 8.0, 1.0, 4.0, 16)
+    params_x = dict(params)
+    params_x["rope_inv_freq"] = inv
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/l31.gguf"
+        export_gguf(path, params_x, cfg, qtype="q8_0")
+        qp, cfg2 = load_llama(path)
+        assert "rope_inv_freq" in qp
+        np.testing.assert_allclose(np.asarray(qp["rope_inv_freq"]), inv,
+                                   rtol=1e-5)
+    # greedy_decode uses the attached spectrum (differs from default-rope)
+    qp_plain = {k: v for k, v in qp.items() if k != "rope_inv_freq"}
+    toks = jnp.asarray([[3, 7, 9, 2]], jnp.int32)
+    out = llama.greedy_decode(qp, cfg2, toks, steps=2)
+    out_plain = llama.greedy_decode(qp_plain, cfg2, toks, steps=2)
+    assert jax.tree.structure(out) == jax.tree.structure(out_plain)

@@ -98,3 +98,23 @@ def test_logit_bias_bans_and_forces():
         logits, keys, jnp.asarray([0]), jnp.asarray([0.0]),
         bias_ids=jnp.asarray([[3, -1]]), bias_vals=jnp.asarray([[100.0, 0.0]]))
     assert int(forced[0]) == 3
+
+
+def test_min_p_before_temperature():
+    """min-p's keep set comes from the RAW distribution (llama.cpp chain
+    order), independent of temperature."""
+    from quant_gemm_tpu.models import sampling
+
+    logits = jnp.asarray([[0.0, 3.0, 2.9, 1.9, 1.0]], jnp.float32)
+    keys = jnp.zeros((1, 2), jnp.uint32)
+    # raw: p(3)/p_max = exp(1.9-3.0) = 0.33; min_p=0.4 excludes id 3.
+    # at temp 4.0 the SCALED ratio would be exp(-0.275) = 0.76 > 0.4 —
+    # a scaled-space min_p would wrongly keep it.
+    tok_counts = set()
+    for i in range(24):
+        k = jnp.asarray([[0, i]], jnp.uint32)
+        t = sampling.sample(logits, k, jnp.asarray([i]),
+                            jnp.asarray([4.0]), min_p=jnp.asarray([0.4]))
+        tok_counts.add(int(t[0]))
+    assert 3 not in tok_counts and 4 not in tok_counts
+    assert tok_counts <= {1, 2}
