@@ -93,12 +93,16 @@ def _write_value(f: BinaryIO, v: Any) -> None:
         # coerce; empty arrays write as i32[] (element type is moot)
         if len(v) == 0:
             etype = 5
-        elif isinstance(v[0], str):
+        elif any(isinstance(e, str) for e in v):
+            if not all(isinstance(e, str) for e in v):
+                raise TypeError(f"mixed str/non-str metadata array: {v!r}")
             etype = _KV_STRING
-        elif isinstance(v[0], (float, np.floating)):
+        elif any(isinstance(e, (float, np.floating)) for e in v):
+            # element type must cover EVERY entry: scores like [0, 0.5]
+            # start with an int but must still be written as f32
             etype = 6  # f32 (llama.cpp convention for scores)
         else:
-            etype = 5  # i32
+            etype = 5  # i32 (bools coerce, matching llama.cpp readers)
         f.write(struct.pack("<I", etype))
         f.write(struct.pack("<Q", len(v)))
         for e in v:

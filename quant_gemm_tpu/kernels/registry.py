@@ -167,6 +167,14 @@ def dispatch(w, act, impl: str | None = None, quantize_act: bool = False,
         # native per-16-scale K-quants (Q2_K/Q3_K/Q6_K)
         wq = w if isinstance(w, _PreparedQ6K) else _prepare_q6k(w)
         if isinstance(act, Q8_1Tensor) or quantize_act:
+            m = (act.qs if isinstance(act, Q8_1Tensor) else act).shape[0]
+            if m > DECODE_M_MAX:
+                # prefill regime: the per-16 exact kernel contracts 16-deep
+                # MXU dots with the whole activation VMEM-resident — route
+                # wide shapes to the dequant matmul like the per-32 ladder
+                if isinstance(act, Q8_1Tensor):
+                    act = _jq.dequantize(act)  # keep the A8 rounding
+                return _k16_dequant_gemm(wq, act)
             if not isinstance(act, Q8_1Tensor):
                 act = _jq.quantize_q8_1(act.astype(jnp.float32))
             return _gemm_exact_q6k(wq, act, **kw)

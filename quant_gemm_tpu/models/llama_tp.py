@@ -53,6 +53,15 @@ def _split_cols(w: np.ndarray, parts: int) -> list[np.ndarray]:
 def _stack_prepared(chunks, mesh: Mesh, axis: str):
     """[PreparedWeight] -> one PreparedWeight of stacked, tp-sharded arrays."""
     c0 = chunks[0]
+    if not isinstance(c0, gemm_pallas.PreparedWeight):
+        # e.g. PreparedK16 from a natively-served Q4_K_M GGUF (q6_k
+        # output.weight): per-16 K-quants have no TP stacking yet
+        raise TypeError(
+            f"TP stacking supports per-32 PreparedWeight only, got "
+            f"{type(c0).__name__}: per-16 K-quant tensors (q2_k/q3_k/q6_k) "
+            "are single-chip only — requantize to a per-32 format "
+            "(q4_0/q5_0/q8_0 or q4_k/q5_k effective forms) for TP serving"
+        )
 
     def stack(field):
         vals = [getattr(c, field) for c in chunks]

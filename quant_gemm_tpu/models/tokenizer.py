@@ -23,7 +23,15 @@ _SPACE = "▁"  # SentencePiece space marker
 TOKEN_NORMAL = 1
 TOKEN_UNKNOWN = 2
 TOKEN_CONTROL = 3
+TOKEN_USER_DEFINED = 4
 TOKEN_BYTE = 6
+
+# token types llama.cpp's tokenizer_st_partition treats as matchable
+# specials (LLAMA_TOKEN_ATTR_CONTROL | USER_DEFINED | UNKNOWN): GGUFs often
+# mark chat markers like <|im_start|> as USER_DEFINED rather than CONTROL.
+SPECIAL_TOKEN_TYPES = frozenset(
+    (TOKEN_UNKNOWN, TOKEN_CONTROL, TOKEN_USER_DEFINED)
+)
 
 
 class SPMTokenizer:
@@ -167,6 +175,7 @@ class SPMTokenizer:
 
 
 __all__ = ["SPMTokenizer", "TOKEN_NORMAL", "TOKEN_UNKNOWN", "TOKEN_CONTROL",
+           "TOKEN_USER_DEFINED", "SPECIAL_TOKEN_TYPES",
            "TOKEN_BYTE"]
 
 
@@ -205,6 +214,15 @@ _PRE_PATTERNS = {
 }
 _PRE_PATTERNS["llama-bpe"] = _PRE_PATTERNS["llama3"]
 _PRE_PATTERNS["default"] = _PRE_PATTERNS["gpt2"]
+# qwen2 (Qwen2/2.5 family): llama3's regex with single-digit \p{N}
+# (llama.cpp llm_tokenizer_bpe LLAMA_VOCAB_PRE_TYPE_QWEN2)
+_PRE_PATTERNS["qwen2"] = (
+    r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+"
+    r"|\p{N}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+"
+)
+# these GGUF `pre` tags use the plain GPT-2 split in llama.cpp
+for _alias in ("starcoder", "gpt-2", "jina-es", "jina-de", "olmo"):
+    _PRE_PATTERNS[_alias] = _PRE_PATTERNS["gpt2"]
 
 
 class BPETokenizer:
@@ -325,7 +343,7 @@ def encode_with_specials(tok, text: str) -> list[int]:
 
     specials = {t: i for i, (t, tt) in
                 enumerate(zip(tok.tokens, tok.token_types))
-                if tt == TOKEN_CONTROL}
+                if tt in SPECIAL_TOKEN_TYPES}
     if not specials:
         return tok.encode(text, add_bos=False)
     pat = re.compile("|".join(

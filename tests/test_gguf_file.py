@@ -65,3 +65,15 @@ def test_tensor_nbytes():
     assert gguf_file.tensor_nbytes("q4_0", 4096) == 4096 // 32 * 18
     assert gguf_file.tensor_nbytes("q8_1", 64) == 2 * 36
     assert gguf_file.tensor_nbytes("f32", 10) == 40
+
+
+def test_mixed_int_float_array_written_as_f32(tmp_path):
+    """A scores list whose FIRST element happens to be an int (e.g.
+    [0, 0.5, ...]) must still be written as an f32 array — inferring the
+    element type from v[0] alone silently truncated the float entries."""
+    path = tmp_path / "meta.gguf"
+    gguf_file.write_gguf(
+        path, {}, metadata={"tokenizer.ggml.scores": [0, 0.5, -1.25]}
+    )
+    meta = gguf_file.GGUFFile(path).metadata
+    assert meta["tokenizer.ggml.scores"] == [0.0, 0.5, -1.25]

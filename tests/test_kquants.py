@@ -678,3 +678,52 @@ def test_iq4_xs_decode_and_kernel(tmp_path):
     gold = refg.gemm_wxa8(t, a_q)
     m = ErrorMetrics.compute(out, gold)
     assert m.nmse < 1e-10, m
+
+
+def test_k16_prefill_dispatch_routes_to_dequant():
+    """Prefill-shaped (M > DECODE_M_MAX) GEMMs on per-16 K-quants must NOT
+    run the 16-deep exact MXU kernel; dispatch routes them to the dequant
+    matmul (same policy as the per-32 ladder)."""
+    from quant_gemm_tpu.formats import jax_quant
+    from quant_gemm_tpu.kernels.gemm_exact import gemm_exact_q6k, prepare_q6k
+    from quant_gemm_tpu.kernels.registry import DECODE_M_MAX, _k16_dequant_gemm
+
+    t = kquants.from_bytes_q6_k(_random_q6k(128, 512, seed=7))
+    m = DECODE_M_MAX + 4
+    a = datagen.normal((m, 512), seed=8)
+    a_q = numpy_ref.quantize_q8_1(a)
+    wq = prepare_q6k(t)
+
+    out = np.asarray(dispatch(t, jax_quant.device_put(a_q)))
+    want = np.asarray(
+        _k16_dequant_gemm(wq, jax_quant.dequantize(jax_quant.device_put(a_q)))
+    )
+    assert np.array_equal(out, want)
+    # float path with quantize_act skips quantization entirely in prefill
+    outf = np.asarray(dispatch(t, jnp.asarray(a, jnp.float32),
+                               quantize_act=True))
+    assert np.array_equal(
+        outf, np.asarray(_k16_dequant_gemm(wq, jnp.asarray(a, jnp.float32)))
+    )
+    # both stay close to the exact kernel's answer (same weights)
+    gold = np.asarray(gemm_exact_q6k(wq, jax_quant.device_put(a_q)))
+    assert ErrorMetrics.compute(out, gold).nmse < 1e-3
+
+
+def test_k16_tp_stacking_raises_clear_error():
+    """PreparedK16 tensors are single-chip only: TP stacking must raise a
+    scoped TypeError, not a bare AttributeError mid-forward."""
+    import jax
+
+    import pytest
+
+    from quant_gemm_tpu.kernels.gemm_exact import prepare_q6k
+    from quant_gemm_tpu.models import llama_tp
+    from quant_gemm_tpu.parallel import sharding as sh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices (virtual CPU mesh)")
+    mesh = sh.make_mesh({"tp": 4})
+    wq = prepare_q6k(kquants.from_bytes_q6_k(_random_q6k(16, 256, seed=9)))
+    with pytest.raises(TypeError, match="single-chip"):
+        llama_tp._stack_prepared([wq] * 4, mesh, "tp")

@@ -282,3 +282,21 @@ def test_spm_heap_merge_matches_linear_scan():
                 want.extend(tok.byte_tokens.get(b, tok.unk_id)
                             for b in sym.encode("utf-8"))
         assert ids == want, (text, ids, want)
+
+
+def test_encode_with_specials_matches_user_defined_tokens():
+    """GGUFs often type chat markers (<|im_start|>) as USER_DEFINED (4)
+    rather than CONTROL; llama.cpp's tokenizer_st_partition matches
+    CONTROL | USER_DEFINED | UNKNOWN — so must we."""
+    from quant_gemm_tpu.models.tokenizer import (
+        TOKEN_USER_DEFINED, encode_with_specials,
+    )
+
+    tok = _vocab()
+    tok.tokens.append("<|im_start|>")
+    tok.token_types.append(TOKEN_USER_DEFINED)
+    tok.scores.append(0.0)
+    ud_id = len(tok.tokens) - 1
+    ids = encode_with_specials(tok, "<|im_start|>ab")
+    assert ids[0] == ud_id
+    assert [tok.tokens[i] for i in ids] == ["<|im_start|>", "▁ab"]
