@@ -1,0 +1,127 @@
+"""Deviceless TPU AOT compilation (the Mosaic compile gate).
+
+jaxlib ships libtpu's compiler; a PJRT *topology description* lets us run
+the full XLA:TPU + Mosaic pipeline on a CPU-only host — no chip, no tunnel.
+This is the round-3 answer to shipping kernels that were only ever
+interpret-verified: ``aot_compile`` runs real Mosaic legalization (it
+rejects e.g. ``arith.shrsi`` on int8 vectors — the exact class of failure
+the round-1 perf lab hit on hardware), real XLA:TPU scheduling, and yields
+per-executable memory statistics, for any v5e topology up to a pod slice.
+
+Reference analogue: the reference could only validate kernels by running
+them (tests/benchmark_best.cu); TPU AOT gives a stronger static gate.
+
+Usage::
+
+    from quant_gemm_tpu.harness import aot
+    compiled = aot.aot_compile(lambda w, a: gemm_exact(w, a, interpret=False),
+                               wq, a_q)          # single chip
+    hlo = aot.compiled_hlo(compiled)             # scheduled HLO text
+
+Multi-chip: pass ``mesh_shape={"tp": 8}`` and per-arg ``in_shardings``; the
+compiled HLO then contains the real async collective pairs XLA:TPU would
+issue on a pod slice (see scripts/bench_scaling.py's overlap report).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Mapping, Sequence
+
+import jax
+import numpy as np
+
+DEFAULT_TOPOLOGY = "v5e:2x4"
+
+
+@functools.lru_cache(maxsize=4)
+def topology(name: str = DEFAULT_TOPOLOGY):
+    """A compile-only TPU topology (cached). Devices are NOT addressable."""
+    from jax.experimental import topologies
+
+    return topologies.get_topology_desc(name, "tpu")
+
+
+def topology_mesh(axes: Mapping[str, int] | None = None,
+                  name: str = DEFAULT_TOPOLOGY) -> jax.sharding.Mesh:
+    """A Mesh of compile-only devices, e.g. ``{"tp": 8}`` or ``{"dp": 2,
+    "tp": 4}``.  Default: single-device mesh (axis ``d``)."""
+    devs = topology(name).devices
+    if not axes:
+        return jax.sharding.Mesh(np.array(devs[:1]), ("d",))
+    shape = tuple(axes.values())
+    n = int(np.prod(shape))
+    if n > len(devs):
+        raise ValueError(f"mesh {dict(axes)} needs {n} devices, "
+                         f"topology {name} has {len(devs)}")
+    return jax.sharding.Mesh(
+        np.array(devs[:n]).reshape(shape), tuple(axes)
+    )
+
+
+def _replicated(mesh: jax.sharding.Mesh) -> jax.sharding.NamedSharding:
+    return jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+
+
+def shape_structs(tree: Any, sharding=None, *,
+                  mesh: jax.sharding.Mesh | None = None) -> Any:
+    """Map a pytree of arrays (or ShapeDtypeStructs) to ShapeDtypeStructs
+    carrying a compile-only-device sharding (replicated by default)."""
+    if sharding is None:
+        sharding = _replicated(mesh if mesh is not None else topology_mesh())
+
+    def one(x):
+        return jax.ShapeDtypeStruct(np.shape(x), x.dtype, sharding=sharding)
+
+    return jax.tree.map(one, tree)
+
+
+def aot_compile(
+    fn: Callable,
+    *args: Any,
+    mesh: jax.sharding.Mesh | None = None,
+    in_shardings: Any = None,
+    out_shardings: Any = None,
+    donate_argnums: Sequence[int] = (),
+    static_argnames: Sequence[str] = (),
+    compiler_options: Mapping[str, Any] | None = None,
+    **kwargs: Any,
+):
+    """jit + lower + compile ``fn`` for a deviceless TPU topology.
+
+    ``args``/``kwargs`` may be real host arrays or ShapeDtypeStructs; they
+    are converted to ShapeDtypeStructs on the topology mesh (replicated
+    unless ``in_shardings`` gives per-arg NamedShardings built from the
+    same mesh).  Returns the jax ``Compiled`` object — inspect it with
+    ``compiled_hlo`` / ``.memory_analysis()``; it cannot be executed.
+    """
+    if mesh is None:
+        mesh = topology_mesh()
+    if in_shardings is None:
+        sds_args = shape_structs(list(args), mesh=mesh)
+        jfn = jax.jit(fn, donate_argnums=tuple(donate_argnums),
+                      static_argnames=tuple(static_argnames))
+    else:
+        # per-arg shardings: honor them in both the structs and the jit
+        sds_args = [
+            shape_structs(a, sharding=s) if s is not None
+            else shape_structs(a, mesh=mesh)
+            for a, s in zip(args, in_shardings)
+        ]
+        jfn = jax.jit(fn, in_shardings=in_shardings,
+                      out_shardings=out_shardings,
+                      donate_argnums=tuple(donate_argnums),
+                      static_argnames=tuple(static_argnames))
+    sds_kwargs = shape_structs(kwargs, mesh=mesh) if kwargs else {}
+    lowered = jfn.lower(*sds_args, **sds_kwargs)
+    return lowered.compile(compiler_options)
+
+
+def compiled_hlo(compiled) -> str:
+    """Scheduled post-optimization HLO text of a Compiled object."""
+    mods = compiled.runtime_executable().hlo_modules()
+    return "\n".join(m.to_string() for m in mods)
+
+
+__all__ = ["topology", "topology_mesh", "shape_structs", "aot_compile",
+           "compiled_hlo", "DEFAULT_TOPOLOGY"]

@@ -379,7 +379,7 @@ def _kernel_prefill(pos_ref, q_ref, k_ref, v_ref, *rest, ts: int, ns: int,
         )  # [r_rows, ts]
         if quant:
             # int8 cache: per-token k scale applies on the scores row
-            scores = scores * ks_ref[0, 0][None, :]
+            scores = scores * ks_ref[0, 0, 0, 0][None, :]
         span = s * ts + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         row = row0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
         qpos = pos_ref[b] + row // rep
@@ -401,7 +401,7 @@ def _kernel_prefill(pos_ref, q_ref, k_ref, v_ref, *rest, ts: int, ns: int,
         l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[:, :1] = m_new
         if quant:
-            p = p * vs_ref[0, 0][None, :]  # v scale folds into p
+            p = p * vs_ref[0, 0, 0, 0][None, :]  # v scale folds into p
         pv = jax.lax.dot_general(
             p, v_ref[0, 0].astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -495,9 +495,17 @@ def flash_prefill(
     operands = [q, k, v]
     in_specs = [qspec, kvspec, kvspec]
     if quant:
+        # Mosaic's block rule applies to the LAST TWO dims: a (1, 1, ts)
+        # block on [B, KV, S] puts block-size 1 on the KV (sublane) axis —
+        # illegal when KV is neither 8-divisible nor full.  Re-tile the
+        # scales to [B, KV, ns, 1, ts] so the st-blocked dim is its own
+        # axis and the trailing (1, ts) window is trivial (caught by the
+        # deviceless Mosaic gate, tests/test_mosaic_gate.py).
+        k_scale = k_scale[:, :, : ns * ts].reshape(bsz, kv, ns, 1, ts)
+        v_scale = v_scale[:, :, : ns * ts].reshape(bsz, kv, ns, 1, ts)
         sspec = pl.BlockSpec(
-            (1, 1, ts),
-            lambda b, g, qt, st, pos: (b, g, _clamp(b, qt, st, pos)),
+            (1, 1, 1, 1, ts),
+            lambda b, g, qt, st, pos: (b, g, _clamp(b, qt, st, pos), 0, 0),
             memory_space=pltpu.VMEM)
         operands += [k_scale, v_scale]
         in_specs += [sspec, sspec]
