@@ -123,5 +123,81 @@ def compiled_hlo(compiled) -> str:
     return "\n".join(m.to_string() for m in mods)
 
 
+# XLA:TPU options that make collective overlap visible and schedulable:
+# the async-collective creator wraps all-reduce/all-gather into
+# ``*-start``/``*-done`` pairs and the latency-hiding scheduler moves
+# independent compute between them.  (collective-permute goes async by
+# default; all-reduce needs the fusion flags — verified against this
+# jaxlib: without them the tp=8 serving step's psums compile sync-form.)
+OVERLAP_OPTS = {
+    "xla_tpu_enable_latency_hiding_scheduler": "true",
+    "xla_tpu_enable_async_collective_fusion": "true",
+    "xla_tpu_enable_async_collective_fusion_fuse_all_reduce": "true",
+    "xla_tpu_enable_async_collective_fusion_fuse_all_gather": "true",
+    "xla_enable_async_all_reduce": "true",
+    "xla_enable_async_all_gather": "true",
+}
+
+_COLL = r"(?:all-gather|all-reduce|reduce-scatter|collective-permute|all-to-all)"
+# op name immediately followed by "(" — matches the op position, not result
+# names ("%fusion.3 =") or operand references ("%fusion.3,").  Result types
+# can be tuples with nested parens, so the op is located by search, not by
+# anchoring past the type.
+_COMPUTE = r"\b(?:fusion|dot|convolution|custom-call)\("
+
+
+def overlap_report(hlo: str) -> dict:
+    """Classify every collective in SCHEDULED HLO text (``is_scheduled=true``
+    modules print in execution order, so text order == schedule order).
+
+    * ``overlapped``: async ``*-start``/``*-done`` pair with >=1 compute op
+      (fusion / dot / custom-call — Pallas kernels appear as custom-calls)
+      scheduled between start and done: ICI rides under the MXU.
+    * ``blocking``: async pair with nothing scheduled between.
+    * ``resynced``: a sync-form collective carrying the
+      ``async_collective_name`` frontend attribute — the async creator
+      wrapped it but the TPU scheduler re-merged it after finding no
+      independent work (e.g. the serving decode step's critical-path psums).
+    * ``sync``: never async-converted.
+    """
+    import re
+
+    open_starts: dict[str, int] = {}
+    out = {"overlapped": 0, "blocking": 0, "resynced": 0, "sync": 0,
+           "hidden_by": []}
+    for raw in hlo.splitlines():
+        ln = raw.strip()
+        mname = re.match(r"%?([\w.\-]+)\s*=", ln)
+        mcoll = re.search(r"\b(" + _COLL + r")(-start|-done)?\(", ln)
+        m = (mname, mcoll) if mname and mcoll else None
+        if m is None:
+            if open_starts and re.search(_COMPUTE, ln):
+                op = re.search(r"op_name=\"([^\"]+)\"", ln)
+                for k in open_starts:
+                    open_starts[k] += 1
+                if op:
+                    out["hidden_by"].append(op.group(1))
+            continue
+        name, (_op, phase) = mname.group(1), mcoll.groups()
+        if phase == "-start":
+            open_starts[name] = 0
+        elif phase == "-done":
+            operands = re.findall(r"%?([\w.\-]+)", ln.split("(", 1)[-1])
+            key = next((o for o in operands if o in open_starts), None)
+            if key is None and open_starts:
+                key = next(iter(open_starts))
+            if key is not None:
+                if open_starts.pop(key) > 0:
+                    out["overlapped"] += 1
+                else:
+                    out["blocking"] += 1
+        elif "async_collective_name" in ln:
+            out["resynced"] += 1
+        else:
+            out["sync"] += 1
+    return out
+
+
 __all__ = ["topology", "topology_mesh", "shape_structs", "aot_compile",
-           "compiled_hlo", "DEFAULT_TOPOLOGY"]
+           "compiled_hlo", "overlap_report", "OVERLAP_OPTS",
+           "DEFAULT_TOPOLOGY"]

@@ -248,6 +248,188 @@ def gemm_row_parallel(
     return run(sw.stacked, act)
 
 
+def shard_weight_ring(w_q, mesh: Mesh, axis: str = "tp",
+                      mode: str = "col") -> ShardedWeight:
+    """Shard for the RING overlap kernels (gemm_*_parallel_ring).
+
+    mode='col' (ring all-gather GEMM): out-features are device-sharded and
+    each device's K extent is pre-split into ``tp`` independently prepared
+    chunks — the ring rotates activation K-chunks while the matching weight
+    K-chunk GEMM runs.  mode='row' (ring reduce-scatter GEMM): K is
+    device-sharded and each device's N extent is pre-split into ``tp``
+    chunks — the ring rotates output partial-sum chunks.
+
+    Stacked planes are ``[tp_dev, tp_chunk, rows, cols]`` sharded
+    ``P(axis)`` on dim 0; every chunk is a self-contained planar container
+    (chunk-local K padding contributes exactly zero), so per-chunk GEMMs
+    sum to the unsharded result.
+    """
+    tp = mesh.shape[axis]
+    if hasattr(w_q, "qs"):
+        n, k = np.asarray(w_q.qs).shape
+    else:
+        n, k = np.asarray(w_q.packed).shape
+        k *= 2
+    # col: K splits tp-ways inside each device; row: K splits tp-ways across
+    # devices.  Either way chunks must stay whole-block (32) sized, and N
+    # must split tp-ways (across devices for col, within for row).
+    assert k % (tp * 32) == 0 and n % tp == 0, (n, k, tp, mode)
+    outer = _split_container(w_q, mode == "col", tp)  # per-device chunks
+    grids = [
+        [gemm_pallas.prepare(c)
+         for c in _split_container(dev, mode != "col", tp)]
+        for dev in outer
+    ]
+    g0 = grids[0][0]
+
+    def stack(field):
+        if getattr(g0, field) is None:
+            return None
+        arr = jnp.stack([
+            jnp.stack([jnp.asarray(getattr(c, field)) for c in row])
+            for row in grids
+        ])  # [tp_dev, tp_chunk, rows, cols]
+        return jax.device_put(
+            arr, NamedSharding(mesh, P(axis, None, None, None)))
+
+    stacked = gemm_pallas.PreparedWeight(
+        g0.qtype, g0.n, g0.k, stack("packed_t"), stack("qs_t"),
+        stack("d_t"), stack("m_t"), stack("qh_t"),
+    )
+    return ShardedWeight(w_q.spec.name, n, k, mode + "_ring", axis, stacked)
+
+
+def _pick_chunk(st: gemm_pallas.PreparedWeight, c) -> gemm_pallas.PreparedWeight:
+    """Inside shard_map: select ring chunk ``c`` from [1, tp, r, cols] planes."""
+
+    def pick(p):
+        if p is None:
+            return None
+        return jax.lax.dynamic_index_in_dim(p[0], c, 0, keepdims=False)
+
+    return gemm_pallas.PreparedWeight(
+        st.qtype, st.n, st.k, pick(st.packed_t), pick(st.qs_t),
+        pick(st.d_t), pick(st.m_t), pick(st.qh_t),
+    )
+
+
+def _ring_gemm(wchunk, act_chunk, quantized: bool, kw: dict):
+    if quantized:
+        from ..kernels.gemm_exact import gemm_exact
+
+        return gemm_exact(wchunk, act_chunk, **kw)
+    return gemm_pallas.gemm(wchunk, act_chunk, **kw)
+
+
+def gemm_col_parallel_ring(
+    sw: ShardedWeight,
+    act: jax.Array,
+    mesh: Mesh,
+    *,
+    quantize_act: bool = True,
+    gather_output: bool = False,
+    **kw,
+):
+    """Column-parallel GEMM with the activation all-gather DECOMPOSED into a
+    ``ppermute`` ring that overlaps with per-chunk MXU GEMMs.
+
+    Activations arrive K-sharded (``P(None, axis)`` — e.g. straight out of a
+    ring reduce-scatter layer); each device quantizes its chunk to Q8_1
+    locally once, then the quantized blocks (36 B / 32 elements — the cheap
+    Q8_1 gather of the north star) rotate around the ICI ring while the
+    GEMM for the chunk already on-device runs.  XLA's latency-hiding
+    scheduler issues each ``collective-permute-start`` before the chunk
+    GEMM and the ``-done`` after it (asserted by tests/test_overlap.py on a
+    deviceless v5e compile), so the gather rides entirely under compute —
+    SURVEY §5.8's "collectives overlapped with MXU compute".
+
+    Output: ``[M, N]`` N-sharded over ``axis`` (replicated when
+    ``gather_output``).
+    """
+    assert sw.mode == "col_ring", sw.mode
+    axis = sw.axis
+    tp = mesh.shape[axis]
+    perm = [(i, (i - 1) % tp) for i in range(tp)]
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(None, axis)),
+        out_specs=P(None, axis),
+        check_rep=False,
+    )
+    def run(stacked, a_local):
+        from ..formats import jax_quant
+
+        idx = jax.lax.axis_index(axis)
+        chunk = jax_quant.quantize_q8_1(a_local) if quantize_act else a_local
+        acc = None
+        for s in range(tp):
+            wchunk = _pick_chunk(stacked, (idx + s) % tp)
+            part = _ring_gemm(wchunk, chunk, quantize_act, kw)
+            acc = part if acc is None else acc + part
+            if s < tp - 1:
+                chunk = jax.tree.map(
+                    lambda x: jax.lax.ppermute(x, axis, perm), chunk)
+        return acc
+
+    out = run(sw.stacked, act)
+    if gather_output:
+        out = jax.lax.with_sharding_constraint(
+            out, NamedSharding(mesh, P(None, None)))
+    return out
+
+
+def gemm_row_parallel_ring(
+    sw: ShardedWeight,
+    act: jax.Array,
+    mesh: Mesh,
+    *,
+    quantize_act: bool = True,
+    **kw,
+):
+    """Row-parallel GEMM with the partial-sum reduce-scatter DECOMPOSED into
+    a ``ppermute`` ring overlapped with per-chunk MXU GEMMs.
+
+    Each device holds a K-shard of the weight pre-split into ``tp``
+    N-chunks; at ring step ``s`` device ``d`` computes the partial for
+    output chunk ``(d+s+1) % tp`` and adds it to the accumulator arriving
+    from its neighbour, so the rotating partial-sum transfer hides under
+    the next chunk's GEMM.  After ``tp`` steps device ``d`` holds output
+    chunk ``d`` fully reduced — a matmul-fused reduce-scatter.
+
+    Output: ``[M, N]`` N-sharded over ``axis`` (the scatter_output layout
+    of :func:`gemm_row_parallel`, ready to feed a col_ring layer).
+    """
+    assert sw.mode == "row_ring", sw.mode
+    axis = sw.axis
+    tp = mesh.shape[axis]
+    perm = [(i, (i - 1) % tp) for i in range(tp)]
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(None, axis)),
+        out_specs=P(None, axis),
+        check_rep=False,
+    )
+    def run(stacked, a_local):
+        from ..formats import jax_quant
+
+        idx = jax.lax.axis_index(axis)
+        aq = jax_quant.quantize_q8_1(a_local) if quantize_act else a_local
+        acc = None
+        for s in range(tp):
+            wchunk = _pick_chunk(stacked, (idx + s + 1) % tp)
+            part = _ring_gemm(wchunk, aq, quantize_act, kw)
+            acc = part if acc is None else acc + part
+            if s < tp - 1:
+                acc = jax.lax.ppermute(acc, axis, perm)
+        return acc
+
+    return run(sw.stacked, act)
+
+
 def quantize_q8_1_sharded(x: jax.Array, mesh: Mesh, axis: str = "dp") -> Q8_1Tensor:
     """Quantize activations to Q8_1 with rows (batch) sharded over ``axis``.
 
@@ -265,7 +447,10 @@ __all__ = [
     "make_mesh",
     "ShardedWeight",
     "shard_weight",
+    "shard_weight_ring",
     "gemm_col_parallel",
     "gemm_row_parallel",
+    "gemm_col_parallel_ring",
+    "gemm_row_parallel_ring",
     "quantize_q8_1_sharded",
 ]

@@ -61,52 +61,68 @@ def collectives_in(fn, *args) -> dict:
     }
 
 
-_COLL = r"(?:all-gather|all-reduce|reduce-scatter|collective-permute)"
-
-
 def overlap_report(fn, *args) -> dict:
     """Classify each collective in the compiled HLO as OVERLAPPED (async
     start/done pair with compute scheduled between) or BLOCKING.
 
-    On TPU the latency-hiding scheduler splits collectives into
-    ``*-start``/``*-done`` and moves independent fusions/dots between the
-    pair; a collective still in sync form, or a start immediately followed
-    by its done, serializes ICI behind the MXU.  Run this on a pod slice
-    (or the CPU mesh, where XLA:CPU also emits async pairs) to verify the
-    TP schedule actually hides comm — VERDICT r1 weak #8.
+    On XLA:CPU collectives always compile sync-form, so this wrapper can
+    only ever report sync — the REAL verdict comes from
+    :func:`tpu_overlap_aot`, which compiles for a v5e target devicelessly
+    and scans the scheduled HLO with harness.aot.overlap_report.
     """
+    from quant_gemm_tpu.harness import aot
+
     hlo = jax.jit(fn).lower(*args).compile().as_text()
-    open_starts: dict[str, int] = {}  # start result name -> compute since
-    overlapped = blocking = sync = 0
-    for raw in hlo.splitlines():
-        ln = raw.strip()
-        m = re.match(
-            r"%?([\w.\-]+)\s*=\s*\S*\s*(" + _COLL + r")(-start|-done)?\b", ln
-        )
-        if m is None:
-            if open_starts and re.search(
-                r"=\s*\S*\s*(fusion|dot|convolution|custom-call)\b", ln
-            ):
-                for k in open_starts:
-                    open_starts[k] += 1
-            continue
-        name, _op, phase = m.groups()
-        if phase == "-start":
-            open_starts[name] = 0
-        elif phase == "-done":
-            # a done's operand is its start's result name
-            operands = re.findall(r"%?([\w.\-]+)", ln.split("(", 1)[-1])
-            key = next((o for o in operands if o in open_starts), None)
-            if key is None and open_starts:
-                key = next(iter(open_starts))
-            if key is not None:
-                if open_starts.pop(key) > 0:
-                    overlapped += 1
-                else:
-                    blocking += 1
-        else:
-            sync += 1
-    return {"overlapped": overlapped, "blocking": blocking, "sync": sync}
+    rep = aot.overlap_report(hlo)
+    rep.pop("hidden_by", None)
+    return rep
+
+
+def tpu_overlap_aot(tp: int = 8, n: int = 1024, k: int = 2048,
+                    m: int = 256) -> dict:
+    """Compile the ring kernels for a REAL v5e target (deviceless AOT) and
+    report scheduled overlap: every ppermute of the rotating Q8_1 chunk /
+    partial-sum must enclose a Mosaic GEMM (tests/test_overlap.py pins it).
+    """
+    from collections import Counter
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from quant_gemm_tpu.harness import aot
+
+    topo = aot.topology_mesh({"tp": tp})
+    cmesh = sh.make_mesh({"tp": tp})
+    w_q = numpy_ref.quantize_q4_0(datagen.normal((n, k), seed=1))
+
+    def retarget(x):
+        spec = x.sharding.spec if hasattr(x, "sharding") else P()
+        return jax.ShapeDtypeStruct(
+            np.shape(x), x.dtype, sharding=NamedSharding(topo, spec))
+
+    sds_a = jax.ShapeDtypeStruct(
+        (m, k), jnp.float32, sharding=NamedSharding(topo, P(None, "tp")))
+    out = {}
+    for mode, run in (
+        ("col_ring", lambda sw, a: sh.gemm_col_parallel_ring(
+            sw, a, topo, interpret=False)),
+        ("row_ring", lambda sw, a: sh.gemm_row_parallel_ring(
+            sw, a, topo, interpret=False)),
+    ):
+        sw = sh.shard_weight_ring(w_q, cmesh, mode=mode.split("_")[0])
+        sds_st = jax.tree.map(retarget, sw.stacked)
+
+        def fn(st, a, _mode=mode):
+            return run(sh.ShardedWeight("q4_0", n, k, _mode, "tp", st), a)
+
+        c = jax.jit(fn).lower(sds_st, sds_a).compile(aot.OVERLAP_OPTS)
+        rep = aot.overlap_report(aot.compiled_hlo(c))
+        hiders = Counter(
+            h.rsplit("/", 1)[-1] for h in rep.pop("hidden_by")
+        ).most_common(3)
+        print(f"  {mode} (tp={tp}, {m}x{n}x{k} W4A8): {rep}; "
+              f"hidden under {hiders}", flush=True)
+        out[mode] = rep
+    return out
 
 
 def check_tp(n, k, m, tp) -> None:
@@ -182,7 +198,21 @@ def main():
     for tp in (1, 2, 4, 8):
         # K large enough that K/tp stays Pallas-tileable at tp=8
         check_tp(n=512, k=4096, m=4, tp=tp)
+    print("\nTPU-target (v5e, deviceless AOT) scheduled overlap:", flush=True)
+    try:
+        rings = tpu_overlap_aot()
+        ok = all(r["overlapped"] > 0 and r["blocking"] == 0
+                 for r in rings.values())
+        print(f"  ring kernels fully overlapped on v5e schedule: {ok}",
+              flush=True)
+    except Exception as e:  # no libtpu topology on this host
+        print(f"  skipped (no deviceless topology): {e}", flush=True)
+        rings = None
     # serving config from scripts/bench_serve.py (1.2B, measured 3556 us)
+    # Decode psums are latency-bound and NOT overlappable (the v5e AOT
+    # schedule re-syncs them — tests/test_overlap.py pins this), so the
+    # projection charges them in full; prefill-side collectives ride under
+    # the ring kernels' chunk GEMMs (overlapped>0 above) and are free.
     project(3556.0, layers=16, dim=2048, dff=8192, batch=8, seq=1024,
             kvh=16, hd=128)
     print("\nscaling validation OK", flush=True)

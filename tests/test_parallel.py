@@ -82,6 +82,51 @@ def test_w4a8_col_parallel(mesh, data):
     assert m.nmse < 1e-5, m
 
 
+@pytest.mark.parametrize("qtype", ["q4_0", "q5_1", "q8_0"])
+def test_col_ring_matches_unsharded(mesh, qtype):
+    """Ring all-gather GEMM (overlapped Q8_1 rotation) == unsharded W4A8."""
+    a = datagen.normal((M, K), seed=1)
+    w = datagen.normal((N, K), seed=2)
+    w_q = numpy_ref.QUANTIZE[qtype](w)
+    sw = sh.shard_weight_ring(w_q, mesh, mode="col")
+    out = sh.gemm_col_parallel_ring(
+        sw, jnp.asarray(a, jnp.float32), mesh, gather_output=True)
+    gold = refg.gemm_wxa8(w_q, numpy_ref.quantize_q8_1(a))
+    m = ErrorMetrics.compute(np.asarray(out), gold)
+    assert m.nmse < 1e-5, (qtype, m)
+    assert out.shape == (M, N)
+
+
+@pytest.mark.parametrize("qtype", ["q4_0", "q4_1"])
+def test_row_ring_matches_unsharded(mesh, qtype):
+    """Ring reduce-scatter GEMM (overlapped partial rotation) == unsharded."""
+    a = datagen.normal((M, K), seed=3)
+    w = datagen.normal((N, K), seed=4)
+    w_q = numpy_ref.QUANTIZE[qtype](w)
+    sw = sh.shard_weight_ring(w_q, mesh, mode="row")
+    out = sh.gemm_row_parallel_ring(sw, jnp.asarray(a, jnp.float32), mesh)
+    gold = refg.gemm_wxa8(w_q, numpy_ref.quantize_q8_1(a))
+    m = ErrorMetrics.compute(np.asarray(out), gold)
+    assert m.nmse < 1e-5, (qtype, m)
+    assert out.shape == (M, N)
+
+
+def test_ring_chain_row_feeds_col(mesh):
+    """The composed layout: row_ring output (N-sharded) feeds col_ring
+    activations (K-sharded) with no resharding — the Megatron layer pair."""
+    a = datagen.normal((M, K), seed=5)
+    w1 = numpy_ref.quantize_q4_0(datagen.normal((K, K), seed=6))
+    w2 = numpy_ref.quantize_q4_0(datagen.normal((N, K), seed=7))
+    sw1 = sh.shard_weight_ring(w1, mesh, mode="row")
+    sw2 = sh.shard_weight_ring(w2, mesh, mode="col")
+    mid = sh.gemm_row_parallel_ring(sw1, jnp.asarray(a, jnp.float32), mesh)
+    out = sh.gemm_col_parallel_ring(sw2, mid, mesh, gather_output=True)
+    mid_gold = refg.gemm_wxa8(w1, numpy_ref.quantize_q8_1(a))
+    gold = refg.gemm_wxa8(w2, numpy_ref.quantize_q8_1(mid_gold))
+    m = ErrorMetrics.compute(np.asarray(out), gold)
+    assert m.nmse < 1e-4, m
+
+
 def test_dp_tp_mesh_quantize():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
