@@ -20,10 +20,11 @@ products are NOT f16-representable) and reuses the whole q4_1 kernel
 ladder, including the exact int8-MXU decode kernel and its
 ``d_w*d_a*sumi + m_w*s_a`` epilogue.
 
-The ENCODER here is format-exact but deliberately simple (per-sub-block
-min/max, 6-bit rounding of scales) — llama.cpp's ``make_qkx2_quants``
-search would produce slightly different codes; decode of any llama.cpp-
-produced bytes is bit-exact.
+Q4_K/Q5_K ENCODERS run a make_qkx2-style weighted least-squares scale/min
+search by default (``_qkx2_search`` — llama.cpp quantize_row_q4_K_ref's
+parameters), with the fast min/max encoder available via ``search=False``;
+Q2/Q3/Q6_K use the simple encoders.  Decode of any llama.cpp-produced
+bytes is bit-exact either way.
 """
 
 from __future__ import annotations
@@ -80,16 +81,88 @@ class EffectiveQ41(NamedTuple):
         return _EffSpec("q4_k", 4, True, False, 0)
 
 
-def quantize_q4_k(x: np.ndarray) -> Q4_KTensor:
-    """float [N, K] -> Q4_K (K % 256 == 0)."""
+def _qkx2_search(
+    xs: np.ndarray, nmax: int, rmin: float, rdelta: float, nstep: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Weighted least-squares (scale, min) search per 32-element sub-block —
+    llama.cpp ``make_qkx2_quants`` semantics (use_mad=false), vectorized.
+
+    For each candidate inverse scale ``(rmin + rdelta*s + nmax) / span`` the
+    codes are rounded, then (scale, min) are REFIT by weighted least squares
+    over those codes; the candidate with the lowest weighted SSE wins
+    against the plain min/max initialization.  Weights are llama.cpp's
+    ``sqrt(mean(x^2)) + |x|`` importance (big-magnitude rows count more).
+
+    Returns ``(scale, minv)`` with minv stored positive (m = -min), both
+    f32 ``[..., B]``.  Degenerate (constant) sub-blocks return scale 0.
+    """
+    w = np.sqrt((xs * xs).mean(axis=-1, keepdims=True)) + np.abs(xs)
+    mn = np.minimum(xs.min(axis=-1), 0.0)
+    mx = xs.max(axis=-1)
+    span = mx - mn
+    ok = span > 0
+    span_safe = np.where(ok, span, 1.0)
+    sum_w = w.sum(axis=-1)
+    sum_x = (w * xs).sum(axis=-1)
+
+    def sse(scale, minv_neg, codes):
+        r = scale[..., None] * codes + minv_neg[..., None] - xs
+        return (w * r * r).sum(axis=-1)
+
+    # initialization: plain min/max rounding, no refit
+    l0 = np.clip(
+        np.floor((xs - mn[..., None]) * (nmax / span_safe)[..., None] + 0.5),
+        0, nmax)
+    best_scale = span / nmax
+    best_min = mn.copy()
+    best_err = sse(best_scale, best_min, l0)
+
+    for s in range(nstep + 1):
+        isc = (rmin + rdelta * s + nmax) / span_safe
+        l = np.clip(np.floor(isc[..., None] * (xs - mn[..., None]) + 0.5),
+                    0, nmax)
+        sum_l = (w * l).sum(axis=-1)
+        sum_l2 = (w * l * l).sum(axis=-1)
+        sum_xl = (w * l * xs).sum(axis=-1)
+        det = sum_w * sum_l2 - sum_l * sum_l
+        valid = det > 0
+        det_safe = np.where(valid, det, 1.0)
+        this_scale = (sum_w * sum_xl - sum_x * sum_l) / det_safe
+        this_min = (sum_l2 * sum_x - sum_l * sum_xl) / det_safe
+        # a positive min is clamped to 0 and the scale refit unconstrained
+        pos = this_min > 0
+        l2_safe = np.where(sum_l2 > 0, sum_l2, 1.0)
+        this_scale = np.where(pos, sum_xl / l2_safe, this_scale)
+        this_min = np.where(pos, 0.0, this_min)
+        err = np.where(valid, sse(this_scale, this_min, l), np.inf)
+        better = err < best_err
+        best_err = np.where(better, err, best_err)
+        best_scale = np.where(better, this_scale, best_scale)
+        best_min = np.where(better, this_min, best_min)
+
+    scale = np.where(ok, best_scale, 0.0).astype(np.float32)
+    minv = np.where(ok, -best_min, -mn).astype(np.float32)
+    return scale, np.maximum(minv, 0.0)
+
+
+def quantize_q4_k(x: np.ndarray, search: bool = True) -> Q4_KTensor:
+    """float [N, K] -> Q4_K (K % 256 == 0).
+
+    ``search=True`` (default) runs the make_qkx2-style weighted scale/min
+    search (rmin=-1, 20 steps — llama.cpp quantize_row_q4_K_ref's
+    parameters); ``search=False`` is the fast min/max encoder.
+    """
     x = np.asarray(x, np.float32)
     n, k = x.shape
     assert k % QK_K == 0, k
     xs = x.reshape(n, k // QK, QK)  # per sub-block
-    mn = np.minimum(xs.min(axis=2), 0.0)  # mins stored positive: m = -mn
-    mx = xs.max(axis=2)
-    scale = (mx - mn) / 15.0  # [N, nb]
-    minv = -mn
+    if search:
+        scale, minv = _qkx2_search(xs, 15, rmin=-1.0, rdelta=0.1, nstep=20)
+    else:
+        mn = np.minimum(xs.min(axis=2), 0.0)  # mins stored positive: m = -mn
+        mx = xs.max(axis=2)
+        scale = (mx - mn) / 15.0  # [N, nb]
+        minv = -mn
 
     sup_scale = scale.reshape(n, -1, NSB).max(axis=2)  # [N, nsb]
     sup_min = minv.reshape(n, -1, NSB).max(axis=2)
@@ -270,17 +343,24 @@ def _codes5(t: Q5_KTensor) -> np.ndarray:
     return low4 + 16 * bits.astype(np.int32)
 
 
-def quantize_q5_k(x: np.ndarray) -> Q5_KTensor:
-    """float [N, K] -> Q5_K (K % 256 == 0).  Format-exact, simple encoder
-    (per-sub-block min/max; llama.cpp's make_qkx2_quants search differs)."""
+def quantize_q5_k(x: np.ndarray, search: bool = True) -> Q5_KTensor:
+    """float [N, K] -> Q5_K (K % 256 == 0).
+
+    ``search=True`` (default) runs the make_qkx2-style weighted scale/min
+    search (rmin=-0.5, 15 steps — llama.cpp quantize_row_q5_K_ref's
+    parameters); ``search=False`` is the fast min/max encoder.
+    """
     x = np.asarray(x, np.float32)
     n, k = x.shape
     assert k % QK_K == 0, k
     xs = x.reshape(n, k // QK, QK)
-    mn = np.minimum(xs.min(axis=2), 0.0)
-    mx = xs.max(axis=2)
-    scale = (mx - mn) / 31.0
-    minv = -mn
+    if search:
+        scale, minv = _qkx2_search(xs, 31, rmin=-0.5, rdelta=0.1, nstep=15)
+    else:
+        mn = np.minimum(xs.min(axis=2), 0.0)
+        mx = xs.max(axis=2)
+        scale = (mx - mn) / 31.0
+        minv = -mn
 
     sup_scale = scale.reshape(n, -1, NSB).max(axis=2)
     sup_min = minv.reshape(n, -1, NSB).max(axis=2)
