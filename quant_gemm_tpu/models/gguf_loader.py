@@ -89,9 +89,14 @@ def _concat_quantized(parts):
     """Concat SoA containers on the out-feature (row) axis.
 
     Block quantization is row-local, so concatenation of containers is
-    bit-identical to quantizing the concatenated float matrix.
+    bit-identical to quantizing the concatenated float matrix.  Parts with
+    HETEROGENEOUS formats (a real Q4_K_M file mixes q6_K into attn_v —
+    llama.cpp llama_tensor_get_type) cannot fuse; they are returned as-is
+    for a :class:`~.llama.SplitLinear` per-part serving slot.
     """
     t0 = parts[0]
+    if any(type(p) is not type(t0) for p in parts):
+        return None  # heterogeneous: caller keeps the parts unfused
     if isinstance(t0, np.ndarray):
         return np.concatenate([np.asarray(p) for p in parts], axis=0)
     fields = {}
@@ -139,13 +144,16 @@ def load_llama(path) -> tuple[dict, llama.LlamaConfig]:
             "attn_norm": jnp.asarray(np.asarray(gf.load(names["attn_norm"]), np.float32)),
             "mlp_norm": jnp.asarray(np.asarray(gf.load(names["mlp_norm"]), np.float32)),
         }
-        qkv = _concat_quantized(
-            [gf.load(names["wq"]), gf.load(names["wk"]), gf.load(names["wv"])]
-        )
-        gu = _concat_quantized([gf.load(names["w_gate"]), gf.load(names["w_up"])])
-        lyr["wqkv"] = _prep(qkv)
+        qkv_parts = [gf.load(names["wq"]), gf.load(names["wk"]),
+                     gf.load(names["wv"])]
+        gu_parts = [gf.load(names["w_gate"]), gf.load(names["w_up"])]
+        qkv = _concat_quantized(qkv_parts)
+        gu = _concat_quantized(gu_parts)
+        lyr["wqkv"] = (llama.SplitLinear(_prep(p) for p in qkv_parts)
+                       if qkv is None else _prep(qkv))
         lyr["wo"] = _prep(gf.load(names["wo"]))
-        lyr["wgu"] = _prep(gu)
+        lyr["wgu"] = (llama.SplitLinear(_prep(p) for p in gu_parts)
+                      if gu is None else _prep(gu))
         lyr["w_down"] = _prep(gf.load(names["w_down"]))
         out["layers"].append(lyr)
     out["lm_head"] = _prep(gf.load(_OUTPUT))

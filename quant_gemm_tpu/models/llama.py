@@ -168,14 +168,42 @@ def rope_for(cfg: LlamaConfig, params: dict | None = None):
                            freq_scale=cfg.rope_scale, inv_freq=inv)
 
 
-def _linear(w: gemm_pallas.PreparedWeight, x: jax.Array, act_mode: str) -> jax.Array:
+class SplitLinear:
+    """A fused slot (wqkv / wgu) whose parts carry HETEROGENEOUS block
+    formats and therefore stay unfused — e.g. a real Q4_K_M file's q6_K
+    ``attn_v`` next to q4_K ``attn_q``/``attn_k`` (llama.cpp
+    llama_tensor_get_type mixes formats per tensor; llama.cpp never fuses
+    its q/k/v mat_muls, so per-part GEMMs are the exact equivalent).
+
+    A pytree: parts are children, so it flows through jit/device_put.
+    """
+
+    def __init__(self, parts):
+        self.parts = tuple(parts)
+
+    def tree_flatten(self):
+        return self.parts, None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children)
+
+
+jax.tree_util.register_pytree_node_class(SplitLinear)
+
+
+def _linear(w, x: jax.Array, act_mode: str) -> jax.Array:
     """y[M, N] = x[M, K] @ W^T through the quantized kernel ladder.
 
     Routed through the registry dispatch: decode-shaped W4A8/W8A8 calls hit
     the exact int8-MXU kernel, prefill hits the dequant MXU kernel.
+    SplitLinear slots run one GEMM per part and concatenate on N.
     """
     from .. import kernels as _k
 
+    if isinstance(w, SplitLinear):
+        return jnp.concatenate(
+            [_linear(p, x, act_mode) for p in w.parts], axis=-1)
     if act_mode == "q8_1":
         # dispatch(quantize_act=True) fuses the Q8_1 quantization INTO the
         # exact kernel on decode shapes (bit-identical to quantizing here)
