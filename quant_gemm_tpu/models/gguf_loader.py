@@ -39,37 +39,54 @@ _BLK = {
 }
 
 
+# llama-architecture family: same graph (RMSNorm + RoPE + SwiGLU), config
+# keys prefixed by general.architecture, optional QKV biases (qwen2)
+SUPPORTED_ARCHS = ("llama", "qwen2", "mistral")
+
+
 def config_from_metadata(md: dict) -> llama.LlamaConfig:
-    """Build a LlamaConfig from ``llama.*`` GGUF metadata keys."""
+    """Build a LlamaConfig from ``<arch>.*`` GGUF metadata keys.
+
+    llama.cpp prefixes every model-config key with the architecture name
+    (``llama.embedding_length``, ``qwen2.embedding_length``, ...); the
+    llama-family archs here share the graph, differing only in metadata
+    prefix and optional attention biases."""
+    arch = md.get("general.architecture", "llama")
+    if arch not in SUPPORTED_ARCHS:
+        raise ValueError(
+            f"general.architecture={arch!r} is not a supported llama-family "
+            f"architecture (known: {SUPPORTED_ARCHS})")
+
     def get(key, default=None):
-        v = md.get(f"llama.{key}", default)
+        v = md.get(f"{arch}.{key}", default)
         if v is None:
-            raise KeyError(f"GGUF metadata missing llama.{key}")
+            raise KeyError(f"GGUF metadata missing {arch}.{key}")
         return v
 
     n_heads = int(get("attention.head_count"))
     return llama.LlamaConfig(
-        vocab=int(md.get("llama.vocab_size", md.get("tokenizer.ggml.tokens_count", 32000))),
+        vocab=int(get("vocab_size",
+                      md.get("tokenizer.ggml.tokens_count", 32000))),
         dim=int(get("embedding_length")),
         n_layers=int(get("block_count")),
         n_heads=n_heads,
         n_kv_heads=int(get("attention.head_count_kv", n_heads)),
         d_ff=int(get("feed_forward_length")),
         max_seq=int(get("context_length", 2048)),
-        rope_base=float(md.get("llama.rope.freq_base", 10000.0)),
-        eps=float(md.get("llama.attention.layer_norm_rms_epsilon", 1e-5)),
-        window=int(md.get("llama.attention.sliding_window", 0)),
-        rope_scale=_rope_scale_from_metadata(md),
-        head_dim_override=int(md.get("llama.attention.key_length", 0)),
+        rope_base=float(get("rope.freq_base", 10000.0)),
+        eps=float(get("attention.layer_norm_rms_epsilon", 1e-5)),
+        window=int(get("attention.sliding_window", 0)),
+        rope_scale=_rope_scale_from_metadata(md, arch),
+        head_dim_override=int(get("attention.key_length", 0)),
     )
 
 
-def _rope_scale_from_metadata(md: dict) -> float:
+def _rope_scale_from_metadata(md: dict, arch: str = "llama") -> float:
     """llama.cpp LINEAR rope scaling divides positions by `factor`; other
     scaling types (yarn, ...) are not linear-equivalent — refuse loudly
     rather than silently mispositioning every token."""
-    factor = float(md.get("llama.rope.scaling.factor", 1.0))
-    stype = md.get("llama.rope.scaling.type", "linear")
+    factor = float(md.get(f"{arch}.rope.scaling.factor", 1.0))
+    stype = md.get(f"{arch}.rope.scaling.type", "linear")
     if factor in (0.0, 1.0):
         return 1.0
     if stype != "linear":
@@ -155,8 +172,18 @@ def load_llama(path) -> tuple[dict, llama.LlamaConfig]:
         lyr["wgu"] = (llama.SplitLinear(_prep(p) for p in gu_parts)
                       if gu is None else _prep(gu))
         lyr["w_down"] = _prep(gf.load(names["w_down"]))
+        bias_names = [f"blk.{i}.attn_{t}.bias" for t in ("q", "k", "v")]
+        if all(n in gf.tensors for n in bias_names):  # qwen2 family
+            lyr["bqkv"] = jnp.asarray(np.concatenate(
+                [np.asarray(gf.load(n), np.float32).reshape(-1)
+                 for n in bias_names]))
         out["layers"].append(lyr)
-    out["lm_head"] = _prep(gf.load(_OUTPUT))
+    if _OUTPUT in gf.tensors:
+        out["lm_head"] = _prep(gf.load(_OUTPUT))
+    else:
+        # tied word embeddings (small qwen2 checkpoints omit output.weight;
+        # llama.cpp falls back to token_embd the same way)
+        out["lm_head"] = _prep(gf.load(_EMBED))
     if "rope_freqs.weight" in gf.tensors:
         # llama.cpp bakes Llama-3.1 frequency scaling as per-dim DIVISORS
         # (ggml rope_ext: theta = theta_base / freq_factor)
@@ -193,6 +220,10 @@ def export_gguf(path, params: dict, cfg: llama.LlamaConfig,
             tensors[names[norm]] = np.asarray(lyr[norm], np.float32)
         for lin in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
             tensors[names[lin]] = quantize(np.asarray(lyr[lin], np.float32))
+        for bn in ("bq", "bk", "bv"):  # qwen2-family QKV bias (f32)
+            if bn in lyr:
+                tensors[f"blk.{i}.attn_{bn[1]}.bias"] = np.asarray(
+                    lyr[bn], np.float32)
     metadata = {
         "general.architecture": "llama",
         "general.name": "quant_gemm_tpu export",

@@ -163,15 +163,20 @@ def load_hf_llama(model_dir, qtype: str = "q4_0"):
     def get(name):
         return np.asarray(where[name].load(name), np.float32)
 
+    def layer(i):
+        lyr = {k: get(v.format(i=i)) for k, v in _HF_BLK.items()}
+        bn = f"model.layers.{i}.self_attn.{{}}_proj.bias"
+        if bn.format("q") in where:  # Qwen2-family QKV biases
+            for t in ("q", "k", "v"):
+                lyr[f"b{t}"] = get(bn.format(t))
+        return lyr
+
     params = {
         "embed": get("model.embed_tokens.weight"),
         "final_norm": get("model.norm.weight"),
         "lm_head": (get("lm_head.weight") if "lm_head.weight" in where
                     else get("model.embed_tokens.weight")),  # tied embeds
-        "layers": [
-            {k: get(v.format(i=i)) for k, v in _HF_BLK.items()}
-            for i in range(cfg.n_layers)
-        ],
+        "layers": [layer(i) for i in range(cfg.n_layers)],
     }
     qparams = llama.quantize_params(params, qtype)
     rs = cfg_json.get("rope_scaling") or {}

@@ -142,6 +142,11 @@ def quantize_params(params: dict, qtype: str = "q4_0") -> dict:
     }
     for lyr in params["layers"]:
         q = {k: jnp.asarray(v) for k, v in lyr.items() if k.endswith("norm")}
+        if "bq" in lyr:  # Qwen2-family QKV bias (stays float)
+            q["bqkv"] = jnp.concatenate(
+                [jnp.asarray(lyr["bq"], jnp.float32),
+                 jnp.asarray(lyr["bk"], jnp.float32),
+                 jnp.asarray(lyr["bv"], jnp.float32)])
         q["wqkv"] = prep(
             np.concatenate(
                 [np.asarray(lyr["wq"]), np.asarray(lyr["wk"]), np.asarray(lyr["wv"])],
@@ -549,6 +554,11 @@ def forward(
         h = rms_norm(x, lyr["attn_norm"], cfg.eps)
         flat = h.reshape(b * t, cfg.dim)
         qkv = _linear(get_w(lyr["wqkv"]), flat, act_mode)  # fused projection
+        if "bqkv" in lyr:
+            # QKV bias (Qwen2 family; llama.cpp blk.*.attn_{q,k,v}.bias).
+            # TP layout stacks it [tp, 1, n_local]; single-chip is [3n]
+            bq = lyr["bqkv"]
+            qkv = qkv + (bq[0, 0] if getattr(bq, "ndim", 1) == 3 else bq)[None, :]
         q = qkv[:, :nq].reshape(b, t, heads, cfg.head_dim)
         k = qkv[:, nq : nq + nkv].reshape(b, t, kv_heads, cfg.head_dim)
         v = qkv[:, nq + nkv :].reshape(b, t, kv_heads, cfg.head_dim)
@@ -627,6 +637,9 @@ def forward_float(params: dict, cfg: LlamaConfig, tokens, cache: KVCache):
         "layers": [
             {
                 **{k: jnp.asarray(v) for k, v in lyr.items() if k.endswith("norm")},
+                **({"bqkv": jnp.concatenate(
+                    [jnp.asarray(lyr["bq"]), jnp.asarray(lyr["bk"]),
+                     jnp.asarray(lyr["bv"])])} if "bq" in lyr else {}),
                 "wqkv": _FloatLinear(
                     jnp.concatenate(
                         [jnp.asarray(lyr["wq"]), jnp.asarray(lyr["wk"]),

@@ -143,9 +143,23 @@ def shard_params_tp(params: dict, cfg: llama.LlamaConfig, mesh: Mesh,
         v_parts = _split_rows(np.asarray(lyr["wv"]), tp)
         gate_parts = _split_rows(np.asarray(lyr["w_gate"]), tp)
         up_parts = _split_rows(np.asarray(lyr["w_up"]), tp)
+        extra = {}
+        if "bq" in lyr:  # Qwen2-family QKV bias: head-chunked like wqkv,
+            # stacked [tp, 1, n_local] so forward's tp strip (b[0, 0]) and
+            # forward_tp's 3-D -> P(tp) spec rule both apply
+            bq = _split_rows(np.asarray(lyr["bq"], np.float32)[:, None], tp)
+            bk = _split_rows(np.asarray(lyr["bk"], np.float32)[:, None], tp)
+            bv = _split_rows(np.asarray(lyr["bv"], np.float32)[:, None], tp)
+            stacked_b = jnp.stack([
+                jnp.concatenate([bq[i], bk[i], bv[i]])[None, :, 0]
+                for i in range(tp)
+            ])  # [tp, 1, 3n/tp]
+            extra["bqkv"] = jax.device_put(
+                stacked_b, NamedSharding(mesh, P(axis, None, None)))
         out["layers"].append({
             "attn_norm": repl(lyr["attn_norm"]),
             "mlp_norm": repl(lyr["mlp_norm"]),
+            **extra,
             "wqkv": prep_chunks(
                 [np.concatenate([q_parts[i], k_parts[i], v_parts[i]], axis=0)
                  for i in range(tp)]
