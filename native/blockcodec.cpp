@@ -238,6 +238,8 @@ void qgt_q4_0_planar_to_aos(const uint8_t* packed, const uint16_t* d,
 // codes c (lo nibble) and c+K/2 (hi); qh bit c%8 of byte c/8 is elem c.
 // ---------------------------------------------------------------------------
 
+}  // extern "C" (templates cannot carry C linkage; reopened below)
+
 namespace {
 
 constexpr int QK_K = 256;
@@ -269,6 +271,8 @@ inline void or_nibble_run(uint8_t* row, int64_t kh, int64_t base,
 }
 
 }  // namespace
+
+extern "C" {
 
 void qgt_q4_k_aos_to_planar(const uint8_t* aos /*[rows, nsb, 144]*/,
                             int64_t rows, int64_t k, uint8_t* packed,
@@ -347,6 +351,46 @@ void qgt_q5_k_aos_to_planar(const uint8_t* aos /*[rows, nsb, 176]*/,
     }
 }
 
-int qgt_version(void) { return 2; }
+void qgt_q6_k_aos_to_soa(const uint8_t* aos /*[rows, nsb, 210]*/,
+                         int64_t rows, int64_t k, uint16_t* d, int8_t* sc,
+                         int8_t* qs) {
+    // block_q6_K -> the serving SoA (formats/kquants.Q6_KTensor): f16 d per
+    // super-block, per-16 int8 sub-scales, and the SHIFTED codes q-32 as
+    // int8 (dequantize_row_q6_K's ql/qh segment structure) — the model-load
+    // hot path for Q4_K_M files (q6_K output.weight + attn_v tensors).
+    const int64_t nsb = k / QK_K;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t r = 0; r < rows; r++) {
+        int8_t* qrow = qs + r * k;
+        for (int64_t sb = 0; sb < nsb; sb++) {
+            const uint8_t* blk = aos + (r * nsb + sb) * 210;
+            const uint8_t* ql = blk;        // 128 B low nibbles
+            const uint8_t* qh = blk + 128;  // 64 B high bit-pairs
+            std::memcpy(sc + (r * nsb + sb) * 16, blk + 192, 16);
+            std::memcpy(&d[r * nsb + sb], blk + 208, 2);
+            int8_t* q = qrow + sb * QK_K;
+            for (int half = 0; half < 2; half++) {
+                const uint8_t* lql = ql + half * 64;
+                const uint8_t* lqh = qh + half * 32;
+                int base = half * 128;
+                for (int l = 0; l < 32; l++) {
+                    const uint8_t h = lqh[l];
+                    q[base + l] =
+                        (int8_t)(((lql[l] & 0xF) | ((h & 3) << 4)) - 32);
+                    q[base + 32 + l] =
+                        (int8_t)(((lql[32 + l] & 0xF) | (((h >> 2) & 3) << 4)) - 32);
+                    q[base + 64 + l] =
+                        (int8_t)(((lql[l] >> 4) | (((h >> 4) & 3) << 4)) - 32);
+                    q[base + 96 + l] =
+                        (int8_t)(((lql[32 + l] >> 4) | (((h >> 6) & 3) << 4)) - 32);
+                }
+            }
+        }
+    }
+}
+
+int qgt_version(void) { return 3; }
 
 }  // extern "C"

@@ -651,7 +651,14 @@ def _q6k_codes_from_bytes(raw: np.ndarray) -> np.ndarray:
 
 
 def from_bytes_q6_k(raw: np.ndarray) -> Q6_KTensor:
-    """AoS uint8 [N, K/256, 210] -> SoA container (byte-exact decode)."""
+    """AoS uint8 [N, K/256, 210] -> SoA container (byte-exact decode).
+
+    Routes through the native C++ codec when built (the Q4_K_M model-load
+    hot path — bit-identical, asserted by tests/test_native.py)."""
+    from .. import native
+
+    if native.q6k_available():
+        return native.q6_k_from_aos(raw)
     raw = np.asarray(raw, np.uint8)
     n, nsb, bb = raw.shape
     assert bb == QK6_BLOCK_BYTES, bb

@@ -59,6 +59,8 @@ def _load():
         lib.qgt_q5_k_aos_to_planar.argtypes = [
             u8p, i64, i64, u8p, u8p, u16p, u16p, u8p, u8p
         ]
+    if hasattr(lib, "qgt_q6_k_aos_to_soa"):
+        lib.qgt_q6_k_aos_to_soa.argtypes = [u8p, i64, i64, u16p, i8p, i8p]
     lib.qgt_version.restype = ctypes.c_int
     _lib = lib
     return lib
@@ -195,6 +197,29 @@ def q5_k_from_aos(aos: np.ndarray):
                       packed, qh)
 
 
+def q6k_available() -> bool:
+    try:
+        return _load().qgt_version() >= 3
+    except NativeUnavailable:
+        return False
+
+
+def q6_k_from_aos(aos: np.ndarray):
+    """AoS block_q6_K bytes [rows, nsb, 210] -> Q6_KTensor (GGUF import;
+    the Q4_K_M hot path — q6_K output.weight/attn_v tensors)."""
+    from .formats.kquants import Q6_KTensor, QK_K
+
+    aos = np.ascontiguousarray(aos, np.uint8)
+    rows, nsb, bb = aos.shape
+    assert bb == 210, bb
+    k = nsb * QK_K
+    d = np.empty((rows, nsb), np.uint16)
+    sc = np.empty((rows, nsb * 16), np.int8)
+    qs = np.empty((rows, k), np.int8)
+    _load().qgt_q6_k_aos_to_soa(aos, rows, k, d, sc, qs)
+    return Q6_KTensor(d.view(np.float16), sc, qs)
+
+
 __all__ = [
     "available",
     "kquants_available",
@@ -206,5 +231,7 @@ __all__ = [
     "q4_0_to_aos",
     "q4_k_from_aos",
     "q5_k_from_aos",
+    "q6_k_from_aos",
+    "q6k_available",
     "NativeUnavailable",
 ]

@@ -105,3 +105,36 @@ def test_native_kquant_roundtrip_through_encoder():
     for a, b in zip(t5, n5):
         np.testing.assert_array_equal(np.asarray(a).view(np.uint8),
                                       np.asarray(b).view(np.uint8))
+
+
+def test_native_q6k_decode_bitexact():
+    """C++ q6_K AoS->SoA decoder vs the numpy reference, bit for bit
+    (random bytes exercise every ql/qh segment and scale path)."""
+    if not native.q6k_available():
+        pytest.skip("native codec not built / too old")
+    import unittest.mock as mock
+
+    from quant_gemm_tpu.formats import kquants
+
+    rng = np.random.default_rng(42)
+    raw = rng.integers(0, 256, (16, 4, 210)).astype(np.uint8)
+    got = native.q6_k_from_aos(raw)
+    with mock.patch.object(native, "q6k_available", lambda: False):
+        ref = kquants.from_bytes_q6_k(raw)
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(
+            np.asarray(a).view(np.uint8), np.asarray(b).view(np.uint8))
+
+
+def test_native_q6k_roundtrip_through_encoder():
+    if not native.q6k_available():
+        pytest.skip("native codec not built / too old")
+    from quant_gemm_tpu.formats import kquants
+    from quant_gemm_tpu.harness import datagen
+
+    x = datagen.normal((8, 512), seed=43)
+    t6 = kquants.quantize_q6_k(x)
+    n6 = native.q6_k_from_aos(kquants.to_bytes_q6_k(t6))
+    for a, b in zip(t6, n6):
+        np.testing.assert_array_equal(
+            np.asarray(a).view(np.uint8), np.asarray(b).view(np.uint8))
