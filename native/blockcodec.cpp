@@ -391,6 +391,78 @@ void qgt_q6_k_aos_to_soa(const uint8_t* aos /*[rows, nsb, 210]*/,
     }
 }
 
-int qgt_version(void) { return 3; }
+void qgt_q2_k_aos_to_soa(const uint8_t* aos /*[rows, nsb, 84]*/,
+                         int64_t rows, int64_t k, uint16_t* d,
+                         uint16_t* dmin, uint8_t* sc, uint8_t* mn,
+                         int8_t* qs_out) {
+    // block_q2_K -> Q2_KTensor: element e of a super-block lives in qs
+    // byte (e/128)*32 + e%32 at bit 2*((e%128)/32); per-16 4-bit
+    // scale/min pairs share one byte (lo=scale, hi=min).
+    const int64_t nsb = k / QK_K;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t r = 0; r < rows; r++) {
+        for (int64_t sb = 0; sb < nsb; sb++) {
+            const uint8_t* blk = aos + (r * nsb + sb) * 84;
+            const uint8_t* scales = blk;
+            const uint8_t* qsb = blk + 16;
+            std::memcpy(&d[r * nsb + sb], blk + 80, 2);
+            std::memcpy(&dmin[r * nsb + sb], blk + 82, 2);
+            for (int j = 0; j < 16; j++) {
+                sc[(r * nsb + sb) * 16 + j] = scales[j] & 0xF;
+                mn[(r * nsb + sb) * 16 + j] = scales[j] >> 4;
+            }
+            int8_t* q = qs_out + r * k + sb * QK_K;
+            for (int half = 0; half < 2; half++)
+                for (int g = 0; g < 4; g++)
+                    for (int l = 0; l < 32; l++)
+                        q[half * 128 + g * 32 + l] =
+                            (int8_t)((qsb[half * 32 + l] >> (2 * g)) & 3);
+        }
+    }
+}
+
+void qgt_q3_k_aos_to_soa(const uint8_t* aos /*[rows, nsb, 110]*/,
+                         int64_t rows, int64_t k, uint16_t* d, int8_t* sc,
+                         int8_t* qs_out) {
+    // block_q3_K -> Q3_KTensor: 2-bit codes as q2_K plus a 256-bit hmask
+    // (bit e/32 of byte e%32); SHIFTED codes q2 - (hbit ? 0 : 4) stored
+    // int8, 6-bit scales unpacked per llama.cpp kmask scheme minus 32.
+    const int64_t nsb = k / QK_K;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t r = 0; r < rows; r++) {
+        for (int64_t sb = 0; sb < nsb; sb++) {
+            const uint8_t* blk = aos + (r * nsb + sb) * 110;
+            const uint8_t* hmask = blk;
+            const uint8_t* qsb = blk + 32;
+            const uint8_t* s12 = blk + 96;
+            std::memcpy(&d[r * nsb + sb], blk + 108, 2);
+            int8_t* scp = sc + (r * nsb + sb) * 16;
+            for (int i = 0; i < 4; i++) {
+                scp[i] = (int8_t)(((s12[i] & 0xF) | ((s12[8 + i] & 3) << 4)) - 32);
+                scp[4 + i] = (int8_t)(((s12[4 + i] & 0xF)
+                                       | (((s12[8 + i] >> 2) & 3) << 4)) - 32);
+                scp[8 + i] = (int8_t)(((s12[i] >> 4)
+                                       | (((s12[8 + i] >> 4) & 3) << 4)) - 32);
+                scp[12 + i] = (int8_t)(((s12[4 + i] >> 4)
+                                        | (((s12[8 + i] >> 6) & 3) << 4)) - 32);
+            }
+            int8_t* q = qs_out + r * k + sb * QK_K;
+            for (int half = 0; half < 2; half++)
+                for (int g = 0; g < 4; g++)
+                    for (int l = 0; l < 32; l++) {
+                        int q2 = (qsb[half * 32 + l] >> (2 * g)) & 3;
+                        int hbit = (hmask[l] >> (half * 4 + g)) & 1;
+                        q[half * 128 + g * 32 + l] =
+                            (int8_t)(q2 - (hbit ? 0 : 4));
+                    }
+        }
+    }
+}
+
+int qgt_version(void) { return 4; }
 
 }  // extern "C"

@@ -771,6 +771,10 @@ class Q3_KTensor(NamedTuple):
 
 
 def from_bytes_q2_k(raw: np.ndarray) -> Q2_KTensor:
+    from .. import native
+
+    if native.k16_available():
+        return native.q2_k_from_aos(raw)
     raw = np.asarray(raw, np.uint8)
     n, nsb, bb = raw.shape
     assert bb == QK2_BLOCK_BYTES, bb
@@ -805,6 +809,10 @@ def to_bytes_q2_k(t: Q2_KTensor) -> np.ndarray:
 
 
 def from_bytes_q3_k(raw: np.ndarray) -> Q3_KTensor:
+    from .. import native
+
+    if native.k16_available():
+        return native.q3_k_from_aos(raw)
     raw = np.asarray(raw, np.uint8)
     n, nsb, bb = raw.shape
     assert bb == QK3_BLOCK_BYTES, bb

@@ -61,6 +61,10 @@ def _load():
         ]
     if hasattr(lib, "qgt_q6_k_aos_to_soa"):
         lib.qgt_q6_k_aos_to_soa.argtypes = [u8p, i64, i64, u16p, i8p, i8p]
+    if hasattr(lib, "qgt_q2_k_aos_to_soa"):
+        lib.qgt_q2_k_aos_to_soa.argtypes = [u8p, i64, i64, u16p, u16p, u8p,
+                                            u8p, i8p]
+        lib.qgt_q3_k_aos_to_soa.argtypes = [u8p, i64, i64, u16p, i8p, i8p]
     lib.qgt_version.restype = ctypes.c_int
     _lib = lib
     return lib
@@ -204,6 +208,46 @@ def q6k_available() -> bool:
         return False
 
 
+def k16_available() -> bool:
+    """Native per-16 K-quant decoders (q2/q3/q6_K) present."""
+    try:
+        return _load().qgt_version() >= 4
+    except NativeUnavailable:
+        return False
+
+
+def q2_k_from_aos(aos: np.ndarray):
+    """AoS block_q2_K bytes [rows, nsb, 84] -> Q2_KTensor."""
+    from .formats.kquants import Q2_KTensor, QK_K
+
+    aos = np.ascontiguousarray(aos, np.uint8)
+    rows, nsb, bb = aos.shape
+    assert bb == 84, bb
+    k = nsb * QK_K
+    d = np.empty((rows, nsb), np.uint16)
+    dmin = np.empty((rows, nsb), np.uint16)
+    sc = np.empty((rows, nsb * 16), np.uint8)
+    mn = np.empty((rows, nsb * 16), np.uint8)
+    qs = np.empty((rows, k), np.int8)
+    _load().qgt_q2_k_aos_to_soa(aos, rows, k, d, dmin, sc, mn, qs)
+    return Q2_KTensor(d.view(np.float16), dmin.view(np.float16), sc, mn, qs)
+
+
+def q3_k_from_aos(aos: np.ndarray):
+    """AoS block_q3_K bytes [rows, nsb, 110] -> Q3_KTensor."""
+    from .formats.kquants import Q3_KTensor, QK_K
+
+    aos = np.ascontiguousarray(aos, np.uint8)
+    rows, nsb, bb = aos.shape
+    assert bb == 110, bb
+    k = nsb * QK_K
+    d = np.empty((rows, nsb), np.uint16)
+    sc = np.empty((rows, nsb * 16), np.int8)
+    qs = np.empty((rows, k), np.int8)
+    _load().qgt_q3_k_aos_to_soa(aos, rows, k, d, sc, qs)
+    return Q3_KTensor(d.view(np.float16), sc, qs)
+
+
 def q6_k_from_aos(aos: np.ndarray):
     """AoS block_q6_K bytes [rows, nsb, 210] -> Q6_KTensor (GGUF import;
     the Q4_K_M hot path — q6_K output.weight/attn_v tensors)."""
@@ -233,5 +277,8 @@ __all__ = [
     "q5_k_from_aos",
     "q6_k_from_aos",
     "q6k_available",
+    "q2_k_from_aos",
+    "q3_k_from_aos",
+    "k16_available",
     "NativeUnavailable",
 ]

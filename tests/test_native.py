@@ -138,3 +138,26 @@ def test_native_q6k_roundtrip_through_encoder():
     for a, b in zip(t6, n6):
         np.testing.assert_array_equal(
             np.asarray(a).view(np.uint8), np.asarray(b).view(np.uint8))
+
+
+def test_native_q2k_q3k_decode_bitexact():
+    """C++ q2_K/q3_K AoS->SoA decoders vs the numpy reference, bit for bit
+    (random bytes exercise every code group, hmask bit, and scale path)."""
+    if not native.k16_available():
+        pytest.skip("native codec not built / too old")
+    import unittest.mock as mock
+
+    from quant_gemm_tpu.formats import kquants
+
+    rng = np.random.default_rng(44)
+    raw2 = rng.integers(0, 256, (16, 4, 84)).astype(np.uint8)
+    raw3 = rng.integers(0, 256, (16, 4, 110)).astype(np.uint8)
+    got2 = native.q2_k_from_aos(raw2)
+    got3 = native.q3_k_from_aos(raw3)
+    with mock.patch.object(native, "k16_available", lambda: False):
+        ref2 = kquants.from_bytes_q2_k(raw2)
+        ref3 = kquants.from_bytes_q3_k(raw3)
+    for got, ref in ((got2, ref2), (got3, ref3)):
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(
+                np.asarray(a).view(np.uint8), np.asarray(b).view(np.uint8))
