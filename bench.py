@@ -18,12 +18,40 @@ import sys
 
 BASELINE_TFLOPS = 3.3462  # reference async double-buffer kernel, 4096x4x14336
 
+# The axon tunnel fails by HANGING, not erroring (a dead backend blocks
+# jax.devices()/the first compile forever) — watchdog so the driver's
+# round-end bench run gets a clean failure record instead of a stall.
+TUNNEL_TIMEOUT_S = 600
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _arm_watchdog() -> None:
+    import signal
+
+    def on_timeout(sig, frame):
+        log(f"TUNNEL WATCHDOG: no device/compile progress in "
+            f"{TUNNEL_TIMEOUT_S}s - backend presumed down")
+        print(json.dumps({
+            "metric": "w4a8_q4_0xq8_1_gemm_4096x4x14336",
+            "value": None,
+            "unit": "TFLOPS",
+            "vs_baseline": None,
+            "error": f"TPU backend unresponsive (> {TUNNEL_TIMEOUT_S}s)",
+        }))
+        sys.stdout.flush()
+        import os
+
+        os._exit(1)
+
+    signal.signal(signal.SIGALRM, on_timeout)
+    signal.alarm(TUNNEL_TIMEOUT_S)
+
+
 def main() -> None:
+    _arm_watchdog()
     import jax
 
     from quant_gemm_tpu.formats import jax_quant, numpy_ref
@@ -48,6 +76,12 @@ def main() -> None:
     m = ErrorMetrics.compute(out, refg.gemm_fp32(a, w))
     log(f"accuracy: NMSE vs FP32 = {m.nmse:.3e} (budget 1.5e-2)")
     assert m.nmse < 1.5e-2, m
+
+    # first compile landed: the tunnel is alive — re-arm for the timing
+    # phase (remote-compile contention can legitimately take minutes)
+    import signal
+
+    signal.alarm(TUNNEL_TIMEOUT_S)
 
     # best of 3 slope measurements: the shared dev chip has ±10% run-to-run
     # variance (docs/PERF_NOTES.md), and each slope is itself overhead-free
