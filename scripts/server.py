@@ -1,0 +1,292 @@
+"""HTTP serving front-end — the llama.cpp ``llama-server`` analogue.
+
+Wraps the continuous-batching engine (models/serve.Server) behind a
+threaded stdlib HTTP server with llama.cpp-native and OpenAI-compatible
+endpoints:
+
+* ``POST /completion``          llama.cpp native: {prompt, n_predict,
+  temperature, top_k, top_p, min_p, repeat_penalty, stream, ...}
+* ``POST /v1/completions``      OpenAI completions (prompt/max_tokens)
+* ``POST /v1/chat/completions`` OpenAI chat; messages render through the
+  GGUF-embedded chat template (tokenizer.chat_template) exactly like
+  ``generate.py --chat``
+* ``GET  /health``              liveness
+* ``GET  /metrics``             Server.stats() counters
+
+``"stream": true`` returns Server-Sent Events (``data: {...}\\n\\n`` per
+token, ``data: [DONE]`` at the end — the llama.cpp/OpenAI wire format).
+
+One background thread owns the TPU step loop (continuous batching across
+concurrent HTTP requests — concurrency comes from slot batching, not from
+parallel model calls); handler threads submit requests and drain per-request
+token queues.
+
+Usage: python scripts/server.py -m model.gguf --port 8080 [--slots 8]
+       [--kv q8] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+sys.path.insert(0, ".")
+
+
+class Engine:
+    """Thread-safe bridge: HTTP handlers submit; one loop thread steps."""
+
+    def __init__(self, server, tok, metadata):
+        self.server = server
+        self.tok = tok
+        self.metadata = metadata
+        self.lock = threading.Lock()
+        self.wake = threading.Condition(self.lock)
+        self.queues: dict[int, queue.Queue] = {}
+        self._stop = False
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    def submit(self, prompt_ids, **kw) -> tuple[int, queue.Queue]:
+        q: queue.Queue = queue.Queue()
+        with self.wake:
+            rid = self.server.submit(prompt_ids, **kw)
+            self.queues[rid] = q
+            self.wake.notify()
+        return rid, q
+
+    def _loop(self):
+        while True:
+            with self.wake:
+                while not self._stop and not (
+                    self.server.queue
+                    or any(s is not None for s in self.server.slots)
+                ):
+                    self.wake.wait()
+                if self._stop:
+                    return
+                toks = self.server.step()
+                done = [rid for rid in list(self.queues)
+                        if rid in self.server.finished]
+            for rid, t in toks.items():
+                q = self.queues.get(rid)
+                if q is not None:
+                    q.put(int(t))
+            for rid in done:
+                self.queues.pop(rid).put(None)  # end-of-stream sentinel
+
+    def shutdown(self):
+        with self.wake:
+            self._stop = True
+            self.wake.notify()
+
+
+def _decode_stream(tok, ids: list, prev_text: str) -> str:
+    """Decoded text so far, withholding a trailing partial-UTF-8 glyph so
+    streaming deltas never emit a replacement char that later 'un-happens'."""
+    text = tok.decode(ids)
+    while text.endswith("�"):
+        text = text[:-1]
+    return text if len(text) >= len(prev_text) else prev_text
+
+
+def make_handler(engine: Engine):
+    tok = engine.tok
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # stderr, not stdout
+            sys.stderr.write("%s - %s\n" % (self.address_string(),
+                                            fmt % args))
+
+        # -- helpers -----------------------------------------------------
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _read_body(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n) or b"{}")
+
+        def _run(self, prompt_ids, req, *, stream_fmt=None):
+            kw = dict(
+                max_new=int(req.get("n_predict",
+                                    req.get("max_tokens", 64))),
+                temperature=float(req.get("temperature", 0.0)),
+                top_k=int(req.get("top_k", 0)),
+                top_p=float(req.get("top_p", 1.0)),
+                min_p=float(req.get("min_p", 0.0)),
+                repeat_penalty=float(req.get("repeat_penalty", 1.0)),
+                seed=req.get("seed"),
+            )
+            rid, q = engine.submit(prompt_ids, **kw)
+            if stream_fmt is None:
+                ids = []
+                while True:
+                    t = q.get()
+                    if t is None:
+                        break
+                    ids.append(t)
+                return rid, ids, tok.decode(ids)
+            # SSE streaming
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            ids, text = [], ""
+            while True:
+                t = q.get()
+                if t is None:
+                    break
+                ids.append(t)
+                new = _decode_stream(tok, ids, text)
+                delta, text = new[len(text):], new
+                if delta:
+                    chunk = stream_fmt(delta, False)
+                    self.wfile.write(
+                        b"data: " + json.dumps(chunk).encode() + b"\n\n")
+                    self.wfile.flush()
+            self.wfile.write(
+                b"data: " + json.dumps(stream_fmt("", True)).encode()
+                + b"\n\ndata: [DONE]\n\n")
+            self.wfile.flush()
+            self.close_connection = True
+            return None
+
+        # -- endpoints ---------------------------------------------------
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, {"status": "ok"})
+            elif self.path in ("/metrics", "/stats"):
+                self._json(200, engine.server.stats())
+            else:
+                self._json(404, {"error": "unknown endpoint"})
+
+        def do_POST(self):
+            try:
+                req = self._read_body()
+                if self.path == "/completion":
+                    self._completion(req)
+                elif self.path == "/v1/completions":
+                    self._oai_completion(req)
+                elif self.path == "/v1/chat/completions":
+                    self._oai_chat(req)
+                else:
+                    self._json(404, {"error": "unknown endpoint"})
+            except Exception as e:  # noqa: BLE001 - surface to the client
+                self._json(400, {"error": str(e)})
+
+        def _completion(self, req):
+            ids = tok.encode(req["prompt"])
+            if req.get("stream"):
+                self._run(ids, req, stream_fmt=lambda d, stop: {
+                    "content": d, "stop": stop})
+                return
+            rid, out_ids, text = self._run(ids, req)
+            self._json(200, {
+                "content": text,
+                "tokens_predicted": len(out_ids),
+                "tokens_evaluated": len(ids),
+                "stop": True,
+            })
+
+        def _oai_completion(self, req):
+            ids = tok.encode(req["prompt"])
+            if req.get("stream"):
+                self._run(ids, req, stream_fmt=lambda d, stop: {
+                    "object": "text_completion.chunk",
+                    "choices": [{"text": d, "index": 0,
+                                 "finish_reason": "stop" if stop else None}],
+                })
+                return
+            rid, out_ids, text = self._run(ids, req)
+            self._json(200, {
+                "object": "text_completion",
+                "choices": [{"text": text, "index": 0,
+                             "finish_reason": "stop"}],
+                "usage": {"prompt_tokens": len(ids),
+                          "completion_tokens": len(out_ids)},
+            })
+
+        def _oai_chat(self, req):
+            from quant_gemm_tpu.models.tokenizer import (
+                encode_with_specials, render_chat)
+
+            text_in = render_chat(engine.metadata, req["messages"])
+            ids = encode_with_specials(tok, text_in)
+            if req.get("stream"):
+                self._run(ids, req, stream_fmt=lambda d, stop: {
+                    "object": "chat.completion.chunk",
+                    "choices": [{"delta": ({} if stop else {"content": d}),
+                                 "index": 0,
+                                 "finish_reason": "stop" if stop else None}],
+                })
+                return
+            rid, out_ids, text = self._run(ids, req)
+            self._json(200, {
+                "object": "chat.completion",
+                "choices": [{"message": {"role": "assistant",
+                                         "content": text},
+                             "index": 0, "finish_reason": "stop"}],
+                "usage": {"prompt_tokens": len(ids),
+                          "completion_tokens": len(out_ids)},
+            })
+
+    return Handler
+
+
+def build_engine(model_path, *, n_slots=8, cache_qtype="bf16",
+                 prefill_bucket=16) -> Engine:
+    from quant_gemm_tpu.formats.gguf_file import GGUFFile
+    from quant_gemm_tpu.models import gguf_loader, serve
+    from quant_gemm_tpu.models.tokenizer import tokenizer_from_gguf
+
+    gf = GGUFFile(model_path)
+    qparams, cfg = gguf_loader.load_llama(gf)
+    tok = tokenizer_from_gguf(gf.metadata)
+    srv = serve.Server(qparams, cfg, n_slots=n_slots,
+                       cache_qtype=cache_qtype,
+                       prefill_bucket=prefill_bucket,
+                       eos_id=tok.eos_id)
+    return Engine(srv, tok, gf.metadata)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--kv", default="bf16", choices=["bf16", "q8"])
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (interpret-mode kernels)")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    engine = build_engine(args.model, n_slots=args.slots,
+                          cache_qtype=args.kv)
+    httpd = ThreadingHTTPServer((args.host, args.port),
+                                make_handler(engine))
+    print(f"listening on http://{args.host}:{args.port} "
+          f"(slots={args.slots}, kv={args.kv})", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        engine.shutdown()
+
+
+if __name__ == "__main__":
+    main()

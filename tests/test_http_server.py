@@ -1,0 +1,112 @@
+"""HTTP serving front-end (scripts/server.py — the llama-server analogue)
+driven end to end over real sockets against the foreign GGUF fixture."""
+
+import json
+import pathlib
+import sys
+import threading
+import urllib.request
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full-model interpret-mode serving
+
+FIXTURE = pathlib.Path(__file__).parent / "golden" / "tiny_llama_q4km.gguf"
+
+
+@pytest.fixture(scope="module")
+def base_url():
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "scripts"))
+    import server as srv
+    from http.server import ThreadingHTTPServer
+
+    engine = srv.build_engine(FIXTURE, n_slots=2, prefill_bucket=8)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), srv.make_handler(engine))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+    engine.shutdown()
+
+
+def _post(url, obj):
+    req = urllib.request.Request(
+        url, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=600) as r:
+        return json.loads(r.read())
+
+
+def test_health(base_url):
+    with urllib.request.urlopen(base_url + "/health", timeout=60) as r:
+        assert json.loads(r.read()) == {"status": "ok"}
+
+
+def test_completion_native(base_url):
+    out = _post(base_url + "/completion",
+                {"prompt": "hello world", "n_predict": 4})
+    assert out["stop"] is True
+    assert out["tokens_predicted"] >= 1
+    assert isinstance(out["content"], str)
+    # metrics reflect the work
+    with urllib.request.urlopen(base_url + "/metrics", timeout=60) as r:
+        stats = json.loads(r.read())
+    assert stats["generated_tokens"] >= 1
+
+
+def test_openai_completion(base_url):
+    out = _post(base_url + "/v1/completions",
+                {"prompt": "the quick", "max_tokens": 3})
+    assert out["object"] == "text_completion"
+    assert out["choices"][0]["finish_reason"] == "stop"
+    assert out["usage"]["completion_tokens"] >= 1
+
+
+def test_openai_chat_uses_template(base_url):
+    out = _post(base_url + "/v1/chat/completions",
+                {"messages": [{"role": "user", "content": "hi"}],
+                 "max_tokens": 3})
+    assert out["object"] == "chat.completion"
+    assert out["choices"][0]["message"]["role"] == "assistant"
+
+
+def test_streaming_sse(base_url):
+    req = urllib.request.Request(
+        base_url + "/completion",
+        data=json.dumps({"prompt": "hello world", "n_predict": 4,
+                         "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    events = []
+    with urllib.request.urlopen(req, timeout=600) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        for raw in r:
+            line = raw.decode().strip()
+            if line.startswith("data: "):
+                events.append(line[6:])
+    assert events[-1] == "[DONE]"
+    payloads = [json.loads(e) for e in events[:-1]]
+    assert payloads[-1]["stop"] is True
+    # token deltas concatenate to the non-streamed answer for the same
+    # prompt (greedy, deterministic)
+    text = "".join(p["content"] for p in payloads)
+    ref = _post(base_url + "/completion",
+                {"prompt": "hello world", "n_predict": 4})
+    assert text == ref["content"], (text, ref["content"])
+
+
+def test_concurrent_requests_batch(base_url):
+    """Two simultaneous requests ride the continuous-batching slots."""
+    results = {}
+
+    def go(name, prompt):
+        results[name] = _post(base_url + "/completion",
+                              {"prompt": prompt, "n_predict": 3})
+
+    ts = [threading.Thread(target=go, args=(i, p))
+          for i, p in enumerate(["hello world", "the quick brown"])]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=600)
+    assert len(results) == 2
+    assert all(r["stop"] for r in results.values())
