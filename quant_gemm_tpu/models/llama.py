@@ -681,6 +681,11 @@ _quant_linear = _linear
 def _linear(w, x, act_mode):  # noqa: F811
     if isinstance(w, _FloatLinear):
         return _float_linear(w, x)
+    from . import lora as _lora  # lazy: lora imports llama
+
+    if isinstance(w, _lora.LoraLinear):
+        # runtime LoRA: quantized base GEMM + low-rank bf16 delta matmuls
+        return _lora.apply_lora(w, _linear(w.inner, x, act_mode), x)
     return _quant_linear(w, x, act_mode)
 
 

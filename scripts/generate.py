@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("--repeat-penalty", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--kv", default="bf16", choices=["bf16", "q8"])
+    ap.add_argument("--lora", default=None, metavar="ADAPTER_GGUF",
+                    help="apply a llama.cpp LoRA adapter at runtime")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (tests / no-TPU boxes)")
     args = ap.parse_args()
@@ -52,6 +54,12 @@ def main() -> None:
     t0 = time.time()
     gf = GGUFFile(args.model)  # parsed once: weights AND tokenizer metadata
     qparams, cfg = load_llama(gf)
+    if args.lora:
+        from quant_gemm_tpu.models import lora as lora_mod
+
+        qparams = lora_mod.attach_lora(
+            qparams, lora_mod.load_lora(args.lora), cfg)
+        print(f"applied LoRA adapter {args.lora}", file=sys.stderr)
     print(f"loaded {args.model} in {time.time()-t0:.1f}s: {cfg}",
           file=sys.stderr, flush=True)
 

@@ -245,13 +245,18 @@ def make_handler(engine: Engine):
 
 
 def build_engine(model_path, *, n_slots=8, cache_qtype="bf16",
-                 prefill_bucket=16) -> Engine:
+                 prefill_bucket=16, lora_path=None) -> Engine:
     from quant_gemm_tpu.formats.gguf_file import GGUFFile
     from quant_gemm_tpu.models import gguf_loader, serve
     from quant_gemm_tpu.models.tokenizer import tokenizer_from_gguf
 
     gf = GGUFFile(model_path)
     qparams, cfg = gguf_loader.load_llama(gf)
+    if lora_path:
+        from quant_gemm_tpu.models import lora as lora_mod
+
+        qparams = lora_mod.attach_lora(
+            qparams, lora_mod.load_lora(lora_path), cfg)
     tok = tokenizer_from_gguf(gf.metadata)
     srv = serve.Server(qparams, cfg, n_slots=n_slots,
                        cache_qtype=cache_qtype,
@@ -267,6 +272,8 @@ def main():
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--kv", default="bf16", choices=["bf16", "q8"])
+    ap.add_argument("--lora", default=None, metavar="ADAPTER_GGUF",
+                    help="apply a llama.cpp LoRA adapter at runtime")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (interpret-mode kernels)")
     args = ap.parse_args()
@@ -275,7 +282,7 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
     engine = build_engine(args.model, n_slots=args.slots,
-                          cache_qtype=args.kv)
+                          cache_qtype=args.kv, lora_path=args.lora)
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(engine))
     print(f"listening on http://{args.host}:{args.port} "
