@@ -446,6 +446,7 @@ def forward(
     act_mode: str = "q8_1",
     rope_cache=None,
     tp_ctx=None,
+    return_hidden: bool = False,
 ) -> tuple[jax.Array, KVCache]:
     """Run T tokens per slot (prefill when T>1, decode when T=1).
 
@@ -623,9 +624,13 @@ def forward(
         new_ks = write_scales_all_layers(new_ks, jnp.stack(ks_pending))
         new_vs = write_scales_all_layers(new_vs, jnp.stack(vs_pending))
     x = rms_norm(x, qparams["final_norm"], cfg.eps)
+    new_cache = KVCache(new_k, new_v, pos0 + t, new_ks, new_vs)
+    if return_hidden:
+        # the embedding surface (llama.cpp --embedding / server /embedding):
+        # final-norm hidden states, no lm_head projection
+        return x.astype(jnp.float32), new_cache
     logits = _linear(get_w(qparams["lm_head"]), x.reshape(b * t, cfg.dim), act_mode)
-    return logits.reshape(b, t, -1), KVCache(new_k, new_v, pos0 + t,
-                                             new_ks, new_vs)
+    return logits.reshape(b, t, -1), new_cache
 
 
 def forward_float(params: dict, cfg: LlamaConfig, tokens, cache: KVCache):
@@ -766,7 +771,33 @@ def sample_decode(
 # and callers share ONE jit cache through this — per-call ``jax.jit``
 # wrappers each recompile the same program (~25 s per instance on the CPU
 # test backend, and real cost on production restarts).
-jit_forward = jax.jit(forward, static_argnames=("cfg", "act_mode"))
+jit_forward = jax.jit(forward, static_argnames=("cfg", "act_mode",
+                                                "return_hidden"))
+
+
+def embed(qparams, cfg: LlamaConfig, tokens, *, pooling: str = "mean",
+          act_mode: str = "q8_1") -> jax.Array:
+    """Sequence embeddings from the final-norm hidden states (the
+    llama.cpp ``--embedding`` surface).
+
+    ``pooling``: 'mean' over real tokens, 'last' (causal-LM convention),
+    or 'none' ([B, T, dim] per-token states).  Returns f32, L2-normalized
+    for mean/last (llama.cpp server normalizes embeddings the same way).
+    """
+    tokens = jnp.asarray(tokens, jnp.int32)
+    cache = KVCache.init(cfg, tokens.shape[0])
+    hidden, _ = jit_forward(qparams, cfg, tokens, cache,
+                            act_mode=act_mode, return_hidden=True)
+    if pooling == "none":
+        return hidden
+    if pooling == "last":
+        vec = hidden[:, -1]
+    elif pooling == "mean":
+        vec = hidden.mean(axis=1)
+    else:
+        raise ValueError(f"unknown pooling {pooling!r}")
+    norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+    return vec / jnp.where(norm > 0, norm, 1.0)
 
 
 __all__ = [
@@ -775,6 +806,7 @@ __all__ = [
     "quantize_params",
     "forward",
     "jit_forward",
+    "embed",
     "forward_float",
     "greedy_decode",
     "sample_decode",

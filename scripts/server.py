@@ -180,10 +180,47 @@ def make_handler(engine: Engine):
                     self._oai_completion(req)
                 elif self.path == "/v1/chat/completions":
                     self._oai_chat(req)
+                elif self.path == "/embedding":
+                    self._embedding(req)
+                elif self.path == "/v1/embeddings":
+                    self._oai_embeddings(req)
                 else:
                     self._json(404, {"error": "unknown endpoint"})
             except Exception as e:  # noqa: BLE001 - surface to the client
                 self._json(400, {"error": str(e)})
+
+        def _embed_one(self, text, pooling="mean"):
+            from quant_gemm_tpu.models import llama
+
+            import jax.numpy as jnp
+
+            ids = tok.encode(text)
+            # single forward outside the batching loop; serialize on the
+            # engine lock so it never interleaves with a decode step
+            with engine.lock:
+                vec = llama.embed(
+                    engine.server.qparams, engine.server.cfg,
+                    jnp.asarray([ids]), pooling=pooling,
+                    act_mode=engine.server.act_mode)
+            return [float(v) for v in vec[0]], len(ids)
+
+        def _embedding(self, req):  # llama.cpp native
+            emb, _ = self._embed_one(req["content"],
+                                     req.get("pooling", "mean"))
+            self._json(200, {"embedding": emb})
+
+        def _oai_embeddings(self, req):
+            inputs = req["input"]
+            if isinstance(inputs, str):
+                inputs = [inputs]
+            data, total = [], 0
+            for i, text in enumerate(inputs):
+                emb, n = self._embed_one(text)
+                total += n
+                data.append({"object": "embedding", "index": i,
+                             "embedding": emb})
+            self._json(200, {"object": "list", "data": data,
+                             "usage": {"prompt_tokens": total}})
 
         def _completion(self, req):
             ids = tok.encode(req["prompt"])

@@ -110,3 +110,22 @@ def test_concurrent_requests_batch(base_url):
         t.join(timeout=600)
     assert len(results) == 2
     assert all(r["stop"] for r in results.values())
+
+
+def test_embedding_native(base_url):
+    out = _post(base_url + "/embedding", {"content": "hello world"})
+    import math
+    v = out["embedding"]
+    assert len(v) == 256  # cfg.dim of the fixture
+    assert abs(math.fsum(x * x for x in v) - 1.0) < 1e-3  # L2-normalized
+
+
+def test_openai_embeddings(base_url):
+    out = _post(base_url + "/v1/embeddings",
+                {"input": ["hello world", "the quick brown"]})
+    assert out["object"] == "list"
+    assert len(out["data"]) == 2
+    assert out["data"][0]["index"] == 0
+    a, b = out["data"][0]["embedding"], out["data"][1]["embedding"]
+    # different texts embed differently
+    assert any(abs(x - y) > 1e-4 for x, y in zip(a, b))

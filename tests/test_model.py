@@ -352,3 +352,29 @@ def test_rope_inv_freq_export_roundtrip():
     out = llama.greedy_decode(qp, cfg2, toks, steps=2)
     out_plain = llama.greedy_decode(qp_plain, cfg2, toks, steps=2)
     assert jax.tree.structure(out) == jax.tree.structure(out_plain)
+
+
+def test_embed_pooling_modes():
+    """llama.embed: final-norm hidden states with mean/last/none pooling
+    (the llama.cpp --embedding surface)."""
+    import jax.numpy as jnp
+
+    from quant_gemm_tpu.models import llama as L
+
+    cfg = L.LlamaConfig(vocab=64, dim=128, n_layers=1, n_heads=2,
+                        n_kv_heads=2, d_ff=256, max_seq=16)
+    qp = L.quantize_params(L.init_params(cfg, seed=12), "q8_0")
+    toks = jnp.asarray([[3, 9, 17]], jnp.int32)
+    full = L.embed(qp, cfg, toks, pooling="none")
+    assert full.shape == (1, 3, 128)
+    mean = L.embed(qp, cfg, toks, pooling="mean")
+    last = L.embed(qp, cfg, toks, pooling="last")
+    assert mean.shape == last.shape == (1, 128)
+    for v in (mean, last):
+        assert abs(float(jnp.linalg.norm(v[0])) - 1.0) < 1e-5
+    # pooling='none' is the raw state: its normalized last row == 'last'
+    import numpy as np
+
+    raw_last = np.array(full[0, -1])
+    raw_last = raw_last / np.linalg.norm(raw_last)
+    np.testing.assert_allclose(np.asarray(last[0]), raw_last, atol=1e-5)
