@@ -43,4 +43,8 @@ run python scripts/perf_lab.py 4
 # 6. decode-step component breakdown (serving-floor attack, VERDICT #5)
 run python scripts/profile_decode.py
 
+# 7. decode-attention variant sweep (ts / cache dtype / fold / ctx —
+#    attacks whichever term stage 6 says dominates)
+run python scripts/bench_attn.py
+
 echo "campaign complete: see $LOG"
