@@ -77,8 +77,9 @@ def main() -> None:
     log(f"accuracy: NMSE vs FP32 = {m.nmse:.3e} (budget 1.5e-2)")
     assert m.nmse < 1.5e-2, m
 
-    # first compile landed: the tunnel is alive — re-arm for the timing
-    # phase (remote-compile contention can legitimately take minutes)
+    # first compile landed: the tunnel is alive — the timing loop below
+    # re-arms per measurement (progress-based), since remote-compile
+    # contention can legitimately stretch any single slope past minutes
     import signal
 
     signal.alarm(TUNNEL_TIMEOUT_S)
@@ -87,6 +88,7 @@ def main() -> None:
     # variance (docs/PERF_NOTES.md), and each slope is itself overhead-free
     res = None
     for _ in range(3):
+        signal.alarm(TUNNEL_TIMEOUT_S)  # re-arm: progress, not total time
         r = bm.benchmark_kernel(
             dispatch,
             (wp, a_q),
@@ -98,6 +100,7 @@ def main() -> None:
         log(r.row())
         if res is None or r.time_s < res.time_s:
             res = r
+    signal.alarm(0)
     log(f"roofline: {res.gbps:.0f} GB/s of ~900 GB/s measured HBM stream "
         f"({res.gbps / 9.0:.0f}%)")
 

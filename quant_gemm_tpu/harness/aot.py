@@ -99,7 +99,8 @@ def aot_compile(
         mesh = topology_mesh()
     if in_shardings is None:
         sds_args = shape_structs(list(args), mesh=mesh)
-        jfn = jax.jit(fn, donate_argnums=tuple(donate_argnums),
+        jfn = jax.jit(fn, out_shardings=out_shardings,
+                      donate_argnums=tuple(donate_argnums),
                       static_argnames=tuple(static_argnames))
     else:
         # per-arg shardings: honor them in both the structs and the jit

@@ -775,25 +775,35 @@ jit_forward = jax.jit(forward, static_argnames=("cfg", "act_mode",
                                                 "return_hidden"))
 
 
-def embed(qparams, cfg: LlamaConfig, tokens, *, pooling: str = "mean",
-          act_mode: str = "q8_1") -> jax.Array:
+def embed(qparams, cfg: LlamaConfig, tokens, *, lengths=None,
+          pooling: str = "mean", act_mode: str = "q8_1") -> jax.Array:
     """Sequence embeddings from the final-norm hidden states (the
     llama.cpp ``--embedding`` surface).
 
-    ``pooling``: 'mean' over real tokens, 'last' (causal-LM convention),
-    or 'none' ([B, T, dim] per-token states).  Returns f32, L2-normalized
-    for mean/last (llama.cpp server normalizes embeddings the same way).
+    ``lengths`` [B]: real token counts when rows are right-padded (callers
+    padding to a bucket width — e.g. the HTTP server — keep ONE compiled
+    program per bucket instead of one per prompt length).  Pooling masks
+    pad positions: 'mean' over real tokens, 'last' = the final REAL token
+    (causal-LM convention), 'none' = [B, T, dim] per-token states.
+    Returns f32, L2-normalized for mean/last (llama.cpp server semantics).
     """
     tokens = jnp.asarray(tokens, jnp.int32)
-    cache = KVCache.init(cfg, tokens.shape[0])
+    b, t = tokens.shape
+    lengths = (jnp.full((b,), t, jnp.int32) if lengths is None
+               else jnp.asarray(lengths, jnp.int32))
+    cache = KVCache.init(cfg, b)
     hidden, _ = jit_forward(qparams, cfg, tokens, cache,
                             act_mode=act_mode, return_hidden=True)
     if pooling == "none":
         return hidden
     if pooling == "last":
-        vec = hidden[:, -1]
+        vec = jnp.take_along_axis(
+            hidden, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0]
     elif pooling == "mean":
-        vec = hidden.mean(axis=1)
+        mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(jnp.float32)
+        vec = (hidden * mask[:, :, None]).sum(axis=1) / jnp.maximum(
+            lengths[:, None].astype(jnp.float32), 1.0)
     else:
         raise ValueError(f"unknown pooling {pooling!r}")
     norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)

@@ -6,7 +6,10 @@ llama.cpp methodology: stride ctx/2, score the second half of each
 window).  Prints ONE JSON line {"ppl", "nll", "tokens", "ctx", "stride"}.
 
 Usage: python scripts/perplexity.py -m model.gguf -f corpus.txt
-       [--ctx 512] [--stride 256] [--kv q8] [--cpu]
+       [--ctx 512] [--stride 256] [--act-mode q8_1|bf16] [--cpu]
+
+(No KV-cache dtype knob: teacher-forced scoring runs each window as one
+fresh-cache prefill, so the cache never round-trips a second step.)
 """
 
 from __future__ import annotations

@@ -47,6 +47,7 @@ class Engine:
         self.lock = threading.Lock()
         self.wake = threading.Condition(self.lock)
         self.queues: dict[int, queue.Queue] = {}
+        self._sent: dict[int, int] = {}  # rid -> tokens already relayed
         self._stop = False
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
@@ -56,8 +57,32 @@ class Engine:
         with self.wake:
             rid = self.server.submit(prompt_ids, **kw)
             self.queues[rid] = q
+            self._sent[rid] = 0
             self.wake.notify()
         return rid, q
+
+    def _relay(self) -> None:
+        """Push every not-yet-relayed generated token (INCLUDING the
+        admit-time prefill-sampled first token, which Server.step()'s
+        return dict never contains) to its request queue."""
+        reqs = {}
+        for r in self.server.slots:
+            if r is not None:
+                reqs[r.rid] = r
+        for rid in list(self.queues):
+            r = reqs.get(rid) or self.server.finished.get(rid)
+            if r is None:
+                continue
+            sent = self._sent[rid]
+            for t in r.generated[sent:]:
+                self.queues[rid].put(int(t))
+            self._sent[rid] = len(r.generated)
+            if rid in self.server.finished:
+                # the HTTP layer owns the result now: prune so a
+                # long-running server does not retain every Request
+                self.server.finished.pop(rid)
+                self.queues.pop(rid).put(None)  # end-of-stream sentinel
+                self._sent.pop(rid)
 
     def _loop(self):
         while True:
@@ -69,15 +94,18 @@ class Engine:
                     self.wake.wait()
                 if self._stop:
                     return
-                toks = self.server.step()
-                done = [rid for rid in list(self.queues)
-                        if rid in self.server.finished]
-            for rid, t in toks.items():
-                q = self.queues.get(rid)
-                if q is not None:
-                    q.put(int(t))
-            for rid in done:
-                self.queues.pop(rid).put(None)  # end-of-stream sentinel
+                try:
+                    self.server.step()
+                    self._relay()
+                except Exception:  # noqa: BLE001 - keep the loop alive
+                    import traceback
+
+                    traceback.print_exc(file=sys.stderr)
+                    # unblock every waiting client rather than wedging
+                    for rid, q in list(self.queues.items()):
+                        q.put(None)
+                    self.queues.clear()
+                    self._sent.clear()
 
     def shutdown(self):
         with self.wake:
@@ -155,8 +183,12 @@ def make_handler(engine: Engine):
                     self.wfile.write(
                         b"data: " + json.dumps(chunk).encode() + b"\n\n")
                     self.wfile.flush()
+            # flush any withheld tail (a genuinely-trailing replacement
+            # char that never got its continuation byte) so streamed
+            # deltas always concatenate to the non-streamed response
+            tail = tok.decode(ids)[len(text):]
             self.wfile.write(
-                b"data: " + json.dumps(stream_fmt("", True)).encode()
+                b"data: " + json.dumps(stream_fmt(tail, True)).encode()
                 + b"\n\ndata: [DONE]\n\n")
             self.wfile.flush()
             self.close_connection = True
@@ -195,13 +227,20 @@ def make_handler(engine: Engine):
             import jax.numpy as jnp
 
             ids = tok.encode(text)
-            # single forward outside the batching loop; serialize on the
-            # engine lock so it never interleaves with a decode step
+            # pad to the prefill bucket so distinct prompt lengths reuse
+            # ONE compiled program per bucket (a per-length recompile here
+            # would stall the decode loop for its duration); pooling masks
+            # the pad positions via lengths
+            bucket = engine.server.bucket
+            width = max(((len(ids) + bucket - 1) // bucket) * bucket, bucket)
+            padded = ids + [0] * (width - len(ids))
+            # serialize on the engine lock so the forward never
+            # interleaves with a decode step
             with engine.lock:
                 vec = llama.embed(
                     engine.server.qparams, engine.server.cfg,
-                    jnp.asarray([ids]), pooling=pooling,
-                    act_mode=engine.server.act_mode)
+                    jnp.asarray([padded]), lengths=jnp.asarray([len(ids)]),
+                    pooling=pooling, act_mode=engine.server.act_mode)
             return [float(v) for v in vec[0]], len(ids)
 
         def _embedding(self, req):  # llama.cpp native
@@ -263,7 +302,7 @@ def make_handler(engine: Engine):
             if req.get("stream"):
                 self._run(ids, req, stream_fmt=lambda d, stop: {
                     "object": "chat.completion.chunk",
-                    "choices": [{"delta": ({} if stop else {"content": d}),
+                    "choices": [{"delta": ({"content": d} if d else {}),
                                  "index": 0,
                                  "finish_reason": "stop" if stop else None}],
                 })

@@ -46,7 +46,9 @@ def test_completion_native(base_url):
     out = _post(base_url + "/completion",
                 {"prompt": "hello world", "n_predict": 4})
     assert out["stop"] is True
-    assert out["tokens_predicted"] >= 1
+    # EVERY generated token is relayed, including the admit-time
+    # prefill-sampled first one (the fixture model never emits EOS)
+    assert out["tokens_predicted"] == 4
     assert isinstance(out["content"], str)
     # metrics reflect the work
     with urllib.request.urlopen(base_url + "/metrics", timeout=60) as r:
