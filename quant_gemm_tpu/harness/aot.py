@@ -42,6 +42,30 @@ def topology(name: str = DEFAULT_TOPOLOGY):
     return topologies.get_topology_desc(name, "tpu")
 
 
+def topology_available(retries: int = 12, delay: float = 5.0) -> bool:
+    """True when the deviceless topology can be built.
+
+    libtpu guards its init with /tmp/libtpu_lockfile; a CONCURRENT process
+    (another test run, a bench) makes ``topology()`` raise ABORTED even
+    though libtpu is present — treating that as "no topology" would
+    silently disable the Mosaic compile gate.  Retry through transient
+    lock contention; only a persistent or structural failure reports
+    False (and the gate tests skip with that reason).
+    """
+    import time
+
+    for i in range(retries):
+        try:
+            topology()
+            return True
+        except Exception as e:  # noqa: BLE001
+            if "lockfile" in str(e).lower() and i < retries - 1:
+                time.sleep(delay)
+                continue
+            return False
+    return False
+
+
 def topology_mesh(axes: Mapping[str, int] | None = None,
                   name: str = DEFAULT_TOPOLOGY) -> jax.sharding.Mesh:
     """A Mesh of compile-only devices, e.g. ``{"tp": 8}`` or ``{"dp": 2,
@@ -199,6 +223,6 @@ def overlap_report(hlo: str) -> dict:
     return out
 
 
-__all__ = ["topology", "topology_mesh", "shape_structs", "aot_compile",
-           "compiled_hlo", "overlap_report", "OVERLAP_OPTS",
-           "DEFAULT_TOPOLOGY"]
+__all__ = ["topology", "topology_available", "topology_mesh",
+           "shape_structs", "aot_compile", "compiled_hlo",
+           "overlap_report", "OVERLAP_OPTS", "DEFAULT_TOPOLOGY"]

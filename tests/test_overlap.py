@@ -37,15 +37,7 @@ TP = 8
 N, K, M = 1024, 2048, 256
 
 
-def _topo_ok():
-    try:
-        aot.topology()
-        return True
-    except Exception:
-        return False
-
-
-if not _topo_ok():  # pragma: no cover - only when libtpu is absent
+if not aot.topology_available():  # pragma: no cover - libtpu absent/busy
     pytestmark = pytest.mark.skip(reason="no deviceless TPU topology")
 
 
