@@ -89,6 +89,56 @@ def _sample_one(logits, key, position, temp, topk, topp, minp, recent, rpen,
     )[0]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "act_mode"), donate_argnums=(3,)
+)
+def _decode_step_logits(qparams, rope, tokens, cache, keys, temps, topk,
+                        topp, minp, recent, rpen, bias_ids, bias_vals, *,
+                        cfg, act_mode):
+    """_decode_step variant that ALSO returns the last-position logits —
+    compiled only when grammar-constrained requests are active (the host
+    needs the full distribution to apply the grammar mask)."""
+    logits, cache = llama.forward(
+        qparams, cfg, tokens, cache, act_mode=act_mode, rope_cache=rope
+    )
+    nxt = sampling.sample(
+        logits[:, -1], keys, cache.pos - 1, temps, topk, topp,
+        min_p=minp, recent=recent, repeat_penalty=rpen,
+        bias_ids=bias_ids, bias_vals=bias_vals,
+    )
+    return nxt, logits[:, -1], cache
+
+
+def _grammar_sample(logits_np: np.ndarray, r: "Request") -> int:
+    """Host-side constrained sampling: grammar mask, then temperature /
+    top-k / top-p over the surviving tokens (llama.cpp applies its grammar
+    exactly here — after penalties, before the final pick).  Greedy at
+    temperature 0; seeded per-request numpy PRNG otherwise."""
+    masked = r.grammar.filter_logits(logits_np)
+    if not np.isfinite(masked).any():
+        raise ValueError(
+            f"grammar rejected every token (request {r.rid}) — the "
+            "grammar cannot be continued with this vocabulary")
+    if r.temperature <= 0:
+        return int(np.argmax(masked))
+    x = masked.astype(np.float64) / r.temperature
+    if r.top_k:
+        kth = np.sort(x)[-r.top_k]
+        x = np.where(x >= kth, x, -np.inf)
+    x -= x.max()
+    p = np.exp(x)
+    p /= p.sum()
+    if 0.0 < r.top_p < 1.0:
+        order = np.argsort(-p)
+        csum = np.cumsum(p[order])
+        cut = np.searchsorted(csum, r.top_p) + 1
+        keep = order[:cut]
+        mask = np.zeros_like(p)
+        mask[keep] = p[keep]
+        p = mask / mask.sum()
+    return int(r.np_rng().choice(len(p), p=p))
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _insert_slot(cache, slot, k1, v1, scales, length):
     # donated in-place slot insert (a functional .at[].set on the full
@@ -136,8 +186,15 @@ class Request:
     repeat_penalty: float = 1.0
     logit_bias: Optional[dict] = None  # {token_id: bias}; +-inf bans/forces
     seed: Optional[int] = None
+    grammar: Optional[object] = None  # models.grammar.GrammarSampler
     generated: list = dataclasses.field(default_factory=list)
     done: bool = False
+
+    def np_rng(self):
+        if not hasattr(self, "_np_rng"):
+            self._np_rng = np.random.default_rng(
+                self.seed if self.seed is not None else self.rid)
+        return self._np_rng
 
 
 class Server:
@@ -220,6 +277,7 @@ class Server:
         repeat_penalty: float = 1.0,
         logit_bias: Optional[dict] = None,
         seed: Optional[int] = None,
+        grammar=None,
     ) -> int:
         if not prompt:
             raise ValueError("empty prompt")
@@ -230,7 +288,7 @@ class Server:
         r = Request(self._next_rid, list(prompt), max_new,
                     temperature=temperature, top_k=top_k, top_p=top_p,
                     min_p=min_p, repeat_penalty=repeat_penalty,
-                    logit_bias=logit_bias, seed=seed)
+                    logit_bias=logit_bias, seed=seed, grammar=grammar)
         self._next_rid += 1
         self.queue.append(r)
         return r.rid
@@ -284,13 +342,17 @@ class Server:
             # left, so left-aligning would evict prompt tokens while empty
             # (-1) slots remain free
             self._recent[s, PENALTY_WINDOW - len(tail):] = tail
-            tok = int(_sample_one(
-                last_logits, rkey, len(r.prompt) - 1, r.temperature,
-                r.top_k, r.top_p, r.min_p,
-                jnp.asarray(self._recent[s]), r.repeat_penalty,
-                jnp.asarray(self._bias_ids[s]),
-                jnp.asarray(self._bias_vals[s]),
-            ))
+            if r.grammar is not None:
+                tok = _grammar_sample(np.asarray(last_logits), r)
+                r.grammar.accept(tok)
+            else:
+                tok = int(_sample_one(
+                    last_logits, rkey, len(r.prompt) - 1, r.temperature,
+                    r.top_k, r.top_p, r.min_p,
+                    jnp.asarray(self._recent[s]), r.repeat_penalty,
+                    jnp.asarray(self._bias_ids[s]),
+                    jnp.asarray(self._bias_vals[s]),
+                ))
             r.generated.append(tok)
             self._n_prefill_tokens += len(r.prompt)
             self._n_tokens += 1
@@ -319,15 +381,33 @@ class Server:
             self.cache = _shift_cache(self.cache, self._rope, cfg=self.cfg,
                                       keep=self._shift_keep)
         tokens = jnp.asarray(self._pending_tok[:, None])
-        nxt, self.cache = _decode_step(
+        gslots = [s for s in active if self.slots[s].grammar is not None]
+        step_args = (
             self.qparams, self._rope, tokens, self.cache, self._keys,
             jnp.asarray(self._temps), jnp.asarray(self._topk),
             jnp.asarray(self._topp), jnp.asarray(self._minp),
             jnp.asarray(self._recent), jnp.asarray(self._rpen),
             jnp.asarray(self._bias_ids), jnp.asarray(self._bias_vals),
-            cfg=self.cfg, act_mode=self.act_mode,
         )
+        if gslots:
+            nxt, last_logits, self.cache = _decode_step_logits(
+                *step_args, cfg=self.cfg, act_mode=self.act_mode)
+        else:
+            nxt, self.cache = _decode_step(
+                *step_args, cfg=self.cfg, act_mode=self.act_mode)
         nxt = np.asarray(nxt)
+        if gslots:
+            # host-side constrained re-pick for grammar slots: mask every
+            # continuation the grammar forbids, then sample; the in-jit
+            # pick is discarded (it never touched the cache — the sampled
+            # token only becomes NEXT step's input)
+            ll = np.asarray(last_logits)
+            nxt = nxt.copy()
+            for s in gslots:
+                r = self.slots[s]
+                tok = _grammar_sample(ll[s], r)
+                r.grammar.accept(tok)
+                nxt[s] = tok
         self._n_steps += 1
         self._n_tokens += len(active)
         self._n_decode_tokens += len(active)

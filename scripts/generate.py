@@ -37,6 +37,11 @@ def main() -> None:
     ap.add_argument("--kv", default="bf16", choices=["bf16", "q8"])
     ap.add_argument("--lora", default=None, metavar="ADAPTER_GGUF",
                     help="apply a llama.cpp LoRA adapter at runtime")
+    ap.add_argument("--grammar-file", default=None, metavar="GBNF",
+                    help="constrain sampling to a GBNF grammar (llama.cpp "
+                         "--grammar-file)")
+    ap.add_argument("--json", action="store_true",
+                    help="constrain output to JSON (llama.cpp json.gbnf)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (tests / no-TPU boxes)")
     args = ap.parse_args()
@@ -86,10 +91,20 @@ def main() -> None:
 
     srv = serve.Server(qparams, cfg, n_slots=1, cache_qtype=args.kv,
                        eos_id=tok.eos_id if tok else None)
+    gsampler = None
+    if args.json or args.grammar_file:
+        from quant_gemm_tpu.models.grammar import JSON_GBNF, GrammarSampler
+
+        if tok is None:
+            ap.error("--grammar needs a tokenizer (not usable with --ids)")
+        gbnf = (JSON_GBNF if args.json
+                else open(args.grammar_file, encoding="utf-8").read())
+        gsampler = GrammarSampler(gbnf, tok)
     rid = srv.submit(prompt_ids, max_new=args.n_predict,
                      temperature=args.temp, top_k=args.top_k,
                      top_p=args.top_p, min_p=args.min_p,
-                     repeat_penalty=args.repeat_penalty, seed=args.seed)
+                     repeat_penalty=args.repeat_penalty, seed=args.seed,
+                     grammar=gsampler)
     t0 = time.time()
     out_ids = srv.run_until_done()[rid]
     dt = time.time() - t0

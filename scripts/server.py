@@ -146,6 +146,17 @@ def make_handler(engine: Engine):
             return json.loads(self.rfile.read(n) or b"{}")
 
         def _run(self, prompt_ids, req, *, stream_fmt=None):
+            gsampler = None
+            gbnf = req.get("grammar")  # llama.cpp server native field
+            rf = req.get("response_format") or {}
+            if gbnf is None and rf.get("type") == "json_object":
+                from quant_gemm_tpu.models.grammar import JSON_GBNF
+
+                gbnf = JSON_GBNF
+            if gbnf:
+                from quant_gemm_tpu.models.grammar import GrammarSampler
+
+                gsampler = GrammarSampler(gbnf, tok)
             kw = dict(
                 max_new=int(req.get("n_predict",
                                     req.get("max_tokens", 64))),
@@ -155,6 +166,7 @@ def make_handler(engine: Engine):
                 min_p=float(req.get("min_p", 0.0)),
                 repeat_penalty=float(req.get("repeat_penalty", 1.0)),
                 seed=req.get("seed"),
+                grammar=gsampler,
             )
             rid, q = engine.submit(prompt_ids, **kw)
             if stream_fmt is None:
