@@ -431,6 +431,24 @@ class Server:
                 self.slots[s] = None
         return out
 
+    def cancel(self, rid: int) -> bool:
+        """Stop a request early (llama.cpp server slot release — e.g. a
+        stop string matched, or the client disconnected).  The request
+        moves to ``finished`` with whatever it generated so far."""
+        for s in range(self.n_slots):
+            r = self.slots[s]
+            if r is not None and r.rid == rid:
+                r.done = True
+                self.finished[rid] = r
+                self.slots[s] = None
+                return True
+        for i, r in enumerate(self.queue):
+            if r.rid == rid:
+                r.done = True
+                self.finished[rid] = self.queue.pop(i)
+                return True
+        return False
+
     def stats(self) -> dict:
         """Serving counters: decode steps, generated/prefilled tokens, queue
         and slot occupancy — the observability surface a production loop

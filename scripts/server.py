@@ -107,6 +107,21 @@ class Engine:
                     self.queues.clear()
                     self._sent.clear()
 
+    def cancel(self, rid: int) -> None:
+        """Stop a request early (stop string matched / client gone) and
+        flush its queue with the end-of-stream sentinel — the loop thread
+        may be asleep, so the sentinel cannot wait for the next step."""
+        with self.wake:
+            self.server.cancel(rid)
+            r = self.server.finished.pop(rid, None)
+            q = self.queues.pop(rid, None)
+            sent = self._sent.pop(rid, 0)
+            if q is not None:
+                if r is not None:
+                    for t in r.generated[sent:]:
+                        q.put(int(t))
+                q.put(None)
+
     def shutdown(self):
         with self.wake:
             self._stop = True
@@ -120,6 +135,29 @@ def _decode_stream(tok, ids: list, prev_text: str) -> str:
     while text.endswith("�"):
         text = text[:-1]
     return text if len(text) >= len(prev_text) else prev_text
+
+
+def _find_stop(text: str, stops) -> int:
+    """Index of the earliest stop-string occurrence, or -1."""
+    best = -1
+    for s in stops:
+        i = text.find(s)
+        if i >= 0 and (best < 0 or i < best):
+            best = i
+    return best
+
+
+def _hold_len(text: str, stops) -> int:
+    """Longest tail of ``text`` that is a PREFIX of some stop string —
+    withheld from streaming until disambiguated (llama.cpp's
+    stopping-word hold)."""
+    hold = 0
+    for s in stops:
+        for n in range(min(len(s) - 1, len(text)), 0, -1):
+            if s.startswith(text[-n:]):
+                hold = max(hold, n)
+                break
+    return hold
 
 
 def make_handler(engine: Engine):
@@ -168,7 +206,16 @@ def make_handler(engine: Engine):
                 seed=req.get("seed"),
                 grammar=gsampler,
             )
+            stops = req.get("stop") or []
+            if isinstance(stops, str):
+                stops = [stops]
             rid, q = engine.submit(prompt_ids, **kw)
+
+            def drain_after_cancel():
+                engine.cancel(rid)
+                while q.get() is not None:  # consume through the sentinel
+                    pass
+
             if stream_fmt is None:
                 ids = []
                 while True:
@@ -176,29 +223,58 @@ def make_handler(engine: Engine):
                     if t is None:
                         break
                     ids.append(t)
+                    if stops:
+                        i = _find_stop(tok.decode(ids), stops)
+                        if i >= 0:
+                            drain_after_cancel()
+                            return rid, ids, tok.decode(ids)[:i]
                 return rid, ids, tok.decode(ids)
             # SSE streaming
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
-            ids, text = [], ""
+            ids, emitted, text = [], "", ""
+            stopped = False
             while True:
                 t = q.get()
                 if t is None:
                     break
                 ids.append(t)
-                new = _decode_stream(tok, ids, text)
-                delta, text = new[len(text):], new
+                text = _decode_stream(tok, ids, text)
+                if stops:
+                    i = _find_stop(text, stops)
+                    if i >= 0:
+                        text = text[:i]
+                        stopped = True
+                    else:
+                        # withhold a tail that could become a stop string
+                        text_emit = text[: len(text) - _hold_len(text, stops)]
+                        text, full = text_emit, text
+                delta = text[len(emitted):]
                 if delta:
-                    chunk = stream_fmt(delta, False)
                     self.wfile.write(
-                        b"data: " + json.dumps(chunk).encode() + b"\n\n")
+                        b"data: "
+                        + json.dumps(stream_fmt(delta, False)).encode()
+                        + b"\n\n")
                     self.wfile.flush()
+                    emitted = text
+                if stopped:
+                    drain_after_cancel()
+                    break
+                if stops and not stopped:
+                    text = full  # restore the held tail for next round
             # flush any withheld tail (a genuinely-trailing replacement
-            # char that never got its continuation byte) so streamed
-            # deltas always concatenate to the non-streamed response
-            tail = tok.decode(ids)[len(text):]
+            # char, or a held stop-prefix that never completed) so deltas
+            # always concatenate to the non-streamed response
+            if stopped:
+                tail = ""
+            else:
+                final = tok.decode(ids)
+                if stops:
+                    i = _find_stop(final, stops)
+                    final = final[:i] if i >= 0 else final
+                tail = final[len(emitted):]
             self.wfile.write(
                 b"data: " + json.dumps(stream_fmt(tail, True)).encode()
                 + b"\n\ndata: [DONE]\n\n")
@@ -212,6 +288,17 @@ def make_handler(engine: Engine):
                 self._json(200, {"status": "ok"})
             elif self.path in ("/metrics", "/stats"):
                 self._json(200, engine.server.stats())
+            elif self.path == "/props":
+                cfg = engine.server.cfg
+                self._json(200, {
+                    "n_ctx": cfg.max_seq,
+                    "n_embd": cfg.dim,
+                    "n_vocab": cfg.vocab,
+                    "total_slots": engine.server.n_slots,
+                    "chat_template":
+                        engine.metadata.get("tokenizer.chat_template", ""),
+                    "model": engine.metadata.get("general.name", ""),
+                })
             else:
                 self._json(404, {"error": "unknown endpoint"})
 
@@ -228,6 +315,11 @@ def make_handler(engine: Engine):
                     self._embedding(req)
                 elif self.path == "/v1/embeddings":
                     self._oai_embeddings(req)
+                elif self.path == "/tokenize":
+                    self._json(200, {"tokens": tok.encode(req["content"])})
+                elif self.path == "/detokenize":
+                    self._json(200,
+                               {"content": tok.decode(req["tokens"])})
                 else:
                     self._json(404, {"error": "unknown endpoint"})
             except Exception as e:  # noqa: BLE001 - surface to the client

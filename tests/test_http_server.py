@@ -131,3 +131,49 @@ def test_openai_embeddings(base_url):
     a, b = out["data"][0]["embedding"], out["data"][1]["embedding"]
     # different texts embed differently
     assert any(abs(x - y) > 1e-4 for x, y in zip(a, b))
+
+
+def test_tokenize_detokenize_props(base_url):
+    out = _post(base_url + "/tokenize", {"content": "hello world"})
+    assert isinstance(out["tokens"], list) and out["tokens"]
+    back = _post(base_url + "/detokenize", {"tokens": out["tokens"]})
+    assert back["content"] == "hello world"
+    with urllib.request.urlopen(base_url + "/props", timeout=60) as r:
+        props = json.loads(r.read())
+    assert props["n_embd"] == 256 and props["total_slots"] == 2
+    assert "<|user|>" in props["chat_template"]
+
+
+def test_stop_strings(base_url):
+    # learn what the model actually emits, then stop on a substring of it
+    full = _post(base_url + "/completion",
+                 {"prompt": "hello world", "n_predict": 6})
+    content = full["content"]
+    assert len(content) >= 2
+    stop = content[1:3]  # a 2-char stop inside the natural output
+    out = _post(base_url + "/completion",
+                {"prompt": "hello world", "n_predict": 6, "stop": [stop]})
+    assert out["content"] == content[: content.find(stop)]
+    assert stop not in out["content"]
+
+    # streaming: deltas + final tail concatenate to the same truncation
+    req = urllib.request.Request(
+        base_url + "/completion",
+        data=json.dumps({"prompt": "hello world", "n_predict": 6,
+                         "stop": [stop], "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    events = []
+    with urllib.request.urlopen(req, timeout=600) as r:
+        for raw in r:
+            line = raw.decode().strip()
+            if line.startswith("data: ") and line != "data: [DONE]":
+                events.append(json.loads(line[6:]))
+    text = "".join(e["content"] for e in events)
+    assert text == out["content"], (text, out["content"])
+
+
+def test_grammar_forced_over_http(base_url):
+    out = _post(base_url + "/completion",
+                {"prompt": "say", "n_predict": 16,
+                 "grammar": 'root ::= "yes" | "no"'})
+    assert out["content"] in ("yes", "no"), out["content"]
