@@ -42,6 +42,11 @@ def main() -> None:
                          "--grammar-file)")
     ap.add_argument("--json", action="store_true",
                     help="constrain output to JSON (llama.cpp json.gbnf)")
+    ap.add_argument("--draft", default=None, metavar="DRAFT_GGUF",
+                    help="speculative decoding with this draft model "
+                         "(llama.cpp llama-speculative)")
+    ap.add_argument("--draft-k", type=int, default=4,
+                    help="proposal length per target call")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (tests / no-TPU boxes)")
     args = ap.parse_args()
@@ -91,6 +96,33 @@ def main() -> None:
 
     srv = serve.Server(qparams, cfg, n_slots=1, cache_qtype=args.kv,
                        eos_id=tok.eos_id if tok else None)
+    if args.draft:
+        # speculative decoding path (llama.cpp llama-speculative): the
+        # draft proposes k tokens per target call; greedy output is
+        # IDENTICAL to plain decode, sampled output distribution-exact
+        import jax.numpy as jnp
+
+        from quant_gemm_tpu.models import speculative
+
+        if args.json or args.grammar_file:
+            ap.error("--draft and grammar constraints are exclusive")
+        qp_d, cfg_d = load_llama(args.draft)
+        toks = jnp.asarray([list(prompt_ids)], jnp.int32)
+        t0 = time.time()
+        out_tok, tpc = speculative.speculative_sample_decode(
+            qparams, cfg, qp_d, cfg_d, toks, args.n_predict,
+            k=args.draft_k, temperature=args.temp, top_k=args.top_k,
+            top_p=args.top_p, seed=args.seed or 0, act_mode="q8_1")
+        dt = time.time() - t0
+        out_ids = [int(t) for t in out_tok[0]]
+        print(f"{len(out_ids)} tokens in {dt:.1f}s "
+              f"({tpc:.2f} tokens/target-call)", file=sys.stderr, flush=True)
+        if tok is not None:
+            print(tok.decode(list(prompt_ids) + out_ids))
+        else:
+            print(",".join(str(t) for t in out_ids))
+        return
+
     gsampler = None
     if args.json or args.grammar_file:
         from quant_gemm_tpu.models.grammar import JSON_GBNF, GrammarSampler

@@ -211,3 +211,18 @@ def test_serving_accuracy_vs_float(loaded):
     logits, _ = llama.jit_forward(params, cfg, toks, llama.KVCache.init(cfg, 1))
     assert bool(jnp.isfinite(logits).all())
     assert logits.shape == (1, 4, cfg.vocab)
+
+
+@pytest.mark.slow
+def test_speculative_greedy_matches_pinned_transcript(loaded):
+    """Speculative decoding with draft == target must reproduce the plain
+    greedy transcript exactly (llama.cpp llama-speculative invariant) at
+    maximal acceptance."""
+    from quant_gemm_tpu.models import speculative
+
+    params, cfg = loaded
+    toks = jnp.asarray([PROMPT_IDS], jnp.int32)
+    out, tpc = speculative.speculative_greedy_decode(
+        params, cfg, params, cfg, toks, len(GREEDY_CONT), k=3)
+    assert [int(t) for t in out[0]] == GREEDY_CONT
+    assert tpc > 1.5  # draft == target: acceptance near k+1
