@@ -109,6 +109,15 @@ def _decode_step_logits(qparams, rope, tokens, cache, keys, temps, topk,
     return nxt, logits[:, -1], cache
 
 
+def _top_logprobs(logits_np: np.ndarray, n: int) -> list:
+    """[(token_id, logprob)] for the top-n of one position's logits."""
+    x = logits_np.astype(np.float64)
+    x -= x.max()
+    lse = np.log(np.exp(x).sum())
+    top = np.argsort(-x)[:n]
+    return [(int(t), float(x[t] - lse)) for t in top]
+
+
 def _grammar_sample(logits_np: np.ndarray, r: "Request") -> int:
     """Host-side constrained sampling: grammar mask, then temperature /
     top-k / top-p over the surviving tokens (llama.cpp applies its grammar
@@ -187,7 +196,9 @@ class Request:
     logit_bias: Optional[dict] = None  # {token_id: bias}; +-inf bans/forces
     seed: Optional[int] = None
     grammar: Optional[object] = None  # models.grammar.GrammarSampler
+    n_probs: int = 0  # top-N logprobs per generated token (llama.cpp)
     generated: list = dataclasses.field(default_factory=list)
+    probs: list = dataclasses.field(default_factory=list)  # per-token top-N
     done: bool = False
 
     def np_rng(self):
@@ -278,6 +289,7 @@ class Server:
         logit_bias: Optional[dict] = None,
         seed: Optional[int] = None,
         grammar=None,
+        n_probs: int = 0,
     ) -> int:
         if not prompt:
             raise ValueError("empty prompt")
@@ -288,7 +300,8 @@ class Server:
         r = Request(self._next_rid, list(prompt), max_new,
                     temperature=temperature, top_k=top_k, top_p=top_p,
                     min_p=min_p, repeat_penalty=repeat_penalty,
-                    logit_bias=logit_bias, seed=seed, grammar=grammar)
+                    logit_bias=logit_bias, seed=seed, grammar=grammar,
+                    n_probs=int(n_probs))
         self._next_rid += 1
         self.queue.append(r)
         return r.rid
@@ -342,6 +355,9 @@ class Server:
             # left, so left-aligning would evict prompt tokens while empty
             # (-1) slots remain free
             self._recent[s, PENALTY_WINDOW - len(tail):] = tail
+            if r.n_probs:
+                r.probs.append(_top_logprobs(np.asarray(last_logits),
+                                             r.n_probs))
             if r.grammar is not None:
                 tok = _grammar_sample(np.asarray(last_logits), r)
                 r.grammar.accept(tok)
@@ -382,6 +398,7 @@ class Server:
                                       keep=self._shift_keep)
         tokens = jnp.asarray(self._pending_tok[:, None])
         gslots = [s for s in active if self.slots[s].grammar is not None]
+        pslots = [s for s in active if self.slots[s].n_probs]
         step_args = (
             self.qparams, self._rope, tokens, self.cache, self._keys,
             jnp.asarray(self._temps), jnp.asarray(self._topk),
@@ -389,13 +406,18 @@ class Server:
             jnp.asarray(self._recent), jnp.asarray(self._rpen),
             jnp.asarray(self._bias_ids), jnp.asarray(self._bias_vals),
         )
-        if gslots:
+        if gslots or pslots:
             nxt, last_logits, self.cache = _decode_step_logits(
                 *step_args, cfg=self.cfg, act_mode=self.act_mode)
         else:
             nxt, self.cache = _decode_step(
                 *step_args, cfg=self.cfg, act_mode=self.act_mode)
         nxt = np.asarray(nxt)
+        if pslots:
+            llp = np.asarray(last_logits)
+            for s in pslots:
+                r = self.slots[s]
+                r.probs.append(_top_logprobs(llp[s], r.n_probs))
         if gslots:
             # host-side constrained re-pick for grammar slots: mask every
             # continuation the grammar forbids, then sample; the in-jit

@@ -48,6 +48,7 @@ class Engine:
         self.wake = threading.Condition(self.lock)
         self.queues: dict[int, queue.Queue] = {}
         self._sent: dict[int, int] = {}  # rid -> tokens already relayed
+        self.results: dict[int, object] = {}  # rid -> finished Request
         self._stop = False
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
@@ -79,8 +80,12 @@ class Engine:
             self._sent[rid] = len(r.generated)
             if rid in self.server.finished:
                 # the HTTP layer owns the result now: prune so a
-                # long-running server does not retain every Request
-                self.server.finished.pop(rid)
+                # long-running server does not retain every Request; the
+                # Request object itself is kept ONLY when the handler
+                # needs it back (n_probs), popped after the sentinel
+                req_obj = self.server.finished.pop(rid)
+                if getattr(req_obj, "n_probs", 0):
+                    self.results[rid] = req_obj
                 self.queues.pop(rid).put(None)  # end-of-stream sentinel
                 self._sent.pop(rid)
 
@@ -116,6 +121,8 @@ class Engine:
             r = self.server.finished.pop(rid, None)
             q = self.queues.pop(rid, None)
             sent = self._sent.pop(rid, 0)
+            if r is not None and getattr(r, "n_probs", 0):
+                self.results[rid] = r
             if q is not None:
                 if r is not None:
                     for t in r.generated[sent:]:
@@ -205,6 +212,7 @@ def make_handler(engine: Engine):
                 repeat_penalty=float(req.get("repeat_penalty", 1.0)),
                 seed=req.get("seed"),
                 grammar=gsampler,
+                n_probs=int(req.get("n_probs", req.get("logprobs") or 0)),
             )
             stops = req.get("stop") or []
             if isinstance(stops, str):
@@ -229,6 +237,8 @@ def make_handler(engine: Engine):
                             drain_after_cancel()
                             return rid, ids, tok.decode(ids)[:i]
                 return rid, ids, tok.decode(ids)
+            # (engine.results entries are popped by _probs_payload for the
+            # endpoints that report logprobs, and below for streams)
             # SSE streaming
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
@@ -280,6 +290,7 @@ def make_handler(engine: Engine):
                 + b"\n\ndata: [DONE]\n\n")
             self.wfile.flush()
             self.close_connection = True
+            engine.results.pop(rid, None)  # streams don't report logprobs
             return None
 
         # -- endpoints ---------------------------------------------------
@@ -365,6 +376,21 @@ def make_handler(engine: Engine):
             self._json(200, {"object": "list", "data": data,
                              "usage": {"prompt_tokens": total}})
 
+        def _probs_payload(self, rid, out_ids):
+            """llama.cpp completion_probabilities for a finished request."""
+            r = engine.results.pop(rid, None)
+            if r is None or not getattr(r, "probs", None):
+                return None
+            out = []
+            for tid, top in zip(out_ids, r.probs):
+                out.append({
+                    "id": tid,
+                    "token": tok.decode([tid]),
+                    "probs": [{"id": t, "token": tok.decode([t]),
+                               "logprob": lp} for t, lp in top],
+                })
+            return out
+
         def _completion(self, req):
             ids = tok.encode(req["prompt"])
             if req.get("stream"):
@@ -372,12 +398,16 @@ def make_handler(engine: Engine):
                     "content": d, "stop": stop})
                 return
             rid, out_ids, text = self._run(ids, req)
-            self._json(200, {
+            body = {
                 "content": text,
                 "tokens_predicted": len(out_ids),
                 "tokens_evaluated": len(ids),
                 "stop": True,
-            })
+            }
+            probs = self._probs_payload(rid, out_ids)
+            if probs is not None:
+                body["completion_probabilities"] = probs
+            self._json(200, body)
 
         def _oai_completion(self, req):
             ids = tok.encode(req["prompt"])
@@ -389,10 +419,22 @@ def make_handler(engine: Engine):
                 })
                 return
             rid, out_ids, text = self._run(ids, req)
+            choice = {"text": text, "index": 0, "finish_reason": "stop"}
+            probs = self._probs_payload(rid, out_ids)
+            if probs is not None:  # OpenAI logprobs shape
+                choice["logprobs"] = {
+                    "tokens": [p["token"] for p in probs],
+                    "token_logprobs": [
+                        next((e["logprob"] for e in p["probs"]
+                              if e["id"] == p["id"]), None)
+                        for p in probs],
+                    "top_logprobs": [
+                        {e["token"]: e["logprob"] for e in p["probs"]}
+                        for p in probs],
+                }
             self._json(200, {
                 "object": "text_completion",
-                "choices": [{"text": text, "index": 0,
-                             "finish_reason": "stop"}],
+                "choices": [choice],
                 "usage": {"prompt_tokens": len(ids),
                           "completion_tokens": len(out_ids)},
             })
@@ -412,6 +454,7 @@ def make_handler(engine: Engine):
                 })
                 return
             rid, out_ids, text = self._run(ids, req)
+            engine.results.pop(rid, None)  # chat doesn't report logprobs
             self._json(200, {
                 "object": "chat.completion",
                 "choices": [{"message": {"role": "assistant",

@@ -177,3 +177,24 @@ def test_grammar_forced_over_http(base_url):
                 {"prompt": "say", "n_predict": 16,
                  "grammar": 'root ::= "yes" | "no"'})
     assert out["content"] in ("yes", "no"), out["content"]
+
+
+def test_logprobs(base_url):
+    out = _post(base_url + "/completion",
+                {"prompt": "hello world", "n_predict": 3, "n_probs": 4})
+    probs = out["completion_probabilities"]
+    assert len(probs) == 3
+    for i, p in enumerate(probs):
+        assert len(p["probs"]) == 4
+        lps = [e["logprob"] for e in p["probs"]]
+        assert all(lp <= 1e-6 for lp in lps)  # logprobs are <= 0
+        assert lps == sorted(lps, reverse=True)  # descending
+        # greedy: the chosen token IS the top-1
+        assert p["id"] == p["probs"][0]["id"]
+
+    oai = _post(base_url + "/v1/completions",
+                {"prompt": "hello world", "max_tokens": 3, "logprobs": 2})
+    lp = oai["choices"][0]["logprobs"]
+    assert len(lp["tokens"]) == 3
+    assert all(v is not None and v <= 1e-6 for v in lp["token_logprobs"])
+    assert all(len(t) == 2 for t in lp["top_logprobs"])
