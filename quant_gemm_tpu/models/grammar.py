@@ -238,24 +238,121 @@ def _char_match(sym, cp: int) -> bool:
     return hit != neg
 
 
+_EXPAND_BUDGET = 4096  # work items per expansion: left-recursion guard
+
+
+def _utf8_split(buf: bytes):
+    """Split bytes into (complete code points, trailing partial sequence).
+
+    Returns (list_of_cps, partial_bytes) or (None, None) on INVALID UTF-8
+    — a candidate piece with broken encoding can never match.  A trailing
+    prefix of a valid multi-byte sequence is legal (llama.cpp's
+    partial_utf8 carry: byte-fallback tokens split code points across
+    tokens)."""
+    cps: list[int] = []
+    i, n = 0, len(buf)
+    while i < n:
+        b0 = buf[i]
+        if b0 < 0x80:
+            cps.append(b0)
+            i += 1
+            continue
+        if b0 >= 0xF8 or 0x80 <= b0 < 0xC0:
+            return None, None  # invalid lead byte
+        need = 2 if b0 < 0xE0 else 3 if b0 < 0xF0 else 4
+        if i + need > n:
+            tail = buf[i:]
+            if all(0x80 <= b < 0xC0 for b in tail[1:]):
+                return cps, tail  # plausible partial sequence
+            return None, None
+        seq = buf[i:i + need]
+        if not all(0x80 <= b < 0xC0 for b in seq[1:]):
+            return None, None
+        cp = _utf8_cp(seq)
+        if (cp < _UTF8_MIN[need] or cp > 0x10FFFF
+                or 0xD800 <= cp <= 0xDFFF):
+            return None, None  # overlong / out-of-range / surrogate
+        cps.append(cp)
+        i += need
+    return cps, b""
+
+
+_UTF8_MIN = {2: 0x80, 3: 0x800, 4: 0x10000}
+
+
+def _utf8_cp(seq: bytes) -> int:
+    need = len(seq)
+    cp = seq[0] & (0x7F >> need)
+    for b in seq[1:]:
+        cp = (cp << 6) | (b & 0x3F)
+    return cp
+
+
+def _partial_range(partial: bytes):
+    """The [lo, hi] code-point range a partial UTF-8 sequence can still
+    become (llama.cpp llama_grammar_match_partial_char)."""
+    b0 = partial[0]
+    need = 2 if b0 < 0xE0 else 3 if b0 < 0xF0 else 4
+    value = b0 & (0x7F >> need)
+    for b in partial[1:]:
+        value = (value << 6) | (b & 0x3F)
+    rem = need - len(partial)
+    lo = value << (6 * rem)
+    hi = ((value + 1) << (6 * rem)) - 1
+    # overlong encodings can never complete to a valid code point: the
+    # range floor is the encoding length's minimum (rejects 0xC0/0xC1
+    # leads outright — their whole range sits below the floor)
+    lo = max(lo, _UTF8_MIN[need])
+    hi = min(hi, 0x10FFFF)
+    if hi < lo:
+        return None
+    return lo, hi
+
+
+def _char_match_range(sym, lo: int, hi: int) -> bool:
+    """Could SOME code point in [lo, hi] match this char symbol?"""
+    _, ranges, neg = sym
+    if not neg:
+        return any(a <= hi and lo <= b for a, b in ranges)
+    # negated: true iff [lo, hi] is not fully covered by the ranges
+    ivs = sorted((max(a, lo), min(b, hi))
+                 for a, b in ranges if a <= hi and b >= lo)
+    cur = lo
+    for a, b in ivs:
+        if a > cur:
+            return True
+        cur = max(cur, b + 1)
+    return cur <= hi
+
+
 class GrammarMatcher:
     """A set of symbol stacks over the rule table (llama.cpp
     llama_grammar stacks).  Top of stack = NEXT symbol to match; stacks
     are expanded so every top is a char symbol (or the stack is empty =
-    accept)."""
+    accept).  Matching is BYTE-oriented with a partial-UTF-8 carry
+    (llama.cpp decode_utf8 semantics): token pieces may split a code
+    point, and the grammar sees whole code points only."""
 
     def __init__(self, rules: dict, stacks=None):
         self.rules = rules
         if stacks is None:
             stacks = self._expand((("ref", "root"),))
         self.stacks: set[tuple] = stacks
+        self.partial: bytes = b""
 
     def _expand(self, stack: tuple) -> set[tuple]:
         """Expand leading refs until the top is a char symbol / empty."""
         out: set[tuple] = set()
         work = [stack]
         seen = set()
+        budget = _EXPAND_BUDGET
         while work:
+            budget -= 1
+            if budget < 0:
+                raise ValueError(
+                    "grammar expansion budget exceeded — the grammar is "
+                    "LEFT-RECURSIVE or pathologically ambiguous (llama.cpp "
+                    "rejects left recursion too)")
             s = work.pop()
             if s in seen:
                 continue
@@ -276,29 +373,81 @@ class GrammarMatcher:
                 nxt |= self._expand(s[1:])
         return nxt
 
-    def advance(self, text: str) -> bool:
-        """Consume text; False (state unchanged) if it cannot match."""
-        stacks = self.stacks
-        for ch in text:
-            stacks = self._advance_char(stacks, ord(ch))
+    def _advance_bytes(self, stacks: set, partial: bytes, data: bytes):
+        """(stacks, partial) after consuming data, or (None, None)."""
+        cps, new_partial = _utf8_split(partial + data)
+        if cps is None:
+            return None, None
+        for cp in cps:
+            stacks = self._advance_char(stacks, cp)
             if not stacks:
-                return False
-        self.stacks = stacks
+                return None, None
+        if new_partial:
+            # a pending partial is legal only if some completion of it
+            # could match a current char alternative (llama.cpp
+            # llama_grammar_match_partial_char) — otherwise any lead
+            # byte would count as "legal" and desync constrained decoding
+            rng = _partial_range(new_partial)
+            if rng is None:
+                return None, None
+            lo, hi = rng
+            if not any(s and s[0][0] == "char"
+                       and _char_match_range(s[0], lo, hi)
+                       for s in stacks):
+                return None, None
+        return stacks, new_partial
+
+    def advance(self, text) -> bool:
+        """Consume text (str or bytes); False (state unchanged) if it
+        cannot match."""
+        data = text.encode("utf-8") if isinstance(text, str) else text
+        stacks, partial = self._advance_bytes(self.stacks, self.partial,
+                                              data)
+        if stacks is None:
+            return False
+        self.stacks, self.partial = stacks, partial
         return True
 
-    def allows(self, text: str) -> bool:
-        """Can this text extend the current state? (state not mutated)"""
-        stacks = self.stacks
-        for ch in text:
-            stacks = self._advance_char(stacks, ord(ch))
-            if not stacks:
-                return False
-        return True
+    def allows(self, text) -> bool:
+        """Can this text (str or bytes) extend the state? (not mutated)"""
+        data = text.encode("utf-8") if isinstance(text, str) else text
+        stacks, _ = self._advance_bytes(self.stacks, self.partial, data)
+        return stacks is not None
 
     @property
     def can_finish(self) -> bool:
-        """True when the input so far is a complete sentence (EOS legal)."""
-        return any(not s for s in self.stacks)
+        """True when the input so far is a complete sentence (EOS legal):
+        an empty stack exists and no partial code point is pending."""
+        return not self.partial and any(not s for s in self.stacks)
+
+
+def piece_bytes(tok, tid: int) -> bytes | None:
+    """The RAW bytes a token contributes to the output stream, context-
+    free — NOT ``tok.decode([tid])``, which strips SPM leading-space
+    markers and mangles split multi-byte UTF-8 into U+FFFD (either would
+    desync the grammar from the real decoded text).  Specials return
+    None (never grammar-legal)."""
+    from .tokenizer import _SPACE, _U2B, SPECIAL_TOKEN_TYPES, TOKEN_BYTE
+
+    if not 0 <= tid < len(tok.tokens):
+        return None
+    tt = tok.token_types[tid]
+    if tt in SPECIAL_TOKEN_TYPES:
+        return None
+    t = tok.tokens[tid]
+    if hasattr(tok, "byte_tokens"):  # SPM
+        if tt == TOKEN_BYTE and len(t) == 6 and t[:3] == "<0x":
+            return bytes([int(t[3:5], 16)])
+        return t.replace(_SPACE, " ").encode("utf-8")
+    # byte-level BPE: piece chars map through the GPT-2 byte table
+    out = bytearray()
+    for c in t:
+        b = _U2B.get(c)
+        if b is None:
+            out += c.encode("utf-8")
+        else:
+            out.append(b)
+    return bytes(out)
 
 
 class GrammarSampler:
@@ -308,17 +457,17 @@ class GrammarSampler:
         self.matcher = GrammarMatcher(parse_gbnf(gbnf))
         self.tok = tok
         self.eos_id = eos_id if eos_id is not None else tok.eos_id
-        # piece cache: token id -> decoded text (specials map to None =
+        # piece cache: token id -> raw bytes (specials map to None =
         # never grammar-legal, except EOS which is handled explicitly)
-        self._pieces: dict[int, str | None] = {}
+        self._pieces: dict[int, bytes | None] = {}
 
     def _piece(self, tid: int):
         if tid not in self._pieces:
             try:
-                txt = self.tok.decode([tid])
+                data = piece_bytes(self.tok, tid)
             except Exception:  # noqa: BLE001
-                txt = None
-            self._pieces[tid] = txt if txt else None
+                data = None
+            self._pieces[tid] = data if data else None
         return self._pieces[tid]
 
     def filter_logits(self, logits: np.ndarray) -> np.ndarray:

@@ -109,33 +109,57 @@ def _decode_step_logits(qparams, rope, tokens, cache, keys, temps, topk,
     return nxt, logits[:, -1], cache
 
 
+def _adjusted_logits(logits_np: np.ndarray, r: "Request",
+                     recent: np.ndarray | None) -> np.ndarray:
+    """Mirror the in-jit sampler's pre-sampling chain on host: logit bias,
+    then the repeat penalty over the recent window (positive logits divide,
+    negative multiply — llama_sample_repetition_penalties)."""
+    x = logits_np.astype(np.float64, copy=True)
+    for tid, bv in (r.logit_bias or {}).items():
+        x[int(tid)] += float(bv)
+    if r.repeat_penalty != 1.0 and recent is not None:
+        seen = np.unique(recent[recent >= 0]).astype(np.int64)
+        x[seen] = np.where(x[seen] > 0, x[seen] / r.repeat_penalty,
+                           x[seen] * r.repeat_penalty)
+    return x
+
+
 def _top_logprobs(logits_np: np.ndarray, n: int) -> list:
     """[(token_id, logprob)] for the top-n of one position's logits."""
     x = logits_np.astype(np.float64)
-    x -= x.max()
+    x = x - x.max()
     lse = np.log(np.exp(x).sum())
     top = np.argsort(-x)[:n]
     return [(int(t), float(x[t] - lse)) for t in top]
 
 
-def _grammar_sample(logits_np: np.ndarray, r: "Request") -> int:
-    """Host-side constrained sampling: grammar mask, then temperature /
-    top-k / top-p over the surviving tokens (llama.cpp applies its grammar
-    exactly here — after penalties, before the final pick).  Greedy at
-    temperature 0; seeded per-request numpy PRNG otherwise."""
-    masked = r.grammar.filter_logits(logits_np)
+def _grammar_sample(logits_np: np.ndarray, r: "Request",
+                    recent: np.ndarray | None = None) -> int:
+    """Host-side constrained sampling: bias + repeat penalty (same chain
+    as the in-jit sampler), grammar mask, then min-p / temperature /
+    top-k / top-p over the surviving tokens (llama.cpp applies its
+    grammar exactly here).  Greedy at temperature 0; seeded per-request
+    numpy PRNG otherwise."""
+    adj = _adjusted_logits(logits_np, r, recent)
+    masked = r.grammar.filter_logits(adj)
     if not np.isfinite(masked).any():
         raise ValueError(
             f"grammar rejected every token (request {r.rid}) — the "
             "grammar cannot be continued with this vocabulary")
     if r.temperature <= 0:
         return int(np.argmax(masked))
-    x = masked.astype(np.float64) / r.temperature
+    if 0.0 < r.min_p <= 1.0:
+        # llama.cpp min-p: threshold on the RAW (pre-temperature) dist
+        masked = np.where(masked >= masked.max() + np.log(r.min_p),
+                          masked, -np.inf)
+    x = masked / r.temperature
     if r.top_k:
-        kth = np.sort(x)[-r.top_k]
-        x = np.where(x >= kth, x, -np.inf)
-    x -= x.max()
-    p = np.exp(x)
+        k = min(int(r.top_k), int(np.isfinite(x).sum()))
+        if k > 0:
+            kth = np.sort(x)[-k]
+            x = np.where(x >= kth, x, -np.inf)
+    x = x - x[np.isfinite(x)].max()
+    p = np.exp(np.where(np.isfinite(x), x, -np.inf))
     p /= p.sum()
     if 0.0 < r.top_p < 1.0:
         order = np.argsort(-p)
@@ -356,11 +380,21 @@ class Server:
             # (-1) slots remain free
             self._recent[s, PENALTY_WINDOW - len(tail):] = tail
             if r.n_probs:
-                r.probs.append(_top_logprobs(np.asarray(last_logits),
-                                             r.n_probs))
+                # report the distribution the token is SAMPLED from
+                # (post bias/penalty), not the raw logits
+                r.probs.append(_top_logprobs(
+                    _adjusted_logits(np.asarray(last_logits), r,
+                                     self._recent[s]), r.n_probs))
             if r.grammar is not None:
-                tok = _grammar_sample(np.asarray(last_logits), r)
-                r.grammar.accept(tok)
+                try:
+                    tok = _grammar_sample(np.asarray(last_logits), r,
+                                          self._recent[s])
+                    r.grammar.accept(tok)
+                except ValueError:
+                    # unsatisfiable at the first token: finish empty
+                    r.done = True
+                    self.finished[r.rid] = r
+                    continue
             else:
                 tok = int(_sample_one(
                     last_logits, rkey, len(r.prompt) - 1, r.temperature,
@@ -417,7 +451,10 @@ class Server:
             llp = np.asarray(last_logits)
             for s in pslots:
                 r = self.slots[s]
-                r.probs.append(_top_logprobs(llp[s], r.n_probs))
+                r.probs.append(_top_logprobs(
+                    _adjusted_logits(llp[s], r, self._recent[s]),
+                    r.n_probs))
+        dead: set[int] = set()
         if gslots:
             # host-side constrained re-pick for grammar slots: mask every
             # continuation the grammar forbids, then sample; the in-jit
@@ -427,14 +464,25 @@ class Server:
             nxt = nxt.copy()
             for s in gslots:
                 r = self.slots[s]
-                tok = _grammar_sample(ll[s], r)
-                r.grammar.accept(tok)
-                nxt[s] = tok
+                try:
+                    tok = _grammar_sample(ll[s], r, self._recent[s])
+                    r.grammar.accept(tok)
+                    nxt[s] = tok
+                except ValueError:
+                    # unsatisfiable mid-generation (vocabulary cannot
+                    # continue the grammar): finish the REQUEST with what
+                    # it has — never the whole serving loop
+                    r.done = True
+                    self.finished[r.rid] = r
+                    self.slots[s] = None
+                    dead.add(s)
         self._n_steps += 1
         self._n_tokens += len(active)
         self._n_decode_tokens += len(active)
         out = {}
         for s in active:
+            if s in dead:
+                continue  # grammar-finished this step; slot released
             r = self.slots[s]
             tok = int(nxt[s])
             r.generated.append(tok)

@@ -94,8 +94,6 @@ def main() -> None:
         print(f"prompt -> {len(prompt_ids)} tokens: {prompt_ids}",
               file=sys.stderr, flush=True)
 
-    srv = serve.Server(qparams, cfg, n_slots=1, cache_qtype=args.kv,
-                       eos_id=tok.eos_id if tok else None)
     if args.draft:
         # speculative decoding path (llama.cpp llama-speculative): the
         # draft proposes k tokens per target call; greedy output is
@@ -123,6 +121,8 @@ def main() -> None:
             print(",".join(str(t) for t in out_ids))
         return
 
+    srv = serve.Server(qparams, cfg, n_slots=1, cache_qtype=args.kv,
+                       eos_id=tok.eos_id if tok else None)
     gsampler = None
     if args.json or args.grammar_file:
         from quant_gemm_tpu.models.grammar import JSON_GBNF, GrammarSampler

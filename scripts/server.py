@@ -106,7 +106,15 @@ class Engine:
                     import traceback
 
                     traceback.print_exc(file=sys.stderr)
-                    # unblock every waiting client rather than wedging
+                    # unblock every waiting client AND release their
+                    # slots/queue entries — leaving a failing request
+                    # active would re-raise every step (an exception
+                    # spin that never serves again)
+                    for r in list(self.server.slots) + list(
+                            self.server.queue):
+                        if r is not None:
+                            self.server.cancel(r.rid)
+                    self.server.finished.clear()
                     for rid, q in list(self.queues.items()):
                         q.put(None)
                     self.queues.clear()
@@ -217,6 +225,7 @@ def make_handler(engine: Engine):
             stops = req.get("stop") or []
             if isinstance(stops, str):
                 stops = [stops]
+            stops = [s for s in stops if s]  # llama.cpp ignores empty stops
             rid, q = engine.submit(prompt_ids, **kw)
 
             def drain_after_cancel():
@@ -239,58 +248,66 @@ def make_handler(engine: Engine):
                 return rid, ids, tok.decode(ids)
             # (engine.results entries are popped by _probs_payload for the
             # endpoints that report logprobs, and below for streams)
-            # SSE streaming
+            # SSE streaming.  The try/finally guarantees that a client
+            # disconnect (BrokenPipeError from wfile.write) cancels the
+            # engine request — no tokens burn for a gone client and no
+            # results entry is retained.
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
             ids, emitted, text = [], "", ""
             stopped = False
-            while True:
-                t = q.get()
-                if t is None:
-                    break
-                ids.append(t)
-                text = _decode_stream(tok, ids, text)
-                if stops:
-                    i = _find_stop(text, stops)
-                    if i >= 0:
-                        text = text[:i]
-                        stopped = True
-                    else:
-                        # withhold a tail that could become a stop string
-                        text_emit = text[: len(text) - _hold_len(text, stops)]
-                        text, full = text_emit, text
-                delta = text[len(emitted):]
-                if delta:
-                    self.wfile.write(
-                        b"data: "
-                        + json.dumps(stream_fmt(delta, False)).encode()
-                        + b"\n\n")
-                    self.wfile.flush()
-                    emitted = text
+            try:
+                while True:
+                    t = q.get()
+                    if t is None:
+                        break
+                    ids.append(t)
+                    text = _decode_stream(tok, ids, text)
+                    if stops:
+                        i = _find_stop(text, stops)
+                        if i >= 0:
+                            text = text[:i]
+                            stopped = True
+                        else:
+                            # withhold a tail that could become a stop
+                            full = text
+                            text = text[: len(text)
+                                        - _hold_len(text, stops)]
+                    delta = text[len(emitted):]
+                    if delta:
+                        self.wfile.write(
+                            b"data: "
+                            + json.dumps(stream_fmt(delta, False)).encode()
+                            + b"\n\n")
+                        self.wfile.flush()
+                        emitted = text
+                    if stopped:
+                        break
+                    if stops:
+                        text = full  # restore the held tail
+                # flush any withheld tail (a genuinely-trailing replacement
+                # char, or a held stop-prefix that never completed) so
+                # deltas always concatenate to the non-streamed response
                 if stopped:
-                    drain_after_cancel()
-                    break
-                if stops and not stopped:
-                    text = full  # restore the held tail for next round
-            # flush any withheld tail (a genuinely-trailing replacement
-            # char, or a held stop-prefix that never completed) so deltas
-            # always concatenate to the non-streamed response
-            if stopped:
-                tail = ""
-            else:
-                final = tok.decode(ids)
-                if stops:
-                    i = _find_stop(final, stops)
-                    final = final[:i] if i >= 0 else final
-                tail = final[len(emitted):]
-            self.wfile.write(
-                b"data: " + json.dumps(stream_fmt(tail, True)).encode()
-                + b"\n\ndata: [DONE]\n\n")
-            self.wfile.flush()
-            self.close_connection = True
-            engine.results.pop(rid, None)  # streams don't report logprobs
+                    tail = ""
+                else:
+                    final = tok.decode(ids)
+                    if stops:
+                        i = _find_stop(final, stops)
+                        final = final[:i] if i >= 0 else final
+                    tail = final[len(emitted):]
+                self.wfile.write(
+                    b"data: " + json.dumps(stream_fmt(tail, True)).encode()
+                    + b"\n\ndata: [DONE]\n\n")
+                self.wfile.flush()
+                self.close_connection = True
+            finally:
+                # normal end: no-ops.  Early stop or client disconnect:
+                # release the slot and drop any retained result.
+                engine.cancel(rid)
+                engine.results.pop(rid, None)
             return None
 
         # -- endpoints ---------------------------------------------------

@@ -155,6 +155,11 @@ def test_grammar_rejects_all_raises(served):
         rid = 0
         temperature = 0.0
         grammar = gs
+        logit_bias = None
+        repeat_penalty = 1.0
+        min_p = 0.0
+        top_k = 0
+        top_p = 1.0
 
     from quant_gemm_tpu.models.serve import _grammar_sample
 
@@ -164,3 +169,43 @@ def test_grammar_rejects_all_raises(served):
         assert np.isfinite(gs.filter_logits(logits)[tokid])
     except ValueError as e:
         assert "grammar rejected" in str(e)
+
+
+def test_partial_utf8_token_legality():
+    """A lead-byte-only piece is legal ONLY when a completion could match
+    the grammar (llama_grammar_match_partial_char semantics)."""
+    rules = G.parse_gbnf('root ::= "é"')  # U+00E9 = 0xC3 0xA9
+    m = G.GrammarMatcher(rules)
+    assert m.allows(b"\xc3")  # could complete to é
+    assert not m.allows(b"\xe3")  # 3-byte lead: cps >= 0x3000, never é
+    assert m.advance(b"\xc3")
+    assert not m.can_finish  # partial pending
+    assert m.advance(b"\xa9")
+    assert m.can_finish
+    # ascii grammar rejects any multi-byte lead
+    m2 = G.GrammarMatcher(G.parse_gbnf('root ::= [a-z]+'))
+    assert not m2.allows(b"\xc3")
+
+
+def test_left_recursion_raises():
+    with pytest.raises(ValueError, match="LEFT-RECURSIVE|budget"):
+        G.GrammarMatcher(G.parse_gbnf('root ::= root "x" | "y"'))
+
+
+def test_piece_bytes_spm_space_and_byte_tokens():
+    """piece_bytes must preserve the SPM leading-space marker and raw
+    byte-fallback bytes that tok.decode([tid]) mangles."""
+    from quant_gemm_tpu.models.tokenizer import SPMTokenizer
+
+    tok = SPMTokenizer(
+        ["<unk>", "<s>", "</s>", "▁world", "<0xC3>", "<0xA9>"],
+        [0.0] * 6, [2, 3, 3, 1, 6, 6], bos_id=1, eos_id=2)
+    assert G.piece_bytes(tok, 3) == b" world"  # space KEPT
+    assert G.piece_bytes(tok, 4) == b"\xc3"  # raw byte, not U+FFFD
+    assert G.piece_bytes(tok, 1) is None  # control token
+    # the desync scenario: two '▁'-pieces must not concatenate
+    # into one word under the grammar
+    m = G.GrammarMatcher(G.parse_gbnf('root ::= [a-z]+'))
+    assert m.advance(G.piece_bytes(tok, 3)[1:])  # 'world' alone ok
+    m2 = G.GrammarMatcher(G.parse_gbnf('root ::= [a-z]+'))
+    assert not m2.advance(G.piece_bytes(tok, 3))  # ' world' has a space
