@@ -172,6 +172,19 @@ def _grammar_sample(logits_np: np.ndarray, r: "Request",
     return int(r.np_rng().choice(len(p), p=p))
 
 
+@jax.jit
+def _extract_slot(cache, slot):
+    """One slot's cache slabs [L, 1, KV, S, hd] (+scales) as a 1-slot
+    KVCache — the prefix-reuse path continues prefill on these."""
+    k1 = jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1)
+    v1 = jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1)
+    ks1 = vs1 = None
+    if cache.quantized:
+        ks1 = jax.lax.dynamic_slice_in_dim(cache.ks, slot, 1, axis=1)
+        vs1 = jax.lax.dynamic_slice_in_dim(cache.vs, slot, 1, axis=1)
+    return llama.KVCache(k1, v1, jnp.zeros((1,), jnp.int32), ks1, vs1)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _insert_slot(cache, slot, k1, v1, scales, length):
     # donated in-place slot insert (a functional .at[].set on the full
@@ -246,6 +259,7 @@ class Server:
         cache_qtype: str = "bf16",
         max_prefill_chunk: Optional[int] = None,
         context_shift: bool = False,
+        cache_prompt: bool = True,
     ):
         self.qparams = qparams
         self.cfg = cfg
@@ -298,6 +312,14 @@ class Server:
         self._n_tokens = 0
         self._n_decode_tokens = 0
         self._n_prefill_tokens = 0
+        # prompt-prefix cache (llama.cpp cache_prompt): per slot, the
+        # token sequence its cache region currently materializes; a new
+        # request admitted to a slot sharing a prefix skips re-prefilling
+        # it.  Disabled for ring caches (slot wrap invalidates absolute
+        # positions) and invalidated by context shift.
+        self.cache_prompt = cache_prompt and not cfg.ring
+        self._history: list[list[int]] = [[] for _ in range(n_slots)]
+        self._n_cached_tokens = 0
 
     # -- request lifecycle ---------------------------------------------------
 
@@ -330,10 +352,17 @@ class Server:
         self.queue.append(r)
         return r.rid
 
-    def _prefill(self, prompt):
-        """Chunked prefill of one request -> (slot slabs, last logits)."""
-        c1 = llama.KVCache.init(self.cfg, 1, self.cache_qtype)
-        off = 0
+    def _prefill(self, prompt, c1=None, start: int = 0):
+        """Chunked prefill of one request -> (slot slabs, last logits).
+
+        ``c1``/``start``: continue on an extracted slot cache whose first
+        ``start`` tokens already materialize this prompt's prefix (the
+        cache_prompt path) — only ``prompt[start:]`` is evaluated."""
+        if c1 is None:
+            c1 = llama.KVCache.init(self.cfg, 1, self.cache_qtype)
+        else:
+            c1 = c1._replace(pos=jnp.full((1,), start, jnp.int32))
+        off = start
         while off < len(prompt):
             part = prompt[off : off + self.max_chunk]
             t = max(self.bucket, round_up(len(part), self.bucket))
@@ -351,16 +380,53 @@ class Server:
                   else (None, None))
         return c1.k[:, 0], c1.v[:, 0], scales, last
 
+    @staticmethod
+    def _common_prefix(a: list, b: list) -> int:
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    def _pick_slot(self, prompt: list):
+        """Free slot with the longest materialized shared prefix (ties ->
+        first free); returns (slot, reuse_len)."""
+        free = [s for s in range(self.n_slots) if self.slots[s] is None]
+        if not free:
+            return None, 0
+        if not self.cache_prompt:
+            return free[0], 0
+        best, best_n = free[0], 0
+        for s in free:
+            # the LAST prompt token must always be evaluated (its logits
+            # seed generation), and reuse below a bucket isn't worth the
+            # slot extract/insert copies
+            n = min(self._common_prefix(self._history[s], prompt),
+                    len(prompt) - 1)
+            if n > best_n:
+                best, best_n = s, n
+        return best, (best_n if best_n >= self.bucket else 0)
+
     def _admit(self) -> None:
-        for s in range(self.n_slots):
-            if self.slots[s] is not None or not self.queue:
-                continue
-            r = self.queue.pop(0)
-            k1, v1, scales, last_logits = self._prefill(r.prompt)
+        while self.queue:
+            r = self.queue[0]
+            s, reuse = self._pick_slot(r.prompt)
+            if s is None:
+                return
+            self.queue.pop(0)
+            if reuse:
+                c1 = _extract_slot(self.cache, jnp.int32(s))
+                k1, v1, scales, last_logits = self._prefill(
+                    r.prompt, c1=c1, start=reuse)
+                self._n_cached_tokens += reuse
+            else:
+                k1, v1, scales, last_logits = self._prefill(r.prompt)
             self.cache = _insert_slot(
                 self.cache, jnp.int32(s), k1, v1, scales,
                 jnp.int32(len(r.prompt)),
             )
+            self._history[s] = list(r.prompt)
             rkey = jax.random.PRNGKey(r.seed if r.seed is not None else r.rid)
             self._keys = self._keys.at[s].set(rkey)
             self._temps[s] = r.temperature
@@ -404,7 +470,7 @@ class Server:
                     jnp.asarray(self._bias_vals[s]),
                 ))
             r.generated.append(tok)
-            self._n_prefill_tokens += len(r.prompt)
+            self._n_prefill_tokens += len(r.prompt) - reuse
             self._n_tokens += 1
             # the admit-time token can already satisfy the request
             if (len(r.generated) >= r.max_new
@@ -430,6 +496,9 @@ class Server:
                 >= self.cfg.max_seq - 1:
             self.cache = _shift_cache(self.cache, self._rope, cfg=self.cfg,
                                       keep=self._shift_keep)
+            # shifting rewrites every slot's slab layout: the materialized
+            # prefixes no longer start at position 0
+            self._history = [[] for _ in range(self.n_slots)]
         tokens = jnp.asarray(self._pending_tok[:, None])
         gslots = [s for s in active if self.slots[s].grammar is not None]
         pslots = [s for s in active if self.slots[s].n_probs]
@@ -486,6 +555,9 @@ class Server:
             r = self.slots[s]
             tok = int(nxt[s])
             r.generated.append(tok)
+            # the token FED this step was written into the slot's cache:
+            # extend the materialized-prefix record (cache_prompt)
+            self._history[s].append(int(self._pending_tok[s]))
             self._pending_tok[s] = tok
             self._recent[s] = np.roll(self._recent[s], -1)
             self._recent[s, -1] = tok
@@ -535,6 +607,7 @@ class Server:
                 self._n_decode_tokens / self._n_steps
                 if self._n_steps else 0.0
             ),
+            "cached_prompt_tokens": self._n_cached_tokens,
         }
 
     def run_until_done(self, max_steps: int = 10_000) -> dict[int, list]:

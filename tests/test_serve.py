@@ -210,3 +210,90 @@ def test_context_shift_generates_past_max_seq():
     assert len(toks2) < 40
     # pre-shift tokens identical
     assert toks[: len(toks2) - 1] == toks2[: len(toks2) - 1]
+
+
+def test_prompt_prefix_cache_reuse(qparams):
+    """llama.cpp cache_prompt: a request sharing a long prefix with what a
+    freed slot materialized skips re-prefilling it, and generates EXACTLY
+    what an uncached server generates."""
+    rng = np.random.default_rng(3)
+    shared = [int(t) for t in rng.integers(1, 100, 24)]
+    p1 = shared + [11, 12]
+    p2 = shared + [11, 12, 40, 41]  # extends p1 (and its generation)
+
+    srv = serve.Server(qparams, CFG, n_slots=1, prefill_bucket=8)
+    r1 = srv.submit(p1, max_new=3)
+    out1 = srv.run_until_done()[r1]
+    assert srv.stats()["cached_prompt_tokens"] == 0
+    r2 = srv.submit(p2, max_new=4)
+    out2 = srv.run_until_done()[r2]
+    st = srv.stats()
+    assert st["cached_prompt_tokens"] >= 24, st  # prefix reused
+
+    cold = serve.Server(qparams, CFG, n_slots=1, prefill_bucket=8,
+                        cache_prompt=False)
+    c1 = cold.submit(p1, max_new=3)
+    cold.run_until_done()
+    c2 = cold.submit(p2, max_new=4)
+    out2_cold = cold.run_until_done()[c2]
+    assert cold.stats()["cached_prompt_tokens"] == 0
+    assert out2 == out2_cold, (out2, out2_cold)
+
+
+def test_prefix_cache_no_false_reuse(qparams):
+    """A DIFFERENT prompt must not reuse a stale prefix (first token
+    differs -> full prefill)."""
+    srv = serve.Server(qparams, CFG, n_slots=1, prefill_bucket=8)
+    p1 = [3] * 24
+    p2 = [4] * 24
+    srv.submit(p1, max_new=2)
+    srv.run_until_done()
+    r2 = srv.submit(p2, max_new=2)
+    out2 = srv.run_until_done()[r2]
+    assert srv.stats()["cached_prompt_tokens"] == 0
+
+    cold = serve.Server(qparams, CFG, n_slots=1, prefill_bucket=8,
+                        cache_prompt=False)
+    c2 = cold.submit(p2, max_new=2)
+    out2_cold = cold.run_until_done()[c2]
+    assert out2 == out2_cold
+
+
+def test_prefix_cache_includes_generated_tokens(qparams):
+    """The reusable prefix extends over the PREVIOUS request's generated
+    tokens too (chat continuation: prompt2 = prompt1 + answer1 + turn2)."""
+    srv = serve.Server(qparams, CFG, n_slots=1, prefill_bucket=8)
+    p1 = [int(t) for t in np.random.default_rng(4).integers(1, 100, 16)]
+    r1 = srv.submit(p1, max_new=8)
+    out1 = srv.run_until_done()[r1]
+    # continuation: everything the slot materialized IS the new prefix
+    # (the final sampled token was never written to the cache, so the
+    # reusable region is p1 + out1[:-1])
+    p2 = p1 + out1 + [7, 8]
+    r2 = srv.submit(p2, max_new=2)
+    out2 = srv.run_until_done()[r2]
+    st = srv.stats()
+    assert st["cached_prompt_tokens"] >= 16, st
+
+    cold = serve.Server(qparams, CFG, n_slots=1, prefill_bucket=8,
+                        cache_prompt=False)
+    c2 = cold.submit(p2, max_new=2)
+    assert cold.run_until_done()[c2] == out2
+
+
+def test_prefix_cache_q8(qparams):
+    """Reuse also round-trips the int8 cache's per-token scales."""
+    srv = serve.Server(qparams, CFG, n_slots=1, prefill_bucket=8,
+                       cache_qtype="q8")
+    p1 = [int(t) for t in np.random.default_rng(5).integers(1, 100, 20)]
+    srv.submit(p1, max_new=2)
+    srv.run_until_done()
+    p2 = p1 + [9, 10]
+    r2 = srv.submit(p2, max_new=3)
+    out2 = srv.run_until_done()[r2]
+    assert srv.stats()["cached_prompt_tokens"] >= 16
+
+    cold = serve.Server(qparams, CFG, n_slots=1, prefill_bucket=8,
+                        cache_qtype="q8", cache_prompt=False)
+    c2 = cold.submit(p2, max_new=3)
+    assert cold.run_until_done()[c2] == out2
