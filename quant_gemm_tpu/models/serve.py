@@ -234,6 +234,7 @@ class Request:
     seed: Optional[int] = None
     grammar: Optional[object] = None  # models.grammar.GrammarSampler
     n_probs: int = 0  # top-N logprobs per generated token (llama.cpp)
+    cache_prompt: bool = True  # per-request prefix-reuse opt-out
     generated: list = dataclasses.field(default_factory=list)
     probs: list = dataclasses.field(default_factory=list)  # per-token top-N
     done: bool = False
@@ -336,6 +337,7 @@ class Server:
         seed: Optional[int] = None,
         grammar=None,
         n_probs: int = 0,
+        cache_prompt: bool = True,
     ) -> int:
         if not prompt:
             raise ValueError("empty prompt")
@@ -347,7 +349,7 @@ class Server:
                     temperature=temperature, top_k=top_k, top_p=top_p,
                     min_p=min_p, repeat_penalty=repeat_penalty,
                     logit_bias=logit_bias, seed=seed, grammar=grammar,
-                    n_probs=int(n_probs))
+                    n_probs=int(n_probs), cache_prompt=bool(cache_prompt))
         self._next_rid += 1
         self.queue.append(r)
         return r.rid
@@ -389,13 +391,13 @@ class Server:
             n += 1
         return n
 
-    def _pick_slot(self, prompt: list):
+    def _pick_slot(self, prompt: list, want_cache: bool = True):
         """Free slot with the longest materialized shared prefix (ties ->
         first free); returns (slot, reuse_len)."""
         free = [s for s in range(self.n_slots) if self.slots[s] is None]
         if not free:
             return None, 0
-        if not self.cache_prompt:
+        if not (self.cache_prompt and want_cache):
             return free[0], 0
         best, best_n = free[0], 0
         for s in free:
@@ -411,7 +413,7 @@ class Server:
     def _admit(self) -> None:
         while self.queue:
             r = self.queue[0]
-            s, reuse = self._pick_slot(r.prompt)
+            s, reuse = self._pick_slot(r.prompt, r.cache_prompt)
             if s is None:
                 return
             self.queue.pop(0)

@@ -221,6 +221,7 @@ def make_handler(engine: Engine):
                 seed=req.get("seed"),
                 grammar=gsampler,
                 n_probs=int(req.get("n_probs", req.get("logprobs") or 0)),
+                cache_prompt=bool(req.get("cache_prompt", True)),
             )
             stops = req.get("stop") or []
             if isinstance(stops, str):
