@@ -5,13 +5,20 @@ threaded stdlib HTTP server with llama.cpp-native and OpenAI-compatible
 endpoints:
 
 * ``POST /completion``          llama.cpp native: {prompt, n_predict,
-  temperature, top_k, top_p, min_p, repeat_penalty, stream, ...}
-* ``POST /v1/completions``      OpenAI completions (prompt/max_tokens)
+  temperature, top_k, top_p, min_p, repeat_penalty, stream, stop,
+  grammar, n_probs, cache_prompt, seed, logit_bias...}
+* ``POST /v1/completions``      OpenAI completions (prompt/max_tokens/
+  logprobs/stop/response_format)
 * ``POST /v1/chat/completions`` OpenAI chat; messages render through the
   GGUF-embedded chat template (tokenizer.chat_template) exactly like
   ``generate.py --chat``
+* ``POST /embedding``           llama.cpp native sequence embedding
+* ``POST /v1/embeddings``       OpenAI batch embeddings
+* ``POST /tokenize`` / ``POST /detokenize``
 * ``GET  /health``              liveness
-* ``GET  /metrics``             Server.stats() counters
+* ``GET  /props``               model properties (n_ctx, chat template, ...)
+* ``GET  /metrics``             Server.stats() counters incl. prefix-cache
+  hits
 
 ``"stream": true`` returns Server-Sent Events (``data: {...}\\n\\n`` per
 token, ``data: [DONE]`` at the end — the llama.cpp/OpenAI wire format).
