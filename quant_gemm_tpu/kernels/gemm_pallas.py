@@ -175,6 +175,44 @@ def prepare(w_q) -> PreparedWeight:
     )
 
 
+def prepare_device(w_q) -> PreparedWeight:
+    """Device-side twin of :func:`prepare` for q4_0/q8_0 jnp containers.
+
+    Same layout decisions (256-padded planes, x8 int8 encoding, K-major
+    transpose) executed as jnp ops so a quantized model can be BUILT on
+    the chip — ``prepare()`` is numpy-based and pulls every tensor to the
+    (single-core) host, which made synthetic-model benchmark init take
+    ~10 minutes for a 1.2B model.  Used by ``llama.init_qparams_device``.
+    """
+    spec = w_q.spec
+    name = spec.name
+
+    def padrc(x, rows_to, cols_to):
+        return jnp.pad(
+            x, ((0, rows_to - x.shape[0]), (0, cols_to - x.shape[1])))
+
+    if spec.bits == 8:
+        n, k = w_q.qs.shape
+        np_pad, kp = round_up(n, 256), round_up(k, 512)
+        qs = padrc(jnp.asarray(w_q.qs, jnp.int8), np_pad, kp)
+        d = padrc(jnp.asarray(w_q.d, jnp.float32), np_pad, kp // QK)
+        return PreparedWeight(name, n, k, None, qs.T, d.T, None, None)
+
+    assert name == "q4_0", f"prepare_device supports q4_0/q8_0, not {name}"
+    n, khalf = w_q.packed.shape
+    np_pad = round_up(n, 256)
+    khalf_p = round_up(khalf, 256)
+    packed = padrc(jnp.asarray(w_q.packed, jnp.uint8), np_pad, khalf_p)
+    packed = jax.lax.bitcast_convert_type(  # x8 encoding (bit-preserving)
+        packed ^ jnp.uint8(0x80), jnp.int8)
+    nbh, nbh_p = khalf // QK, khalf_p // QK
+    d = pad_scales_k(jnp.asarray(w_q.d, jnp.float32), khalf * 2,
+                     khalf_p, True)
+    d = jnp.pad(d, ((0, np_pad - n), (0, 0)))
+    return PreparedWeight(name, n, khalf * 2, packed.T, None, d.T, None,
+                          None)
+
+
 def pad_activation_k(a: jax.Array, k: int, kdim_p: int, is4: bool) -> jax.Array:
     """Reindex [M, K] activations to a K-padded weight's layout.
 

@@ -163,6 +163,58 @@ def quantize_params(params: dict, qtype: str = "q4_0") -> dict:
     return out
 
 
+def init_qparams_device(cfg: LlamaConfig, qtype: str = "q4_0",
+                        seed: int = 0) -> dict:
+    """Random quantized model built ENTIRELY on-device (benchmark init).
+
+    ``init_params`` + ``quantize_params`` generate and quantize on the
+    host; on a single-core box that takes ~10+ minutes for a 1.2B model
+    (measured during the round-3 campaign) while the chip sits idle.
+    This twin draws weights with ``jax.random``, quantizes with the
+    ``jax_quant`` jit twins (bit-equal semantics to the numpy reference,
+    pinned by tests), and lays them out with ``prepare_device`` — same
+    PreparedWeight structure, different (device-PRNG) weight values, so
+    use it where only the SHAPE of the model matters (throughput
+    benches), never for golden-value tests."""
+    import jax.random as jrandom
+
+    assert qtype in ("q4_0", "q8_0"), "device init supports q4_0/q8_0"
+    qfn = {"q4_0": jax_quant.quantize_q4_0,
+           "q8_0": jax_quant.quantize_q8_0}[qtype]
+    key = jrandom.key(seed)
+
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def draw_prepared_parts(k, n, kdim):
+        w = jrandom.normal(k, (n, kdim), jnp.float32) * (1.0 / kdim ** 0.5)
+        return gemm_pallas.prepare_device(qfn(w))
+
+    # one compile per distinct (n, k) shape; layers reuse the executable
+    def prep(k, n, kdim):
+        return draw_prepared_parts(k, n, kdim)
+
+    kq = cfg.n_heads * cfg.head_dim
+    kv = cfg.n_kv_heads * cfg.head_dim
+    out = {
+        "embed": (jrandom.normal(jrandom.fold_in(key, 1),
+                                 (cfg.vocab, cfg.dim), jnp.float32)
+                  * 0.02).astype(jnp.bfloat16),
+        "final_norm": jnp.ones(cfg.dim, jnp.float32),
+        "layers": [],
+    }
+    for i in range(cfg.n_layers):
+        lk = jrandom.fold_in(key, 100 + i)
+        out["layers"].append({
+            "attn_norm": jnp.ones(cfg.dim, jnp.float32),
+            "mlp_norm": jnp.ones(cfg.dim, jnp.float32),
+            "wqkv": prep(jrandom.fold_in(lk, 0), kq + 2 * kv, cfg.dim),
+            "wo": prep(jrandom.fold_in(lk, 1), cfg.dim, kq),
+            "wgu": prep(jrandom.fold_in(lk, 2), 2 * cfg.d_ff, cfg.dim),
+            "w_down": prep(jrandom.fold_in(lk, 3), cfg.dim, cfg.d_ff),
+        })
+    out["lm_head"] = prep(jrandom.fold_in(key, 2), cfg.vocab, cfg.dim)
+    return out
+
+
 def rope_for(cfg: LlamaConfig, params: dict | None = None):
     """The model's RoPE tables: cfg's base/linear-scale spectrum, or the
     per-dimension inverse frequencies a loader attached to the params

@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--ring", action="store_true",
                     help="ring-buffer KV cache (O(window) memory; needs "
                          "--window)")
+    ap.add_argument("--fast-init", action="store_true",
+                    help="generate+quantize the synthetic model on-device "
+                         "(seconds) instead of host numpy (~10 min)")
     ap.add_argument("--ctx", type=int, default=0,
                     help="pre-filled context length per slot for the decode "
                          "bench (cache-read cost is proportional to it)")
@@ -63,15 +66,28 @@ def main():
               f"(window {args.window}) vs max_seq {args.seq}", flush=True)
     print(f"device: {jax.devices()[0]}", flush=True)
     t0 = time.time()
-    params = llama.init_params(cfg, seed=0)
-    n_params = sum(int(np.prod(np.asarray(v).shape))
-                   for v in jax.tree.leaves(params))
-    print(f"model: {n_params/1e9:.2f}B params, init {time.time()-t0:.0f}s",
-          flush=True)
-    t0 = time.time()
-    qparams = llama.quantize_params(params, "q4_0")
-    del params
-    print(f"quantized to q4_0 in {time.time()-t0:.0f}s", flush=True)
+    if args.fast_init:
+        # on-device generation + quantization (the host path takes ~10+
+        # minutes for 1.2B params on a single-core box); weight VALUES
+        # differ from the host path but every shape/layout is identical
+        qparams = llama.init_qparams_device(cfg, "q4_0", seed=0)
+        jax.block_until_ready(jax.tree.leaves(qparams)[0])
+        n_params = cfg.n_layers * (
+            (cfg.n_heads + 2 * cfg.n_kv_heads) * cfg.head_dim * cfg.dim
+            + cfg.dim * cfg.n_heads * cfg.head_dim + 3 * cfg.d_ff * cfg.dim
+        ) + 2 * cfg.vocab * cfg.dim
+        print(f"model: {n_params/1e9:.2f}B params, device init "
+              f"{time.time()-t0:.0f}s", flush=True)
+    else:
+        params = llama.init_params(cfg, seed=0)
+        n_params = sum(int(np.prod(np.asarray(v).shape))
+                       for v in jax.tree.leaves(params))
+        print(f"model: {n_params/1e9:.2f}B params, init "
+              f"{time.time()-t0:.0f}s", flush=True)
+        t0 = time.time()
+        qparams = llama.quantize_params(params, "q4_0")
+        del params
+        print(f"quantized to q4_0 in {time.time()-t0:.0f}s", flush=True)
 
     # per-decode-step HBM floor: every q4_0 linear streams once
     lin_bytes = args.layers * (

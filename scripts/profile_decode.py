@@ -53,7 +53,9 @@ def main():
         max_seq=args.seq,
     )
     print(f"device: {jax.devices()[0]}", flush=True)
-    qparams = llama.quantize_params(llama.init_params(cfg, seed=0), "q4_0")
+    # on-device init: the host numpy path takes ~10 min for 1.2B params
+    # on this single-core box; only shapes matter for a step breakdown
+    qparams = llama.init_qparams_device(cfg, "q4_0", seed=0)
     rope = llama.make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base,
                                  freq_scale=cfg.rope_scale)
     b = args.slots

@@ -30,12 +30,15 @@ run python scripts/lab_x8.py 1
 run python bench.py
 
 # 3. serving decode step (fused exact kernel now on the decode path)
-run python scripts/bench_serve.py --steps 64
-run python scripts/bench_serve.py --steps 64 --kv q8 --ctx 896
+#    --fast-init: host numpy init took ~11 min of each 20-min stage budget
+#    on this single-core box (all four serve stages timed out in the first
+#    round-3 campaign run); on-device init takes seconds
+run python scripts/bench_serve.py --steps 64 --fast-init
+run python scripts/bench_serve.py --steps 64 --kv q8 --ctx 896 --fast-init
 
 # 4. ring cache at long context vs linear windowed (same window)
-run python scripts/bench_serve.py --steps 64 --seq 4096 --window 1024 --ctx 3500 --kv q8
-run python scripts/bench_serve.py --steps 64 --seq 4096 --window 1024 --ring --ctx 3500 --kv q8
+run python scripts/bench_serve.py --steps 64 --seq 4096 --window 1024 --ctx 3500 --kv q8 --fast-init
+run python scripts/bench_serve.py --steps 64 --seq 4096 --window 1024 --ring --ctx 3500 --kv q8 --fast-init
 
 # 5. per-16 K-quant decode kernel (q6_k lm-head-sized GEMM)
 run python scripts/perf_lab.py 4

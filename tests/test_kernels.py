@@ -313,3 +313,24 @@ def test_fused_exact_degenerate_blocks(data):
     fused = np.asarray(gemm_exact_fused(wp, jnp.asarray(a)))
     assert np.array_equal(base, fused)
     assert np.isfinite(fused).all()
+
+
+@pytest.mark.parametrize("fmt", ["q4_0", "q8_0"])
+def test_prepare_device_matches_prepare(fmt, data):
+    """prepare_device (on-device init path) is layout-identical to prepare."""
+    from quant_gemm_tpu.kernels import gemm_pallas
+
+    _, w, _ = data
+    w_np = numpy_ref.QUANTIZE[fmt](w)
+    w_j = {"q4_0": jax_quant.quantize_q4_0,
+           "q8_0": jax_quant.quantize_q8_0}[fmt](jnp.asarray(w))
+    host = gemm_pallas.prepare(w_np)
+    dev = gemm_pallas.prepare_device(w_j)
+    assert (host.qtype, host.n, host.k) == (dev.qtype, dev.n, dev.k)
+    for name in ("packed_t", "qs_t", "d_t", "m_t", "qh_t"):
+        h, d = getattr(host, name), getattr(dev, name)
+        if h is None:
+            assert d is None
+        else:
+            np.testing.assert_array_equal(np.asarray(h), np.asarray(d),
+                                          err_msg=name)
