@@ -84,10 +84,10 @@ def main() -> None:
 
     signal.alarm(TUNNEL_TIMEOUT_S)
 
-    # best of 3 slope measurements: the shared dev chip has ±10% run-to-run
+    # best of 5 slope measurements: the shared dev chip has ±10% run-to-run
     # variance (docs/PERF_NOTES.md), and each slope is itself overhead-free
     res = None
-    for _ in range(3):
+    for _ in range(5):
         signal.alarm(TUNNEL_TIMEOUT_S)  # re-arm: progress, not total time
         r = bm.benchmark_kernel(
             dispatch,

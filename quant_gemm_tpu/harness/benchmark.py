@@ -42,14 +42,24 @@ def _consume(out) -> jax.Array:
 
 
 def default_chain(out, args):
-    """Perturb the first float leaf of args by a never-true NaN predicate."""
+    """Perturb EVERY float leaf of args by a never-true NaN predicate.
+
+    Perturbing only the first float leaf is not enough: if the kernel
+    happens not to read that leaf (e.g. a variant that replaces the f32
+    scales with a closed-over f16-bit array), the loop body becomes
+    loop-invariant and XLA hoists the kernel out of the fori_loop — the
+    bench then reports ~0 us.  Touching every float leaf keeps the
+    loop-carried dependence real for any kernel that reads ANY of them
+    (a few extra VPU selects per iteration — noise at bench scales).
+    """
     p = jnp.isnan(_consume(out))
     leaves, treedef = jax.tree.flatten(args)
+    touched = False
     for i, leaf in enumerate(leaves):
         if jnp.issubdtype(leaf.dtype, jnp.floating):
             leaves[i] = jnp.where(p, leaf + 1, leaf)
-            break
-    else:  # integer-only inputs: flip low bit under the false predicate
+            touched = True
+    if not touched:  # integer-only inputs: flip low bit under false pred
         leaves[0] = jnp.where(p, leaves[0] ^ 1, leaves[0])
     return jax.tree.unflatten(treedef, leaves)
 

@@ -118,6 +118,32 @@ def _f32_dot_bt(a_bt: jax.Array, b_bt: jax.Array) -> jax.Array:
     )
 
 
+def _block_dots_diag4(qa: jax.Array, qw: jax.Array, tkb: int,
+                      tm: int) -> list[jax.Array]:
+    """Per-32-block int dots, four blocks per MXU dispatch.
+
+    A K=32 ``dot_general`` under-fills the MXU's 128-deep contraction;
+    laying FOUR adjacent blocks' activation codes block-diagonally into
+    [4*TM, 128] makes one K=128 dot return the four per-block ``sumi``
+    stacked on the M axis (rows g*TM..(g+1)*TM = block g) — exact int32,
+    4x fewer/deeper MXU dispatches.  Measured on-chip: 51.5 -> ~48.5 us
+    at 4096x4x14336 decode (scripts/lab_decode2.py round 3); the int8
+    masking on [4, TM, 128] is noise.  Requires tkb % 4 == 0 (prepare()
+    pads K-planes to 256 rows, so tkb is always 8 or 16).
+    """
+    dots = []
+    for g in range(tkb // 4):
+        qa_g = qa[:, g * 128:(g + 1) * 128]  # [TM, 128] = 4 blocks
+        rep = jnp.broadcast_to(qa_g[None], (4, tm, 128))
+        col_g = jax.lax.broadcasted_iota(jnp.int32, (4, tm, 128), 2) // QK
+        row_g = jax.lax.broadcasted_iota(jnp.int32, (4, tm, 128), 0)
+        diag = jnp.where(col_g == row_g, rep, jnp.int8(0)).reshape(
+            4 * tm, 128)
+        res = _int_dot(diag, qw[g * 128:(g + 1) * 128, :])  # [4*TM, TN]
+        dots.extend(res[j * tm:(j + 1) * tm, :] for j in range(4))
+    return dots
+
+
 def _expand_bits_int(qh_tile: jax.Array) -> jax.Array:
     """Planar 5th bits uint8[TKP/8, TN] -> int32[TKP, TN] (0/1 per row).
 
@@ -184,13 +210,22 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
         sq = None if sq_ref is None else sq_ref[pl.ds(koff * tkb, tkb), :]
         acc = jnp.zeros_like(out_ref)
         d = d_ref[:]  # [tkb, tn] f32
+        if fixup:
+            # "noshift": keep the x8 hi-plane dot at 16x and rescale the
+            # epilogue instead — fl((d/16)*(16*t)) == fl(d*t) EXACTLY
+            # (power-of-two scalings are exact in f32, no over/underflow
+            # at these magnitudes), so this is bit-identical to the
+            # >>4-per-block form while dropping one i32 [TM, TN] op per
+            # block (51.5 -> ~48 us with diag4, lab_decode2 round 3).
+            d = d * 0.0625
+            if not has_min:
+                sa = sa * 16.0
+        dots = _block_dots_diag4(qa, qw, tkb, out_ref.shape[0])
         for b in range(tkb):
-            sl = slice(b * QK, (b + 1) * QK)
-            raw = _int_dot(qa[:, sl], qw[sl, :])
+            raw = dots[b]
             if fixup:
-                # raw = 16*sumi - 128*sumq_a; exact (16*sumi has zero low
-                # bits, so the arithmetic shift is exact division)
-                raw = (raw + 128 * sq[b, :][:, None]) >> 4
+                # raw + 128*sumq_a == 16*sumi exactly (x8 bias identity)
+                raw = raw + 128 * sq[b, :][:, None]
             sumi = raw.astype(jnp.float32)
             d_w = d[b, :][None, :]  # [1, TN]
             d_a = da[b, :][:, None]  # [TM, 1]
@@ -402,17 +437,23 @@ def _kernel_fused(*refs, tkb: int, tkp: int, nkt: int, offset: int,
         acc = jnp.zeros_like(out_ref)
         s_cols = []
         d = d_ref[:]  # [tkb, tn] f32
+        if fixup:
+            d = d * 0.0625  # "noshift" (see _kernel): exact rescale
+        blocks = [_quant_block_q8_1(ax[:, b * QK:(b + 1) * QK])
+                  for b in range(tkb)]
+        qa_cat = jnp.concatenate([blk[0] for blk in blocks], axis=1)
+        dots = _block_dots_diag4(qa_cat, qw, tkb, out_ref.shape[0])
         for b in range(tkb):
-            sl = slice(b * QK, (b + 1) * QK)
-            qa, d_a, s_a, sumq = _quant_block_q8_1(ax[:, sl])
-            raw = _int_dot(qa, qw[sl, :])
+            _qa, d_a, s_a, sumq = blocks[b]
+            raw = dots[b]
             if fixup:
-                raw = (raw + 128 * sumq) >> 4
+                raw = raw + 128 * sumq  # == 16*sumi exactly
+                s_a = s_a * 16.0  # exact; pairs with the d/16 rescale
             sumi = raw.astype(jnp.float32)
             d_w = d[b, :][None, :]  # [1, TN]
             if has_min:
                 acc += d_w * (d_a * sumi)
-                s_cols.append(s_a)
+                s_cols.append(blocks[b][2])
             else:
                 acc += d_w * (d_a * sumi - float(offset) * s_a)
         if has_min:

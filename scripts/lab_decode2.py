@@ -217,8 +217,28 @@ VARIANTS = {
     "noshift": dict(noshift=True),
     "u16": dict(u16=True),
     "diag4": dict(diag4=True),
+    "nd": dict(noshift=True, diag4=True),
     "combo": dict(noshift=True, u16=True, diag4=True),
 }
+
+
+def _chain_all(out, args):
+    """Perturb EVERY float leaf (never-true NaN predicate).
+
+    The harness default perturbs only the FIRST float leaf — wp.d_t here —
+    which the u16 variant never reads (it uses the closed-over f16-bit
+    array instead), so XLA hoisted the whole kernel out of the timing
+    loop and reported ~0 us.  Chaining through a_q.d (used by every
+    variant) keeps the loop-carried dependence real for all of them.
+    """
+    import jax
+
+    p = jnp.isnan(bm._consume(out))
+    leaves, treedef = jax.tree.flatten(args)
+    for i, leaf in enumerate(leaves):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            leaves[i] = jnp.where(p, leaf + 1, leaf)
+    return jax.tree.unflatten(treedef, leaves)
 
 
 def main():
@@ -280,10 +300,11 @@ def main():
             gemm_v, d16_t=d16_t, tn=4096, tkp=512, **kw)))
 
     results = []
-    for rep in range(3):
+    for rep in range(5):
         for name, fn in cases:
             r = bm.benchmark_kernel(fn, (wp, a_q), name=f"{name} #{rep}",
-                                    flops=flops, bytes_accessed=total_bytes)
+                                    flops=flops, bytes_accessed=total_bytes,
+                                    chain=_chain_all)
             results.append(r)
             print(f"{r.row()}  roofline={r.gbps / 9.0:.0f}%", flush=True)
 
