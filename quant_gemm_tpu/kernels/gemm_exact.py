@@ -118,29 +118,31 @@ def _f32_dot_bt(a_bt: jax.Array, b_bt: jax.Array) -> jax.Array:
     )
 
 
-def _block_dots_diag4(qa: jax.Array, qw: jax.Array, tkb: int,
-                      tm: int) -> list[jax.Array]:
-    """Per-32-block int dots, four blocks per MXU dispatch.
+def _block_dots_diag(qa: jax.Array, qw: jax.Array, nblk: int, tm: int,
+                     blk: int = QK) -> list[jax.Array]:
+    """Per-block int dots, ``128 // blk`` blocks per MXU dispatch.
 
-    A K=32 ``dot_general`` under-fills the MXU's 128-deep contraction;
-    laying FOUR adjacent blocks' activation codes block-diagonally into
-    [4*TM, 128] makes one K=128 dot return the four per-block ``sumi``
-    stacked on the M axis (rows g*TM..(g+1)*TM = block g) — exact int32,
-    4x fewer/deeper MXU dispatches.  Measured on-chip: 51.5 -> ~48.5 us
-    at 4096x4x14336 decode (scripts/lab_decode2.py round 3); the int8
-    masking on [4, TM, 128] is noise.  Requires tkb % 4 == 0 (prepare()
-    pads K-planes to 256 rows, so tkb is always 8 or 16).
+    A K=32 (or K=16, K-quants) ``dot_general`` under-fills the MXU's
+    128-deep contraction; laying 4 (8) adjacent blocks' activation codes
+    block-diagonally into [g*TM, 128] makes one K=128 dot return the
+    per-block ``sumi`` stacked on the M axis (rows j*TM..(j+1)*TM =
+    block j) — exact int32, 4-8x fewer/deeper MXU dispatches.  Measured
+    on-chip: 51.5 -> ~48.5 us at 4096x4x14336 q4_0 decode
+    (scripts/lab_decode2.py round 3); the int8 masking on [g, TM, 128]
+    is noise.  Requires ``nblk * blk`` divisible by 128 (prepare()/
+    prepare_k16 pad K-planes to 256+ rows, so it always is).
     """
+    g = 128 // blk
     dots = []
-    for g in range(tkb // 4):
-        qa_g = qa[:, g * 128:(g + 1) * 128]  # [TM, 128] = 4 blocks
-        rep = jnp.broadcast_to(qa_g[None], (4, tm, 128))
-        col_g = jax.lax.broadcasted_iota(jnp.int32, (4, tm, 128), 2) // QK
-        row_g = jax.lax.broadcasted_iota(jnp.int32, (4, tm, 128), 0)
+    for t in range(nblk // g):
+        qa_t = qa[:, t * 128:(t + 1) * 128]  # [TM, 128] = g blocks
+        rep = jnp.broadcast_to(qa_t[None], (g, tm, 128))
+        col_g = jax.lax.broadcasted_iota(jnp.int32, (g, tm, 128), 2) // blk
+        row_g = jax.lax.broadcasted_iota(jnp.int32, (g, tm, 128), 0)
         diag = jnp.where(col_g == row_g, rep, jnp.int8(0)).reshape(
-            4 * tm, 128)
-        res = _int_dot(diag, qw[g * 128:(g + 1) * 128, :])  # [4*TM, TN]
-        dots.extend(res[j * tm:(j + 1) * tm, :] for j in range(4))
+            g * tm, 128)
+        res = _int_dot(diag, qw[t * 128:(t + 1) * 128, :])  # [g*TM, TN]
+        dots.extend(res[j * tm:(j + 1) * tm, :] for j in range(g))
     return dots
 
 
@@ -220,7 +222,7 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
             d = d * 0.0625
             if not has_min:
                 sa = sa * 16.0
-        dots = _block_dots_diag4(qa, qw, tkb, out_ref.shape[0])
+        dots = _block_dots_diag(qa, qw, tkb, out_ref.shape[0])
         for b in range(tkb):
             raw = dots[b]
             if fixup:
@@ -442,7 +444,7 @@ def _kernel_fused(*refs, tkb: int, tkp: int, nkt: int, offset: int,
         blocks = [_quant_block_q8_1(ax[:, b * QK:(b + 1) * QK])
                   for b in range(tkb)]
         qa_cat = jnp.concatenate([blk[0] for blk in blocks], axis=1)
-        dots = _block_dots_diag4(qa_cat, qw, tkb, out_ref.shape[0])
+        dots = _block_dots_diag(qa_cat, qw, tkb, out_ref.shape[0])
         for b in range(tkb):
             _qa, d_a, s_a, sumq = blocks[b]
             raw = dots[b]
@@ -674,9 +676,10 @@ def _kernel_k16(*refs, tkb16: int, tkp: int, has_min: bool):
     da = da_ref[pl.ds(kt * (tkb16 // 2), tkb16 // 2), :]  # per-32 [.., TM]
     acc = jnp.zeros_like(out_ref)
     scp = scp_ref[:]  # [tkb16, tn]
+    # 8 sub-blocks per K=128 MXU dispatch (vs 8x under-filled K=16 dots)
+    dots = _block_dots_diag(qa, qs_ref[:], tkb16, out_ref.shape[0], blk=16)
     for j in range(tkb16):
-        sl = slice(j * 16, (j + 1) * 16)
-        sumi = _int_dot(qa[:, sl], qs_ref[sl, :]).astype(jnp.float32)
+        sumi = dots[j].astype(jnp.float32)
         acc += scp[j, :][None, :] * da[j // 2, :][:, None] * sumi
     if has_min:
         # additive per-16 term is linear across sub-blocks: ONE exact f32
