@@ -290,14 +290,17 @@ def gemm_exact(
         interpret = _interpret_default()
     m, k = a_q.qs.shape
     assert k == w.k
-    if tn is None:
-        # tn=2048 measured best-or-tied across the serving GEMM shapes
-        # (short-K shapes need more grid steps to amortize the pipeline
-        # ramp: wqkv 6144x2048 runs 14.5 us at tn=2048 vs 24.3 at 4096);
-        # q4_1/q5_x also carry extra m/qh planes that overflow the 16 MB
-        # scoped VMEM at tn=4096
-        tn = 2048
     is4 = w.packed_t is not None
+    if tn is None:
+        # round-3 serving-shapes lab (scripts/lab_serveshapes.py): FULL-N
+        # tiles win at the short-K serving shapes (wqkv 6144x2048:
+        # 15.5 -> 11.6 us; wgu 16384x2048: 34.6 -> ~30 us; lm_head
+        # 32000x2048: 77 -> ~56 us at tn=4096->4000) — fewer, larger
+        # DMAs beat grid-step count once the K grid is only 2 deep.
+        # Cap at 8192 (q4 packed tile 512x8192 = 4 MB x2 buffers; the
+        # extra m/qh planes of q4_1/q5_x still fit)
+        np_stored = (w.packed_t if is4 else w.qs_t).shape[1]
+        tn = np_stored if np_stored <= 8192 else 4096
     # padded packed column space (prepare() zero-pads K to 256-row packs)
     kdim = w.packed_t.shape[0] if is4 else w.qs_t.shape[0]
     tkp = min(tkp, kdim)
