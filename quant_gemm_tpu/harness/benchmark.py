@@ -132,8 +132,14 @@ def benchmark_kernel(
     if span < target_window_s:
         scale = min(int(target_window_s / span) + 1, 64)
         l1b, l2b = l1 * scale, l2 * scale
-        t1 = _timed_loop(kernel, chain, args, l1b)
-        t2 = _timed_loop(kernel, chain, args, l2b)
+        # A transient host/tunnel hiccup during the t1 window makes the
+        # slope non-positive (observed once in the round-3 campaign:
+        # "0.0 us / 469762 TFLOPS"); retry rather than report garbage.
+        for _ in range(3):
+            t1 = _timed_loop(kernel, chain, args, l1b)
+            t2 = _timed_loop(kernel, chain, args, l2b)
+            if t2 > t1:
+                break
         dt = max((t2 - t1) / (l2b - l1b), 1e-9)
     return BenchResult(name, dt, flops, bytes_accessed)
 

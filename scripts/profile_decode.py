@@ -102,11 +102,14 @@ def main():
                     jnp.float32)
     kc = jnp.asarray(rng.normal(0, 1, (b, args.heads, 1, cfg.head_dim)),
                      jnp.bfloat16)
+    cache_rd = (b * args.heads * args.ctx * cfg.head_dim
+                * np.dtype(cache.k.dtype).itemsize * 2)  # k + v
     r = bm.benchmark_kernel(
         lambda qq, kk, vv, pp: flash_decode(
             qq, kk, vv, pp, layer=0, k_current=kc, v_current=kc,
             k_scale=cache.ks, v_scale=cache.vs),
         (q, cache.k, cache.v, cache.pos), name=f"flash_decode ctx{args.ctx}",
+        bytes_accessed=cache_rd,
     )
     print(f"  {r.row()}", flush=True)
     attn_us = r.time_s * 1e6 * args.layers
@@ -114,20 +117,46 @@ def main():
           flush=True)
 
     # ---- 3. cache writes --------------------------------------------------
+    # The cache must be THREADED through the timing loop (as the real decode
+    # fori_loop threads it) so the dus is in-place.  Passing the same cache
+    # array to repeated calls — the generic benchmark_kernel pattern — keeps
+    # the input alive across calls, XLA cannot donate, and the "write"
+    # measures a full ~0.5 GB cache copy instead (the round-3 campaign's
+    # bogus 2075 us / -166% breakdown).
     vals = jnp.zeros((args.layers, b, args.heads, 1, cfg.head_dim),
                      cache.k.dtype)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def write_step(k_buf, vals, pos):
-        for bb in range(b):
-            k_buf = jax.lax.dynamic_update_slice(
-                k_buf, vals[:, bb][:, None], (0, bb, 0, pos[bb], 0))
-        return k_buf
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("n",))
+    def write_loop(k_buf, vals, pos, n):
+        def body(i, buf):
+            v = vals + buf[0, 0, 0, 0, 0]  # loop-carried dep, never hoisted
+            for bb in range(b):
+                buf = jax.lax.dynamic_update_slice(
+                    buf, v[:, bb][:, None], (0, bb, 0, pos[bb], 0))
+            return buf
 
-    r = bm.benchmark_kernel(write_step, (cache.k, vals, cache.pos),
-                            name="cache write (k)")
+        return jax.lax.fori_loop(0, n, body, k_buf)
+
+    import time as _t
+
+    def _run_writes(n):
+        buf = jnp.zeros_like(cache.k)
+        jax.block_until_ready(buf)
+        t0 = _t.perf_counter()
+        jax.block_until_ready(write_loop(buf, vals, cache.pos, n))
+        return _t.perf_counter() - t0
+
+    for n in (64, 320):  # compile both loop lengths before timing
+        _run_writes(n)
+    w1 = min(_run_writes(64) for _ in range(2))
+    w2 = min(_run_writes(320) for _ in range(2))
+    per_write = max((w2 - w1) / 256, 0.0)
+    wbytes = args.layers * b * args.heads * cfg.head_dim * (
+        np.dtype(cache.k.dtype).itemsize)
+    r = bm.BenchResult("cache write (k, in-place)", max(per_write, 1e-9),
+                       bytes=wbytes)
     print(f"  {r.row()}", flush=True)
-    write_us = r.time_s * 1e6 * 2  # k and v
+    write_us = per_write * 1e6 * 2  # k and v
 
     # ---- 4. the full step -------------------------------------------------
     @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("n",))
