@@ -57,6 +57,7 @@ from .gemm_pallas import (
     _interpret_default,
     pad_activation_k,
     pad_scales_k,
+    scale_f32,
 )
 
 
@@ -211,7 +212,7 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
         sa = sa_ref[pl.ds(koff * tkb, tkb), :]
         sq = None if sq_ref is None else sq_ref[pl.ds(koff * tkb, tkb), :]
         acc = jnp.zeros_like(out_ref)
-        d = d_ref[:]  # [tkb, tn] f32
+        d = scale_f32(d_ref[:])  # [tkb, tn]
         if fixup:
             # "noshift": keep the x8 hi-plane dot at 16x and rescale the
             # epilogue instead — fl((d/16)*(16*t)) == fl(d*t) EXACTLY
@@ -238,7 +239,7 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
                 acc += d_w * (d_a * sumi - float(offset) * s_a)
         if has_min:
             # min term is linear across blocks: one exact f32 dot per tile
-            acc += _f32_dot_bt(sa, m_ref[:])
+            acc += _f32_dot_bt(sa, scale_f32(m_ref[:]))
         return acc
 
     out_ref[:] += plane(lo, dlo_ref, mlo_ref, qhlo_ref, kt, False)
@@ -257,11 +258,12 @@ def _kernel_w8(
 
     qa = qa_ref[:, pl.ds(kt * tkp, tkp)]
     da = da_ref[pl.ds(kt * tkb, tkb), :]
+    d = scale_f32(d_ref[:])
     acc = jnp.zeros_like(out_ref)
     for b in range(tkb):
         sl = slice(b * QK, (b + 1) * QK)
         sumi = _int_dot(qa[:, sl], qs_ref[sl, :]).astype(jnp.float32)
-        d_w = d_ref[b, :][None, :]
+        d_w = d[b, :][None, :]
         d_a = da[b, :][:, None]
         acc += d_w * d_a * sumi
     out_ref[:] += acc
@@ -441,7 +443,7 @@ def _kernel_fused(*refs, tkb: int, tkp: int, nkt: int, offset: int,
         ax = ax_ref[:, pl.ds(koff * tkp, tkp)]  # [TM, tkp] f32
         acc = jnp.zeros_like(out_ref)
         s_cols = []
-        d = d_ref[:]  # [tkb, tn] f32
+        d = scale_f32(d_ref[:])  # [tkb, tn]
         if fixup:
             d = d * 0.0625  # "noshift" (see _kernel): exact rescale
         blocks = [_quant_block_q8_1(ax[:, b * QK:(b + 1) * QK])
@@ -464,7 +466,7 @@ def _kernel_fused(*refs, tkb: int, tkp: int, nkt: int, offset: int,
         if has_min:
             # min term is linear across blocks: one exact f32 dot per tile
             sa_bt = jnp.concatenate(s_cols, axis=1).T  # [tkb, TM]
-            acc += _f32_dot_bt(sa_bt, m_ref[:])
+            acc += _f32_dot_bt(sa_bt, scale_f32(m_ref[:]))
         return acc
 
     out_ref[:] += plane(lo, dlo_ref, mlo_ref, kt, False)
@@ -484,7 +486,7 @@ def _kernel_w8_fused(qs_ref, d_ref, ax_ref, out_ref, *, tkb: int, tkp: int):
         sl = slice(b * QK, (b + 1) * QK)
         qa, d_a, _s, _sq = _quant_block_q8_1(ax[:, sl])
         sumi = _int_dot(qa, qs_ref[sl, :]).astype(jnp.float32)
-        acc += d_ref[b, :][None, :] * d_a * sumi
+        acc += scale_f32(d_ref[b, :])[None, :] * d_a * sumi
     out_ref[:] += acc
 
 

@@ -83,11 +83,60 @@ class PreparedWeight:
         return cls(*aux, *children)
 
 
-def prepare(w_q) -> PreparedWeight:
+# Storage dtype for the per-block weight scales (d/m planes).  With the x8
+# kernel at the DMA floor the scale planes are ~20% of the decode stream,
+# so half storage (LOSSLESS: the container d is IEEE f16 already) cuts
+# decode bytes ~10%.  Mosaic has NO f16 dialect type ("Unsupported type in
+# mosaic dialect: 'f16'", verified via the AOT gate), so np.float16 here
+# means "f16 bits stored as int16", decoded to f32 at tile entry by
+# :func:`scale_f32` — exact for every finite f16 incl. subnormals; the
+# CUDA reference upcasts at entry the same way (gemm_quant_formats.cuh:97).
+# Module-level so serving/model init flips it in one place; default stays
+# f32 until the on-chip A/B (scripts/lab_f16scales.py) records the win.
+SCALES_DTYPE = np.float32
+
+# 2^112: rebias factor for the shift-based half->float bit decode (exactly
+# representable; multiplying by a power of two is exact in f32)
+_F16_REBIAS = np.float32(np.ldexp(1.0, 112))
+
+
+def scale_f32(tile: jax.Array) -> jax.Array:
+    """Upcast a scale tile to f32 inside a kernel.
+
+    int16 tiles hold raw IEEE-f16 bits (see :data:`SCALES_DTYPE`): place
+    sign/exponent/mantissa into f32 bit positions and rescale by 2^112 —
+    exact for all finite f16 values including subnormals (inf/nan cannot
+    occur: quantizers produce finite d/m by construction).  Anything else
+    is a plain convert.
+    """
+    if tile.dtype == jnp.int16:
+        h = tile.astype(jnp.int32) & 0xFFFF
+        bits = ((h & 0x8000) << 16) | ((h & 0x7FFF) << 13)
+        normal = jax.lax.bitcast_convert_type(bits, jnp.float32) * _F16_REBIAS
+        # f16 subnormals (exponent field 0): m * 2^-24 computed WITHOUT f32
+        # subnormal intermediates — the shift+rebias path's intermediate IS
+        # an f32 subnormal there and gets flushed to zero on the VPU
+        sub = (h & 0x3FF).astype(jnp.float32) * np.float32(np.ldexp(1., -24))
+        sub = jnp.where(h & 0x8000, -sub, sub)
+        return jnp.where(h & 0x7C00, normal, sub)
+    return tile.astype(jnp.float32)
+
+
+def _store_scales(x: np.ndarray, sdt) -> np.ndarray:
+    """Materialize a host-side scale plane in its storage dtype."""
+    x = np.asarray(x)
+    if np.dtype(sdt) == np.float16:
+        return x.astype(np.float16).view(np.int16)
+    return x.astype(sdt)
+
+
+def prepare(w_q, scales_dtype=None) -> PreparedWeight:
     """Transpose a row-major SoA container into the K-major kernel layout.
 
-    Scales are upcast f16 -> f32 here (exact): Mosaic has no f16 compute,
-    and the CUDA kernels upcast at entry anyway (gemm_quant_formats.cuh:97).
+    Scales are stored as ``scales_dtype`` (default :data:`SCALES_DTYPE`)
+    and upcast to f32 at kernel entry (exact: the container d/m are IEEE
+    f16 values; the CUDA kernels upcast at entry anyway,
+    gemm_quant_formats.cuh:97).
 
     4/5-bit packed bytes are stored **XOR 0x80 as int8** (the "x8
     encoding"): flipping the high nibble's top bit makes
@@ -109,8 +158,7 @@ def prepare(w_q) -> PreparedWeight:
     and pad/reindex the activation to match (see :func:`pad_activation_k`).
     """
 
-    def t32(x):
-        return jnp.asarray(x).T.astype(jnp.float32)
+    sdt = SCALES_DTYPE if scales_dtype is None else scales_dtype
 
     spec = w_q.spec
     name = spec.name
@@ -143,9 +191,10 @@ def prepare(w_q) -> PreparedWeight:
         np_pad = round_up(n, 256)
         kp = round_up(k, 512)
         qs = padrows(padcols(w_q.qs, kp), np_pad)
-        d = padrows(padcols(np.asarray(w_q.d, np.float32), kp // QK), np_pad)
+        d = padrows(padcols(np.asarray(w_q.d, sdt), kp // QK), np_pad)
         return PreparedWeight(
-            name, n, k, None, jnp.asarray(qs).T, jnp.asarray(d).T, None, None
+            name, n, k, None, jnp.asarray(qs).T,
+            jnp.asarray(_store_scales(d, sdt)).T, None, None
         )
 
     n, khalf = np.asarray(w_q.packed).shape
@@ -156,11 +205,13 @@ def prepare(w_q) -> PreparedWeight:
     # hi 0 raw) — contributes nothing since padded blocks carry d = 0
     packed = (np.asarray(packed, np.uint8) ^ 0x80).view(np.int8)
     nbh, nbh_p = khalf // QK, khalf_p // QK
-    d = padrows(pad_halves(np.asarray(w_q.d, np.float32), nbh, nbh_p), np_pad)
+    d = padrows(pad_halves(np.asarray(w_q.d, sdt), nbh, nbh_p), np_pad)
+    d = _store_scales(d, sdt)
     m_t = (
-        jnp.asarray(
-            padrows(pad_halves(np.asarray(w_q.m, np.float32), nbh, nbh_p), np_pad)
-        ).T
+        jnp.asarray(_store_scales(
+            padrows(pad_halves(np.asarray(w_q.m, sdt), nbh, nbh_p), np_pad),
+            sdt,
+        )).T
         if spec.has_min else None
     )
     qh_t = (
@@ -175,7 +226,7 @@ def prepare(w_q) -> PreparedWeight:
     )
 
 
-def prepare_device(w_q) -> PreparedWeight:
+def prepare_device(w_q, scales_dtype=None) -> PreparedWeight:
     """Device-side twin of :func:`prepare` for q4_0/q8_0 jnp containers.
 
     Same layout decisions (256-padded planes, x8 int8 encoding, K-major
@@ -191,11 +242,19 @@ def prepare_device(w_q) -> PreparedWeight:
         return jnp.pad(
             x, ((0, rows_to - x.shape[0]), (0, cols_to - x.shape[1])))
 
+    sdt = SCALES_DTYPE if scales_dtype is None else scales_dtype
+
+    def store_dev(x):  # device twin of _store_scales
+        if np.dtype(sdt) == np.float16:
+            return jax.lax.bitcast_convert_type(
+                x.astype(jnp.float16), jnp.int16)
+        return x.astype(sdt)
+
     if spec.bits == 8:
         n, k = w_q.qs.shape
         np_pad, kp = round_up(n, 256), round_up(k, 512)
         qs = padrc(jnp.asarray(w_q.qs, jnp.int8), np_pad, kp)
-        d = padrc(jnp.asarray(w_q.d, jnp.float32), np_pad, kp // QK)
+        d = store_dev(padrc(jnp.asarray(w_q.d, jnp.float32), np_pad, kp // QK))
         return PreparedWeight(name, n, k, None, qs.T, d.T, None, None)
 
     assert name == "q4_0", f"prepare_device supports q4_0/q8_0, not {name}"
@@ -208,7 +267,7 @@ def prepare_device(w_q) -> PreparedWeight:
     nbh, nbh_p = khalf // QK, khalf_p // QK
     d = pad_scales_k(jnp.asarray(w_q.d, jnp.float32), khalf * 2,
                      khalf_p, True)
-    d = jnp.pad(d, ((0, np_pad - n), (0, 0)))
+    d = store_dev(jnp.pad(d, ((0, np_pad - n), (0, 0))))
     return PreparedWeight(name, n, khalf * 2, packed.T, None, d.T, None,
                           None)
 
@@ -343,9 +402,9 @@ def _kernel_w4(*refs, offset, has_min, has_qh, mxu_dtype, fused_q8_act):
     def weight_slab(q, d_ref, m_ref, qh_ref):
         if has_qh:
             q = q + 16.0 * _expand_bits(qh_ref[:])
-        d = _expand_rows(d_ref[:].astype(jnp.float32), QK)
+        d = _expand_rows(scale_f32(d_ref[:]), QK)
         if has_min:
-            w = q * d + _expand_rows(m_ref[:].astype(jnp.float32), QK)
+            w = q * d + _expand_rows(scale_f32(m_ref[:]), QK)
         else:
             w = (q - float(offset)) * d
         return w if w.dtype == cast_dt else w.astype(cast_dt)
@@ -398,7 +457,8 @@ def _kernel_w8(*refs, mxu_dtype, fused_q8_act):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     cast_dt = _mxu_cast_dtype(mxu_dtype)
-    wt = qs_ref[:].astype(jnp.float32) * _expand_rows(d_ref[:], QK)
+    wt = qs_ref[:].astype(jnp.float32) * _expand_rows(
+        scale_f32(d_ref[:]), QK)
     wt = wt if wt.dtype == cast_dt else wt.astype(cast_dt)
     a = a_ref[:]
     if fused_q8_act:
