@@ -94,7 +94,7 @@ def main() -> None:
             (wp, a_q),
             name="w4a8_decode(dispatch)",
             flops=bm.gemm_flops(m_tok, n_feat, k),
-            bytes_accessed=bm.weight_bytes("q4_0", n_feat, k)
+            bytes_accessed=bm.prepared_bytes(wp)
             + m_tok * k + m_tok * n_feat * 4,
         )
         log(r.row())

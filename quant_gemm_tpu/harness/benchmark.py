@@ -161,6 +161,16 @@ def weight_bytes(qtype: str, n: int, k: int, f32_scales: bool = True) -> int:
     return n * per
 
 
+def prepared_bytes(w) -> int:
+    """Actual HBM bytes of a PreparedWeight/PreparedK16 (incl. padding and
+    the real scale-plane dtype) — the honest roofline denominator once the
+    scale storage dtype is configurable (gemm_pallas.SCALES_DTYPE)."""
+    import jax
+
+    return sum(leaf.size * leaf.dtype.itemsize
+               for leaf in jax.tree.leaves(w))
+
+
 def gemm_flops(m: int, n: int, k: int) -> int:
     return 2 * m * n * k
 
