@@ -64,14 +64,30 @@ def default_chain(out, args):
     return jax.tree.unflatten(treedef, leaves)
 
 
-def _timed_loop(kernel, chain, args, iters: int) -> float:
-    @jax.jit
-    def run(args):
-        def body(_, a):
-            return chain(kernel(*a), a)
+# jitted timing loops keyed on (kernel, chain, iters): interleaved-reps
+# labs call benchmark_kernel many times with the SAME kernel object, and a
+# fresh jit per call re-traces (and often re-compiles) — tens of seconds
+# per rep on the remote-compile service.  jax.jit itself retraces on shape
+# changes, so reuse is safe.
+_RUN_CACHE: dict = {}
 
-        a = jax.lax.fori_loop(0, iters, body, args)
-        return _consume(kernel(*a))
+
+def _timed_loop(kernel, chain, args, iters: int) -> float:
+    key = (kernel, chain, iters)
+    run = _RUN_CACHE.get(key)
+    if run is None:
+        if len(_RUN_CACHE) > 512:
+            _RUN_CACHE.clear()
+
+        @jax.jit
+        def run(args):
+            def body(_, a):
+                return chain(kernel(*a), a)
+
+            a = jax.lax.fori_loop(0, iters, body, args)
+            return _consume(kernel(*a))
+
+        _RUN_CACHE[key] = run
 
     r = run(args)  # compile + warm
     np.asarray(jax.device_get(r))
@@ -90,6 +106,11 @@ class BenchResult:
     time_s: float
     flops: int = 0
     bytes: int = 0
+    # False when the slope stayed non-positive after retries (host/tunnel
+    # hiccup): time_s is then a clamped placeholder, NOT a measurement —
+    # callers must not record it (the round-3 campaign once printed
+    # "0.0 us / 469762 TFLOPS" from exactly this failure mode)
+    valid: bool = True
 
     @property
     def tflops(self) -> float:
@@ -100,9 +121,10 @@ class BenchResult:
         return self.bytes / self.time_s / 1e9 if self.bytes else 0.0
 
     def row(self) -> str:
+        tag = "" if self.valid else "  INVALID(slope<=0)"
         return (
             f"{self.name:<28s} {self.time_s*1e6:10.1f} us"
-            f" {self.tflops:9.2f} TFLOPS {self.gbps:9.1f} GB/s"
+            f" {self.tflops:9.2f} TFLOPS {self.gbps:9.1f} GB/s{tag}"
         )
 
 
@@ -140,6 +162,14 @@ def benchmark_kernel(
             t2 = _timed_loop(kernel, chain, args, l2b)
             if t2 > t1:
                 break
+        if t2 <= t1:
+            import sys
+
+            print(f"WARNING: {name}: slope non-positive after 3 retries "
+                  f"(t1={t1:.4f}s t2={t2:.4f}s) — result marked INVALID",
+                  file=sys.stderr, flush=True)
+            return BenchResult(name, 1e-9, flops, bytes_accessed,
+                               valid=False)
         dt = max((t2 - t1) / (l2b - l1b), 1e-9)
     return BenchResult(name, dt, flops, bytes_accessed)
 
