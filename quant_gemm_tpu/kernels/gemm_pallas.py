@@ -123,10 +123,22 @@ def scale_f32(tile: jax.Array) -> jax.Array:
 
 
 def _store_scales(x: np.ndarray, sdt) -> np.ndarray:
-    """Materialize a host-side scale plane in its storage dtype."""
-    x = np.asarray(x)
+    """Materialize a host-side scale plane in its storage dtype.
+
+    float16 storage is applied ONLY when the plane round-trips exactly
+    (x == f32(f16(x)) elementwise): the five q-format containers carry
+    native IEEE-f16 d/m so this always holds, but K-quant *effective*
+    containers (kquants.to_effective) carry f32 ``super_d * ls`` products
+    that are generally not f16-representable — those planes silently keep
+    f32 so the half-storage flip stays lossless everywhere
+    (tests/test_f16_scales.py::test_kquant_effective_scales_keep_f32).
+    """
+    x = np.asarray(x, np.float32)
     if np.dtype(sdt) == np.float16:
-        return x.astype(np.float16).view(np.int16)
+        h = x.astype(np.float16)
+        if np.array_equal(h.astype(np.float32), x):
+            return h.view(np.int16)
+        return x  # not f16-representable: lossless f32 fallback
     return x.astype(sdt)
 
 
@@ -191,7 +203,9 @@ def prepare(w_q, scales_dtype=None) -> PreparedWeight:
         np_pad = round_up(n, 256)
         kp = round_up(k, 512)
         qs = padrows(padcols(w_q.qs, kp), np_pad)
-        d = padrows(padcols(np.asarray(w_q.d, sdt), kp // QK), np_pad)
+        # keep f32 through padding; _store_scales decides the storage dtype
+        # (with a per-plane exactness guard for the f16 flip)
+        d = padrows(padcols(np.asarray(w_q.d, np.float32), kp // QK), np_pad)
         return PreparedWeight(
             name, n, k, None, jnp.asarray(qs).T,
             jnp.asarray(_store_scales(d, sdt)).T, None, None
@@ -205,11 +219,12 @@ def prepare(w_q, scales_dtype=None) -> PreparedWeight:
     # hi 0 raw) — contributes nothing since padded blocks carry d = 0
     packed = (np.asarray(packed, np.uint8) ^ 0x80).view(np.int8)
     nbh, nbh_p = khalf // QK, khalf_p // QK
-    d = padrows(pad_halves(np.asarray(w_q.d, sdt), nbh, nbh_p), np_pad)
+    d = padrows(pad_halves(np.asarray(w_q.d, np.float32), nbh, nbh_p), np_pad)
     d = _store_scales(d, sdt)
     m_t = (
         jnp.asarray(_store_scales(
-            padrows(pad_halves(np.asarray(w_q.m, sdt), nbh, nbh_p), np_pad),
+            padrows(pad_halves(np.asarray(w_q.m, np.float32), nbh, nbh_p),
+                    np_pad),
             sdt,
         )).T
         if spec.has_min else None

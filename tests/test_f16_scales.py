@@ -63,6 +63,27 @@ def test_half_scales_bit_identical(qt):
             np.asarray(gemm_exact_fused(w16, jnp.asarray(a))))
 
 
+def test_kquant_effective_scales_keep_f32():
+    """K-quant effective containers carry f32 super_d*ls products that are
+    generally NOT f16-representable: the f16 flip must silently fall back
+    to f32 per plane (lossless) instead of rounding them (ADVICE r3)."""
+    from quant_gemm_tpu.formats import kquants
+
+    rng = np.random.default_rng(11)
+    w = rng.normal(0, 1, (64, 512)).astype(np.float32)
+    wq = kquants.to_effective(kquants.quantize_q4_k(w))
+    # sanity: the effective d really is not f16-exact (else the test is vacuous)
+    d = np.asarray(wq.d, np.float32)
+    assert not np.array_equal(d.astype(np.float16).astype(np.float32), d)
+    w32 = gemm_pallas.prepare(wq, scales_dtype=np.float32)
+    w16 = gemm_pallas.prepare(wq, scales_dtype=np.float16)
+    assert w16.d_t.dtype == jnp.float32  # guarded fallback, not int16
+    a = rng.normal(0, 1, (4, 512)).astype(np.float32)
+    aq = jax_quant.device_put(numpy_ref.quantize_q8_1(a))
+    np.testing.assert_array_equal(
+        np.asarray(gemm_exact(w32, aq)), np.asarray(gemm_exact(w16, aq)))
+
+
 def test_half_scales_device_prepare_matches_host():
     rng = np.random.default_rng(5)
     w = rng.normal(0, 1, (64, 256)).astype(np.float32)
