@@ -145,6 +145,17 @@ KERNELS: Dict[str, Callable] = {
 # at 4096x{1..16}x14336: exact wins up to M=8, ties ~M=12 (docs/PERF_NOTES.md).
 DECODE_M_MAX = 12
 
+# Decode-path W_xA8 strategy for float activations: fuse the Q8_1
+# quantization INTO the exact kernel (True) or quantize via jax_quant and
+# run the unfused exact kernel (False).  Both are bit-identical; the round-4
+# on-chip adjudication (scripts/lab_serveshapes.py, bench_serve --fused)
+# found the fused kernel ~4-10 us SLOWER per GEMM at every serving shape
+# (the VMEM-resident float activation competes with the weight stream and
+# the in-kernel quant redoes per-block work each N-tile), while the
+# standalone quantize pass costs ~2 us and its output is reused across the
+# N grid — so the default is now the unfused path (VERDICT r3 item 2).
+FUSED_DECODE = False
+
 
 def dispatch(w, act, impl: str | None = None, quantize_act: bool = False,
              **kw):
@@ -187,7 +198,7 @@ def dispatch(w, act, impl: str | None = None, quantize_act: bool = False,
     )
     if quantize_act and not isinstance(act, Q8_1Tensor):
         x32 = act.astype(jnp.float32)
-        if _gp.supports(k) and act.shape[0] <= DECODE_M_MAX:
+        if FUSED_DECODE and _gp.supports(k) and act.shape[0] <= DECODE_M_MAX:
             wq = _as_prepared(w)
             if wq.qh_t is None:  # q5 qh planes keep the unfused path
                 return _gemm_exact_fused(wq, x32, **kw)

@@ -52,8 +52,11 @@ def main():
           flush=True)
 
     flops = bm.gemm_flops(m, N_FEAT, K)
-    by32 = bm.weight_bytes("q4_0", N_FEAT, K, f32_scales=True)
-    by16 = bm.weight_bytes("q4_0", N_FEAT, K, f32_scales=False)
+    # dispatch-path denominator: actual prepared bytes (incl. padding and
+    # the real scale dtype) + activation/output bytes, matching bench.py
+    act_by = m * K + (K // 32) * m * 12 + m * N_FEAT * 4
+    by32 = bm.prepared_bytes(w32) + act_by
+    by16 = bm.prepared_bytes(w16) + act_by
 
     variants = [
         ("exact f32-scales", gemm_exact, (w32, aq), by32),
@@ -62,23 +65,27 @@ def main():
         ("fused f16-scales", gemm_exact_fused, (w16, ax), by16),
     ]
     results = []
-    for rep in range(3):
+    n_reps = 5
+    for rep in range(n_reps):
         for name, fn, args, by in variants:
             r = bm.benchmark_kernel(
                 fn, args, name=f"{name} #{rep}",
                 flops=flops, bytes_accessed=by)
-            gbps_roof = r.bytes / r.time_s / 1e9 / 900 * 100
+            gbps_roof = r.bytes / r.time_s / 1e9 / 819 * 100
             print(f"  {r.row()}  roofline={gbps_roof:.0f}%", flush=True)
-            results.append(r)
+            if r.valid:
+                results.append(r)
 
-    best = {}
+    import statistics
+
+    byname: dict[str, list] = {}
     for r in results:
-        key = r.name.rsplit(" #", 1)[0]
-        if key not in best or r.time_s < best[key].time_s:
-            best[key] = r
-    print("\nbest-of-3 per variant:", flush=True)
-    for key, r in best.items():
-        print(f"  {r.row()}", flush=True)
+        byname.setdefault(r.name.rsplit(" #", 1)[0], []).append(r.time_s)
+    print(f"\nmedian-of-{n_reps} per variant (steady state):", flush=True)
+    for key, ts in byname.items():
+        med = statistics.median(ts)
+        print(f"  {key:<20s} {med*1e6:8.1f} us  best {min(ts)*1e6:8.1f} us",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -7,17 +7,26 @@ mostly), far below the 700-850 GB/s the same kernel reaches at the
 4096x14336 champion shape.  This lab races, per serving shape:
 
 * the DMA probe (per-shape floor at the exact operand mix),
-* the fused exact kernel (the dispatch decode path) over (tn, tkp),
-* the unfused exact kernel (isolates the in-kernel quantization cost).
+* the UNFUSED exact kernel over (tn, tkp) — incl. small tkp (128/256):
+  short K leaves a 2-step K grid at tkp=512, so the Pallas pipeline has no
+  room to hide its prologue; more, smaller K steps trade DMA size for
+  overlap,
+* the fused exact kernel (the former dispatch decode path),
+* the standalone Q8_1 activation-quantization pass — what the unfused
+  path pays per GEMM group; charging it makes fused-vs-unfused an
+  end-to-end adjudication (VERDICT r3 item 2).
 
 Shapes (1.2B config, batch 8): wqkv 6144x2048, wo 2048x2048,
 wgu 16384x2048, w_down 2048x8192, lm_head 32000x2048.
+
+Reported per case: MEDIAN of interleaved reps (steady state) + best.
 
 Usage: python scripts/lab_serveshapes.py [--quick]
 """
 
 from __future__ import annotations
 
+import statistics
 import sys
 
 import jax
@@ -56,6 +65,7 @@ def main():
 
     key = jax.random.key(0)
     step_us = {}
+    quant_us = None
     for name, n, k in SHAPES:
         kf = jax.random.fold_in(key, hash(name) % 1000)
         w = jax.random.normal(kf, (n, k), jnp.float32) * (1.0 / k ** 0.5)
@@ -80,28 +90,31 @@ def main():
                 tkp //= 2
             return tn, tkp
 
-        probe_tn, probe_tkp = eff(2048, 512)
+        probe_tn, probe_tkp = eff(np_stored, 512)
         cases = [("probe", lambda wp_: dma_probe(
             wp_, tn=probe_tn, tkp=probe_tkp), (wp,))]
         seen = set()
-        for tn, tkp in [(2048, 512), (4096, 512), (2048, 256), (8192, 512),
-                        (2048, 1024)]:
+        # unfused exact is the round-4 dispatch default; sweep tkp down to
+        # 128 at the short-K shapes (more grid steps -> prologue overlap)
+        for tn, tkp in [(np_stored, 512), (np_stored, 256), (np_stored, 128),
+                        (4096, 512), (2048, 512), (4096, 256)]:
             e = eff(tn, tkp)
-            if e in seen:  # same resolved tiles -> same executable
+            if e in seen:
                 continue
             seen.add(e)
             cases.append((
-                f"fused tn{tn}/tkp{tkp}",
-                lambda wp_, x_, tn=tn, tkp=tkp: gemm_exact_fused(
-                    wp_, x_, tn=tn, tkp=tkp, interpret=interp), (wp, x)))
+                f"exact tn{e[0]}/tkp{e[1]}",
+                lambda wp_, aq_, tn=tn, tkp=tkp: gemm_exact(
+                    wp_, aq_, tn=tn, tkp=tkp, interpret=interp), (wp, a_q)))
+        ef = eff(np_stored, 512)
         cases.append((
-            "exact tn2048/tkp512",
-            lambda wp_, aq_: gemm_exact(wp_, aq_, tn=2048, tkp=512,
-                                        interpret=interp), (wp, a_q)))
+            f"fused tn{ef[0]}/tkp{ef[1]}",
+            lambda wp_, x_: gemm_exact_fused(
+                wp_, x_, tn=np_stored, tkp=512, interpret=interp), (wp, x)))
         if quick:
-            cases = cases[:2]
-        best = {}
-        reps = 2 if quick else 3
+            cases = cases[:3]
+        times: dict[str, list[float]] = {c[0]: [] for c in cases}
+        reps = 2 if quick else 5
         for rep in range(reps):
             for cname, fn, args in cases:
                 try:
@@ -113,23 +126,44 @@ def main():
                     cases = [c for c in cases if c[0] != cname]
                     continue
                 print(f"  {r.row()}", flush=True)
-                if cname not in best or r.time_s < best[cname].time_s:
-                    best[cname] = r
-        if best:
-            print("  best:", flush=True)
-            for cname, r in sorted(best.items(), key=lambda kv: kv[1].time_s):
-                print(f"    {r.row()}")
-            fused_best = min((r.time_s for c, r in best.items()
-                              if c.startswith("fused")), default=None)
-            if fused_best:
-                step_us[name] = fused_best * 1e6
+                if r.valid:
+                    times[cname].append(r.time_s)
+        med = {c: statistics.median(ts) for c, ts in times.items() if ts}
+        if med:
+            print("  medians:", flush=True)
+            for cname, t in sorted(med.items(), key=lambda kv: kv[1]):
+                print(f"    {cname:<24s} {t*1e6:8.1f} us  "
+                      f"{wbytes/t/1e9:7.1f} GB/s  best "
+                      f"{min(times[cname])*1e6:7.1f} us")
+            ex_best = min((t for c, t in med.items()
+                           if c.startswith("exact")), default=None)
+            if ex_best:
+                step_us[name] = ex_best * 1e6
+
+    # the unfused path's extra cost: one standalone Q8_1 quantize per GEMM
+    # input (reused by wqkv+wgu?  no — each GEMM input differs; 4/layer)
+    xq = jax.random.normal(key, (M, 2048), jnp.float32)
+    ts = []
+    for _ in range(3 if not quick else 1):
+        r = bm.benchmark_kernel(
+            lambda x_: jax_quant.quantize_q8_1(x_), (xq,),
+            name="quantize_q8_1 [8,2048]", bytes_accessed=M * 2048 * 5)
+        print(f"  {r.row()}", flush=True)
+        if r.valid:
+            ts.append(r.time_s)
+    if ts:
+        quant_us = statistics.median(ts) * 1e6
 
     if len(step_us) == len(SHAPES):
         per_layer = sum(v for k_, v in step_us.items() if k_ != "lm_head")
         total = per_layer * 16 + step_us["lm_head"]
-        print(f"\nprojected step GEMM time at best tiles: "
-              f"{total:.0f} us (vs 1540 us measured at defaults, "
-              f"791 us weight floor)", flush=True)
+        msg = (f"\nprojected step GEMM time at best exact tiles: "
+               f"{total:.0f} us (vs 791 us weight floor)")
+        if quant_us is not None:
+            total_q = total + quant_us * (4 * 16 + 1)
+            msg += (f"; + standalone quantize {quant_us:.1f} us x 65 = "
+                    f"{total_q:.0f} us end-to-end")
+        print(msg, flush=True)
 
 
 if __name__ == "__main__":
