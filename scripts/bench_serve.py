@@ -53,7 +53,17 @@ def main():
     ap.add_argument("--ctx", type=int, default=0,
                     help="pre-filled context length per slot for the decode "
                          "bench (cache-read cost is proportional to it)")
+    ap.add_argument("--fused", choices=["on", "off"], default=None,
+                    help="override kernels.registry.FUSED_DECODE (in-kernel "
+                         "vs standalone Q8_1 activation quantization) for "
+                         "the end-to-end A/B")
     args = ap.parse_args()
+
+    if args.fused is not None:
+        from quant_gemm_tpu.kernels import registry
+
+        registry.FUSED_DECODE = args.fused == "on"
+        print(f"FUSED_DECODE={registry.FUSED_DECODE}", flush=True)
 
     cfg = llama.LlamaConfig(
         vocab=args.vocab, dim=args.dim, n_layers=args.layers,
@@ -158,15 +168,20 @@ def main():
         flush=True,
     )
 
-    # prefill throughput
+    # prefill throughput.  Ring caches bound each forward call by
+    # cfg.ring_chunk (llama.forward asserts t <= ring_chunk) — chunk the
+    # prompt exactly like the serving engine does (models/serve.py:275-283);
+    # the round-3 campaign crashed here feeding 512 tokens in one call.
     t = args.prefill
+    chunk = cfg.ring_chunk if cfg.ring else t
     ptoks = jnp.asarray(rng.integers(1, cfg.vocab, (1, t)), jnp.int32)
 
     @jax.jit
     def prefill(qp, toks):
         c1 = llama.KVCache.init(cfg, 1)
-        logits, c1 = llama.forward(qp, cfg, toks, c1,
-                                   act_mode="q8_1", rope_cache=rope)
+        for i in range(0, t, chunk):  # static unroll; 1 chunk when not ring
+            logits, c1 = llama.forward(qp, cfg, toks[:, i : i + chunk], c1,
+                                       act_mode="q8_1", rope_cache=rope)
         return logits[0, -1]
 
     r = prefill(qparams, ptoks)

@@ -196,6 +196,29 @@ def test_ring_server_clamps_chunk_to_bucket_multiple():
     assert padded <= cfg.ring_chunk
 
 
+def test_ring_prefill_longer_than_chunk_in_one_jit():
+    """Regression (round-3 campaign crash, bench_serve.py): a prompt longer
+    than ring_chunk must prefill as ring_chunk-sized forward calls — one
+    unchunked call trips llama.py's ``t <= ring_chunk`` assert.  This runs
+    the exact chunked-jit pattern scripts/bench_serve.py now uses."""
+    cfg = RING_CFG._replace(n_layers=1)
+    params = llama.init_params(cfg, seed=3)
+    qp = llama.quantize_params(params, "q8_0")
+    rng = np.random.default_rng(2)
+    t = 3 * CHUNK + 8  # > ring_chunk, non-multiple tail
+    toks = jnp.asarray(rng.integers(0, BASE["vocab"], (1, t)), jnp.int32)
+
+    @jax.jit
+    def prefill(qp, toks):
+        c1 = llama.KVCache.init(cfg, 1)
+        for i in range(0, t, CHUNK):
+            logits, c1 = llama.forward(qp, cfg, toks[:, i : i + CHUNK], c1)
+        return logits[0, -1], c1.pos
+
+    last, pos = prefill(qp, toks)
+    assert bool(jnp.isfinite(last).all()) and int(pos[0]) == t
+
+
 @pytest.mark.slow
 def test_tp_serving_ring_cache():
     """Megatron-TP serving over the ring cache matches the single-chip
