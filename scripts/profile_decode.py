@@ -61,40 +61,33 @@ def main():
     b = args.slots
     rng = np.random.default_rng(0)
 
-    # ---- 1. stand-alone GEMMs at the step's shapes -----------------------
-    from quant_gemm_tpu.kernels import dispatch
+    # ---- 1+2. stand-alone GEMMs and flash_decode, interleaved medians ----
+    # Single-shot per-GEMM numbers swung 2-4x between script runs in the
+    # round-3 campaign (wqkv 456.8 vs 190.7 GB/s) — too noisy to steer the
+    # serving-floor attack.  All per-component rows now come from REPS
+    # interleaved rounds (every component measured once per round, so chip
+    # drift hits all rows equally) and report the per-component MEDIAN;
+    # back-to-back script runs agree within ~±10% per row (VERDICT r3 #7).
+    import statistics
 
+    from quant_gemm_tpu.kernels import dispatch
+    from quant_gemm_tpu.ops.attention import flash_decode
+
+    REPS = 5
     lyr = qparams["layers"][0]
     shapes = [
         ("wqkv", lyr["wqkv"], cfg.dim),
         ("wo", lyr["wo"], args.heads * cfg.head_dim),
         ("wgu", lyr["wgu"], cfg.dim),
         ("w_down", lyr["w_down"], cfg.d_ff),
+        ("lm_head", qparams["lm_head"], cfg.dim),
     ]
-    gemm_us = 0.0
+    comps = []
     for name, w, kk in shapes:
         x = jnp.asarray(rng.normal(0, 1, (b, kk)), jnp.float32)
-        r = bm.benchmark_kernel(
-            functools.partial(dispatch, quantize_act=True), (w, x),
-            name=f"gemm {name}",
-            bytes_accessed=bm.weight_bytes("q4_0", w.n, w.k),
-        )
-        print(f"  {r.row()}", flush=True)
-        gemm_us += r.time_s * 1e6
-    xh = jnp.asarray(rng.normal(0, 1, (b, cfg.dim)), jnp.float32)
-    r = bm.benchmark_kernel(
-        functools.partial(dispatch, quantize_act=True),
-        (qparams["lm_head"], xh), name="gemm lm_head",
-        bytes_accessed=bm.weight_bytes("q4_0", cfg.vocab, cfg.dim),
-    )
-    print(f"  {r.row()}", flush=True)
-    lmhead_us = r.time_s * 1e6
-    layers_gemm_us = gemm_us * args.layers
-    print(f"GEMMs: {layers_gemm_us:.0f} us/step (layers) + "
-          f"{lmhead_us:.0f} (lm_head)", flush=True)
-
-    # ---- 2. flash_decode at the benched context --------------------------
-    from quant_gemm_tpu.ops.attention import flash_decode
+        comps.append((f"gemm {name}",
+                      functools.partial(dispatch, quantize_act=True),
+                      (w, x), bm.weight_bytes("q4_0", w.n, w.k)))
 
     cache = llama.KVCache.init(cfg, b, args.kv)
     cache = cache._replace(pos=jnp.full((b,), args.ctx, jnp.int32))
@@ -104,16 +97,36 @@ def main():
                      jnp.bfloat16)
     cache_rd = (b * args.heads * args.ctx * cfg.head_dim
                 * np.dtype(cache.k.dtype).itemsize * 2)  # k + v
-    r = bm.benchmark_kernel(
+    comps.append((
+        f"flash_decode ctx{args.ctx}",
         lambda qq, kk, vv, pp: flash_decode(
             qq, kk, vv, pp, layer=0, k_current=kc, v_current=kc,
             k_scale=cache.ks, v_scale=cache.vs),
-        (q, cache.k, cache.v, cache.pos), name=f"flash_decode ctx{args.ctx}",
-        bytes_accessed=cache_rd,
-    )
-    print(f"  {r.row()}", flush=True)
-    attn_us = r.time_s * 1e6 * args.layers
-    print(f"attention: {attn_us:.0f} us/step ({args.layers} layers)",
+        (q, cache.k, cache.v, cache.pos), cache_rd))
+
+    times: dict[str, list[float]] = {name: [] for name, *_ in comps}
+    for rep in range(REPS):
+        for name, fn, cargs, by in comps:
+            r = bm.benchmark_kernel(fn, cargs, name=f"{name} #{rep}",
+                                    bytes_accessed=by)
+            print(f"  {r.row()}", flush=True)
+            if r.valid:
+                times[name].append(r.time_s)
+
+    med = {}
+    print(f"\nper-component medians (of {REPS} interleaved):", flush=True)
+    for name, _fn, _a, by in comps:
+        med[name] = statistics.median(times[name])
+        print(f"  {name:<24s} {med[name]*1e6:8.1f} us "
+              f"{by/med[name]/1e9:7.1f} GB/s", flush=True)
+
+    layers_gemm_us = sum(
+        med[f"gemm {n}"] for n in ("wqkv", "wo", "wgu", "w_down")
+    ) * 1e6 * args.layers
+    lmhead_us = med["gemm lm_head"] * 1e6
+    attn_us = med[f"flash_decode ctx{args.ctx}"] * 1e6 * args.layers
+    print(f"GEMMs: {layers_gemm_us:.0f} us/step (layers) + "
+          f"{lmhead_us:.0f} (lm_head); attention {attn_us:.0f} us/step",
           flush=True)
 
     # ---- 3. cache writes --------------------------------------------------
@@ -179,14 +192,18 @@ def main():
     # without warmup the slope would difference two compile times)
     for n in (8, 40):
         jax.block_until_ready(decode_loop(qparams, fresh(), toks, n))
-    ts = {}
-    for n in (8, 40):
-        c = fresh()
-        t0 = _time.perf_counter()
-        jax.block_until_ready(decode_loop(qparams, c, toks, n))
-        ts[n] = _time.perf_counter() - t0
-    step_us = (ts[40] - ts[8]) / 32 * 1e6
-    print(f"full step: {step_us:.0f} us", flush=True)
+    slopes = []
+    for _ in range(3):
+        ts = {}
+        for n in (8, 40):
+            c = fresh()
+            t0 = _time.perf_counter()
+            jax.block_until_ready(decode_loop(qparams, c, toks, n))
+            ts[n] = _time.perf_counter() - t0
+        slopes.append((ts[40] - ts[8]) / 32 * 1e6)
+    step_us = statistics.median(slopes)
+    print(f"full step: {step_us:.0f} us (median of "
+          f"{', '.join(f'{s:.0f}' for s in slopes)})", flush=True)
 
     parts = layers_gemm_us + lmhead_us + attn_us + write_us
     print(

@@ -1,18 +1,20 @@
 #!/usr/bin/env bash
-# On-chip measurement campaign for the round-2 kernel reformulations.
+# On-chip measurement campaign — round 4: close the steady-state gap.
 # Run when the TPU tunnel is healthy (a trivial matmul completes in <60s);
 # each stage appends to tpu_campaign.log. Numbers feed docs/PERF_NOTES.md
-# ("Round-2 kernel reformulations") and BENCH.
+# and BENCH; all labs now report MEDIANS of interleaved reps (steady
+# state), not best-of tails.
 #
 # NOTE (methodology, docs/PERF_NOTES.md): if any compile takes >120s the
 # remote compile service is backed up — discard that stage's numbers and
-# re-run later.
+# re-run later.  Do NOT run CPU-heavy jobs (pytest) concurrently: the box
+# has ONE core and host stalls pollute the slope windows.
 set -u
 cd "$(dirname "$0")/.."
 LOG=tpu_campaign.log
 run() {
   echo "=== $* ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG"
-  timeout 1200 "$@" 2>&1 | tee -a "$LOG"
+  timeout "${STAGE_TIMEOUT:-1800}" "$@" 2>&1 | tee -a "$LOG"
 }
 
 # 0. tunnel health
@@ -22,32 +24,47 @@ import jax, jax.numpy as jnp
 print('tunnel healthy:', jax.devices()[0])" | tee -a "$LOG" || {
   echo "TUNNEL DOWN - aborting campaign" | tee -a "$LOG"; exit 1; }
 
-# 1. x8 decode A/B: legacy unpack chain vs integrated kernel (VERDICT #1)
-run python scripts/lab_x8.py 4
-run python scripts/lab_x8.py 1
+# 1. decode weight-stream layout A/B (VERDICT r4 item 1: f16 scales +
+#    probe-raising layouts, median-of-5 interleaved)
+run python scripts/lab_layout.py 4 5
 
-# 2. headline BENCH shape through dispatch (records the x8 exact kernel)
+# 2. headline BENCH shape through dispatch (median + best + uniform NMSE)
 run python bench.py
 
-# 3. serving decode step (fused exact kernel now on the decode path)
-#    --fast-init: host numpy init took ~11 min of each 20-min stage budget
-#    on this single-core box (all four serve stages timed out in the first
-#    round-3 campaign run); on-device init takes seconds
-run python scripts/bench_serve.py --steps 64 --fast-init
+# 3. serving decode step: fused-vs-unfused END-TO-END adjudication
+#    (VERDICT r3 item 2) at short ctx, then the ctx-896 q8 config
+run python scripts/bench_serve.py --steps 64 --fast-init --fused off
+run python scripts/bench_serve.py --steps 64 --fast-init --fused on
 run python scripts/bench_serve.py --steps 64 --kv q8 --ctx 896 --fast-init
 
-# 4. ring cache at long context vs linear windowed (same window)
+# 4. ring cache at long context vs linear windowed (same window) —
+#    round-3 crash fixed: bench_serve now chunks prefill by ring_chunk
 run python scripts/bench_serve.py --steps 64 --seq 4096 --window 1024 --ctx 3500 --kv q8 --fast-init
 run python scripts/bench_serve.py --steps 64 --seq 4096 --window 1024 --ring --ctx 3500 --kv q8 --fast-init
 
-# 5. per-16 K-quant decode kernel (q6_k lm-head-sized GEMM)
-run python scripts/perf_lab.py 4
+# 5. the all-formats llama-shape perf matrix (VERDICT r4 item 3; reference
+#    tests/test_llama_shapes.cu:247-290).  One format per timeout window,
+#    records merged into BENCH_SUITE_r04.json
+for fmt in q4_0 q8_0 q4_1 q5_0 q5_1 q4_k q5_k; do
+  run python scripts/bench_suite.py --format "$fmt" \
+      --out BENCH_SUITE_r04.json --append
+done
 
-# 6. decode-step component breakdown (serving-floor attack, VERDICT #5)
+# 6. serving-shape GEMM attack: unfused exact across (tn, tkp) incl. small
+#    tkp at short K + standalone quantize cost (VERDICT r3 item 2)
+run python scripts/lab_serveshapes.py
+
+# 7. decode-step component breakdown (interleaved medians — VERDICT r3 #7)
 run python scripts/profile_decode.py
 
-# 7. decode-attention variant sweep (ts / cache dtype / fold / ctx —
-#    attacks whichever term stage 6 says dominates)
+# 8. per-16 K-quant decode kernel (q6_k lm-head-sized GEMM)
+run python scripts/perf_lab.py 4
+
+# 9. decode-attention variant sweep
 run python scripts/bench_attn.py
+
+# 10. model stack on silicon (VERDICT r3 item 6): pinned greedy transcript
+#     on the TPU backend vs the CPU one, plus one HTTP server request
+run bash scripts/onchip_model_check.sh
 
 echo "campaign complete: see $LOG"
