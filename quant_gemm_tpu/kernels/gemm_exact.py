@@ -210,8 +210,6 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
         qa = qa_ref[:, pl.ds(koff * tkp, tkp)]  # [TM, tkp]
         da = da_ref[pl.ds(koff * tkb, tkb), :]  # [tkb, TM]
         sa = sa_ref[pl.ds(koff * tkb, tkb), :]
-        sq = None if sq_ref is None else sq_ref[pl.ds(koff * tkb, tkb), :]
-        acc = jnp.zeros_like(out_ref)
         d = scale_f32(d_ref[:])  # [tkb, tn]
         if fixup:
             # "noshift": keep the x8 hi-plane dot at 16x and rescale the
@@ -221,22 +219,31 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
             # >>4-per-block form while dropping one i32 [TM, TN] op per
             # block (51.5 -> ~48 us with diag4, lab_decode2 round 3).
             d = d * 0.0625
-            if not has_min:
-                sa = sa * 16.0
+        # The compensation terms are LINEAR across blocks (the same
+        # identity the q4_1/q5_1 min term already exploits), so they hoist
+        # out of the per-block loop into ONE small f32 MXU dot per tile:
+        #   sum_b d[b,n] * (-offset * sa[b,m])               (lo/q5 planes)
+        #   sum_b d'[b,n] * (128*da*sq - 16*offset*sa)[b,m]  (x8 hi plane,
+        #     folding the per-element "raw + 128*sumq_a" fixup add as well)
+        # dropping 1-2 VPU [TM, TN] ops per block from the hot loop — the
+        # epilogue is the kernel's non-overlapped compute at the DMA-bound
+        # decode shapes (round-4 layout lab: the pure DMA probe streams the
+        # same bytes in 43.5 us vs the kernel's 49.4 us median).
+        coeff = None
+        if fixup and sq_ref is not None:
+            # 128 * da * sumq_a: exact — |sumq_a| <= 32*127 fits f32
+            sq = sq_ref[pl.ds(koff * tkb, tkb), :]
+            coeff = 128.0 * (da * sq.astype(jnp.float32))
+        if offset:
+            t = float(offset * (16 if fixup else 1)) * sa
+            coeff = -t if coeff is None else coeff - t
+        acc = jnp.zeros_like(out_ref)
         dots = _block_dots_diag(qa, qw, tkb, out_ref.shape[0])
         for b in range(tkb):
-            raw = dots[b]
-            if fixup:
-                # raw + 128*sumq_a == 16*sumi exactly (x8 bias identity)
-                raw = raw + 128 * sq[b, :][:, None]
-            sumi = raw.astype(jnp.float32)
-            d_w = d[b, :][None, :]  # [1, TN]
-            d_a = da[b, :][:, None]  # [TM, 1]
-            if has_min:
-                acc += d_w * (d_a * sumi)
-            else:
-                s_a = sa[b, :][:, None]
-                acc += d_w * (d_a * sumi - float(offset) * s_a)
+            sumi = dots[b].astype(jnp.float32)
+            acc += d[b, :][None, :] * (da[b, :][:, None] * sumi)
+        if coeff is not None:
+            acc += _f32_dot_bt(coeff, d)
         if has_min:
             # min term is linear across blocks: one exact f32 dot per tile
             acc += _f32_dot_bt(sa, scale_f32(m_ref[:]))
@@ -442,31 +449,33 @@ def _kernel_fused(*refs, tkb: int, tkp: int, nkt: int, offset: int,
     def plane(qw, d_ref, m_ref, koff, fixup):
         ax = ax_ref[:, pl.ds(koff * tkp, tkp)]  # [TM, tkp] f32
         acc = jnp.zeros_like(out_ref)
-        s_cols = []
         d = scale_f32(d_ref[:])  # [tkb, tn]
         if fixup:
             d = d * 0.0625  # "noshift" (see _kernel): exact rescale
         blocks = [_quant_block_q8_1(ax[:, b * QK:(b + 1) * QK])
                   for b in range(tkb)]
         qa_cat = jnp.concatenate([blk[0] for blk in blocks], axis=1)
+        # hoisted block-linear compensation terms, mirroring _kernel
+        # operation-for-operation (bit-identity is pinned by
+        # tests/test_kernels.py::test_fused_exact_bit_identical)
+        da = jnp.concatenate([blk[1] for blk in blocks], axis=1).T  # [tkb,TM]
+        sa = jnp.concatenate([blk[2] for blk in blocks], axis=1).T
+        coeff = None
+        if fixup:
+            sq = jnp.concatenate([blk[3] for blk in blocks], axis=1).T
+            coeff = 128.0 * (da * sq.astype(jnp.float32))
+        if offset:
+            t = float(offset * (16 if fixup else 1)) * sa
+            coeff = -t if coeff is None else coeff - t
         dots = _block_dots_diag(qa_cat, qw, tkb, out_ref.shape[0])
         for b in range(tkb):
-            _qa, d_a, s_a, sumq = blocks[b]
-            raw = dots[b]
-            if fixup:
-                raw = raw + 128 * sumq  # == 16*sumi exactly
-                s_a = s_a * 16.0  # exact; pairs with the d/16 rescale
-            sumi = raw.astype(jnp.float32)
-            d_w = d[b, :][None, :]  # [1, TN]
-            if has_min:
-                acc += d_w * (d_a * sumi)
-                s_cols.append(blocks[b][2])
-            else:
-                acc += d_w * (d_a * sumi - float(offset) * s_a)
+            sumi = dots[b].astype(jnp.float32)
+            acc += d[b, :][None, :] * (da[b, :][:, None] * sumi)
+        if coeff is not None:
+            acc += _f32_dot_bt(coeff, d)
         if has_min:
             # min term is linear across blocks: one exact f32 dot per tile
-            sa_bt = jnp.concatenate(s_cols, axis=1).T  # [tkb, TM]
-            acc += _f32_dot_bt(sa_bt, scale_f32(m_ref[:]))
+            acc += _f32_dot_bt(sa, scale_f32(m_ref[:]))
         return acc
 
     out_ref[:] += plane(lo, dlo_ref, mlo_ref, kt, False)
