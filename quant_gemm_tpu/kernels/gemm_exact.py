@@ -120,7 +120,7 @@ def _f32_dot_bt(a_bt: jax.Array, b_bt: jax.Array) -> jax.Array:
 
 
 def _block_dots_diag(qa: jax.Array, qw: jax.Array, nblk: int, tm: int,
-                     blk: int = QK) -> list[jax.Array]:
+                     blk: int = QK, stacked: bool = False) -> list[jax.Array]:
     """Per-block int dots, ``128 // blk`` blocks per MXU dispatch.
 
     A K=32 (or K=16, K-quants) ``dot_general`` under-fills the MXU's
@@ -132,6 +132,11 @@ def _block_dots_diag(qa: jax.Array, qw: jax.Array, nblk: int, tm: int,
     (scripts/lab_decode2.py round 3); the int8 masking on [g, TM, 128]
     is noise.  Requires ``nblk * blk`` divisible by 128 (prepare()/
     prepare_k16 pad K-planes to 256+ rows, so it always is).
+
+    With ``stacked=True`` the per-dispatch [g*TM, TN] results are returned
+    UNsliced (one per K128 group, block j in rows j*TM..(j+1)*TM): at
+    decode M <= 4 the caller scales them densely instead of paying 8-row
+    VPU tiles per block that are half m-padding (see ``_kernel``).
     """
     g = 128 // blk
     dots = []
@@ -143,8 +148,53 @@ def _block_dots_diag(qa: jax.Array, qw: jax.Array, nblk: int, tm: int,
         diag = jnp.where(col_g == row_g, rep, jnp.int8(0)).reshape(
             g * tm, 128)
         res = _int_dot(diag, qw[t * 128:(t + 1) * 128, :])  # [g*TM, TN]
-        dots.extend(res[j * tm:(j + 1) * tm, :] for j in range(g))
+        if stacked:
+            dots.append(res)
+        else:
+            dots.extend(res[j * tm:(j + 1) * tm, :] for j in range(g))
     return dots
+
+
+def _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of=None):
+    """``acc += sum_b d[b, :] * (da[b, :] * sumi_b)`` over a plane's blocks.
+
+    The shared post-hoist epilogue of the exact kernels (compensation/min
+    terms are handled by the callers' per-tile MXU dots).  ``v_of`` enables
+    the decode M <= 4 fast path: per-block [8, TN] VPU tiles would be half
+    m-padding, so the K128-group diag dots stay STACKED [16, TN] (4 blocks
+    x 4 m-rows) and are scaled densely — ~40% fewer VPU row-ops at the
+    headline decode shape.  ``v_of(t)`` must return the group's stacked
+    activation scales [16, 1] (row j*4+i = block j of group t, token i) —
+    built OUTSIDE this helper because Mosaic has no [4,4]->[16,1] shape
+    cast: the unfused kernel streams a pre-stacked ``da4`` plane, the
+    fused kernel sublane-concats its in-kernel quant columns.  The cross-m
+    fold it defers (acc rows 4..7 hold the other half of the block partial
+    sums) happens ONCE at the last grid step (``_fold_stack4``).
+    """
+    if v_of is not None:
+        for t, res in enumerate(
+                _block_dots_diag(qa[:4, :], qw, tkb, 4, stacked=True)):
+            dd = jnp.repeat(d[t * 4:(t + 1) * 4, :], 4, axis=0)  # [16, TN]
+            s = dd * (v_of(t) * res.astype(jnp.float32))
+            acc += s[0:8, :] + s[8:16, :]
+        return acc
+    for b, res in enumerate(_block_dots_diag(qa, qw, tkb, acc.shape[0])):
+        acc += d[b, :][None, :] * (
+            da[b, :][:, None] * res.astype(jnp.float32))
+    return acc
+
+
+def _fold_stack4(out_ref, kt, last_kt):
+    """Final cross-m fold of the stack4 epilogue: rows 4..7 carry the
+    second half of the block partial sums (the hoisted-term dots put zeros
+    there — their m columns are zero-padded), so one add at the last grid
+    step completes rows 0..3.  Rows 4..7 end up holding the same sums
+    (a+b == b+a bit-exactly); the caller slices them away with out[:m]."""
+
+    @pl.when(kt == last_kt)
+    def _fold():
+        o = out_ref[:]
+        out_ref[:] = o + jnp.concatenate([o[4:8, :], o[0:4, :]], axis=0)
 
 
 def _expand_bits_int(qh_tile: jax.Array) -> jax.Array:
@@ -162,7 +212,7 @@ def _expand_bits_int(qh_tile: jax.Array) -> jax.Array:
 
 
 def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
-            has_min: bool, has_qh: bool):
+            has_min: bool, has_qh: bool, stack4: bool = False):
     """4/5-bit weights.  Ref order:
 
     packed, d_lo, d_hi, [m_lo, m_hi,] [qh_lo, qh_hi,] qa, da, sa, [sq,] out
@@ -184,6 +234,7 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
     da_ref = next(it)  # [nb_p, TM] f32 (full)
     sa_ref = next(it)
     sq_ref = None if has_qh else next(it)  # [nb_p, TM] i32 (full)
+    da4_ref = next(it) if stack4 else None  # [4*nb_p, 1] f32 (full)
     out_ref = refs[-1]
 
     kt = pl.program_id(1)
@@ -238,10 +289,11 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
             t = float(offset * (16 if fixup else 1)) * sa
             coeff = -t if coeff is None else coeff - t
         acc = jnp.zeros_like(out_ref)
-        dots = _block_dots_diag(qa, qw, tkb, out_ref.shape[0])
-        for b in range(tkb):
-            sumi = dots[b].astype(jnp.float32)
-            acc += d[b, :][None, :] * (da[b, :][:, None] * sumi)
+        v_of = None
+        if stack4:
+            def v_of(t, koff=koff):  # noqa: E306 — stacked scales [16, 1]
+                return da4_ref[pl.ds((koff * tkb + t * 4) * 4, 16), :]
+        acc = _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of)
         if coeff is not None:
             acc += _f32_dot_bt(coeff, d)
         if has_min:
@@ -251,6 +303,8 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
 
     out_ref[:] += plane(lo, dlo_ref, mlo_ref, qhlo_ref, kt, False)
     out_ref[:] += plane(hi, dhi_ref, mhi_ref, qhhi_ref, kt + nkt, hi_fix)
+    if stack4:
+        _fold_stack4(out_ref, kt, nkt - 1)
 
 
 def _kernel_w8(
@@ -382,6 +436,13 @@ def gemm_exact(
         if sq_t is not None:
             operands.append(sq_t)
             in_specs.append(full_spec(sq_t))
+        if m <= 4:
+            # stack4 path (see _scaled_block_sums): pre-stacked activation
+            # scales [4*nb_p, 1] with row b*4+i = d_a of block b, token i
+            # (Mosaic has no in-kernel [4,4]->[16,1] cast); tiny, XLA-fused
+            da4_t = da_t[:, :4].reshape(-1, 1)
+            operands.append(da4_t)
+            in_specs.append(full_spec(da4_t))
         kernel = functools.partial(
             _kernel,
             tkb=tkb,
@@ -390,6 +451,7 @@ def gemm_exact(
             offset={"q4_0": 8, "q5_0": 16}.get(w.qtype, 0),
             has_min=has_min,
             has_qh=has_qh,
+            stack4=m <= 4,
         )
     else:
         operands = [w.qs_t, w.d_t, qa, da_t, sa_t]
@@ -419,7 +481,7 @@ def gemm_exact(
 
 
 def _kernel_fused(*refs, tkb: int, tkp: int, nkt: int, offset: int,
-                  has_min: bool):
+                  has_min: bool, stack4: bool = False):
     """Fused-quantization exact kernel (4-bit, non-q5 — x8 fast path).
 
     Ref order: packed, d_lo, d_hi, [m_lo, m_hi,] ax, out.  ``ax`` is the
@@ -467,10 +529,12 @@ def _kernel_fused(*refs, tkb: int, tkp: int, nkt: int, offset: int,
         if offset:
             t = float(offset * (16 if fixup else 1)) * sa
             coeff = -t if coeff is None else coeff - t
-        dots = _block_dots_diag(qa_cat, qw, tkb, out_ref.shape[0])
-        for b in range(tkb):
-            sumi = dots[b].astype(jnp.float32)
-            acc += d[b, :][None, :] * (da[b, :][:, None] * sumi)
+        v_of = None
+        if stack4:
+            def v_of(t):  # stacked scales [16, 1], matching _kernel's da4
+                return jnp.concatenate(
+                    [blocks[t * 4 + j][1][:4, :] for j in range(4)], axis=0)
+        acc = _scaled_block_sums(qa_cat, qw, tkb, d, da, acc, v_of)
         if coeff is not None:
             acc += _f32_dot_bt(coeff, d)
         if has_min:
@@ -480,6 +544,8 @@ def _kernel_fused(*refs, tkb: int, tkp: int, nkt: int, offset: int,
 
     out_ref[:] += plane(lo, dlo_ref, mlo_ref, kt, False)
     out_ref[:] += plane(hi, dhi_ref, mhi_ref, kt + nkt, True)
+    if stack4:
+        _fold_stack4(out_ref, kt, nkt - 1)
 
 
 def _kernel_w8_fused(qs_ref, d_ref, ax_ref, out_ref, *, tkb: int, tkp: int):
@@ -581,6 +647,7 @@ def gemm_exact_fused(
             nkt=nkt,
             offset={"q4_0": 8}.get(w.qtype, 0),
             has_min=has_min,
+            stack4=m <= 4,
         )
     else:
         operands = [w.qs_t, w.d_t, ax]
