@@ -96,8 +96,12 @@ def main():
         seen = set()
         # unfused exact is the round-4 dispatch default; sweep tkp down to
         # 128 at the short-K shapes (more grid steps -> prologue overlap)
+        # and UP to the full kdim (K-resident: nkt=1, the pipeline streams
+        # over N tiles — large DMAs AND multiple grid steps AND no output
+        # revisits; the round-3 full-N/tkp512 winner had a 2-step grid)
         for tn, tkp in [(np_stored, 512), (np_stored, 256), (np_stored, 128),
-                        (4096, 512), (2048, 512), (4096, 256)]:
+                        (4096, 512), (2048, 512), (4096, 256),
+                        (2048, kdim), (1024, kdim), (4096, kdim)]:
             e = eff(tn, tkp)
             if e in seen:
                 continue
