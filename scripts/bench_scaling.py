@@ -188,6 +188,8 @@ def time_ring_vs_psum(tp: int = 8, n: int = 1024, k: int = 4096,
     import statistics
     import time
 
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     mesh = sh.make_mesh({"tp": tp})
     w_q = numpy_ref.quantize_q4_0(datagen.normal((n, k), seed=1))
     a = jnp.asarray(datagen.normal((m, k), seed=2))
