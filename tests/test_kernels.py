@@ -182,6 +182,28 @@ def test_exact_kernel_all_formats(data, fmt):
     assert out.shape == (M, N)
 
 
+@pytest.mark.parametrize("m_tok", [1, 3])
+@pytest.mark.parametrize("fmt", ["q4_0", "q4_1"])
+def test_exact_stack4_odd_m(fmt, m_tok):
+    """The stacked m<=4 decode epilogue (gemm_exact stack4 path) must stay
+    golden-exact and fused/unfused bit-identical when m leaves padding rows
+    INSIDE the 4-token stack (m=1, 3), not just at the aligned m=4."""
+    from quant_gemm_tpu.kernels import gemm_exact_fused
+
+    a = datagen.normal((m_tok, K), seed=11)
+    w = datagen.normal((N, K), seed=12)
+    w_q = numpy_ref.QUANTIZE[fmt](w)
+    wp = prepare(w_q)
+    a_q = numpy_ref.quantize_q8_1(a)
+    out = gemm_exact(wp, jax_quant.device_put(a_q))
+    gold = refg.gemm_wxa8(w_q, a_q)
+    met = ErrorMetrics.compute(out, gold)
+    assert met.nmse < 1e-11, (fmt, m_tok, met)
+    assert out.shape == (m_tok, N)
+    fused = np.asarray(gemm_exact_fused(wp, jnp.asarray(a, jnp.float32)))
+    assert np.array_equal(np.asarray(out), fused)
+
+
 @pytest.mark.parametrize("fmt", ["q4_0", "q5_1", "q8_0"])
 def test_non_512_multiple_k(fmt):
     """Real-model dims like Llama-7B's d_ff=11008 are not 512-multiples;
