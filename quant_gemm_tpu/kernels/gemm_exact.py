@@ -120,7 +120,8 @@ def _f32_dot_bt(a_bt: jax.Array, b_bt: jax.Array) -> jax.Array:
 
 
 def _block_dots_diag(qa: jax.Array, qw: jax.Array, nblk: int, tm: int,
-                     blk: int = QK, stacked: bool = False) -> list[jax.Array]:
+                     blk: int = QK, stacked: bool = False,
+                     span: int = 1) -> list[jax.Array]:
     """Per-block int dots, ``128 // blk`` blocks per MXU dispatch.
 
     A K=32 (or K=16, K-quants) ``dot_general`` under-fills the MXU's
@@ -137,46 +138,93 @@ def _block_dots_diag(qa: jax.Array, qw: jax.Array, nblk: int, tm: int,
     UNsliced (one per K128 group, block j in rows j*TM..(j+1)*TM): at
     decode M <= 4 the caller scales them densely instead of paying 8-row
     VPU tiles per block that are half m-padding (see ``_kernel``).
+
+    ``span`` stacks that many 128-deep groups into ONE deeper dispatch
+    ([g*span*TM, 128*span] block-diagonal, contraction folded by the MXU
+    as span chained passes): same MAC count, 1/span the dispatch fill
+    latencies.  Requires ``nblk`` divisible by ``(128 // blk) * span``.
     """
     g = 128 // blk
+    gs, d128 = g * span, 128 * span
     dots = []
-    for t in range(nblk // g):
-        qa_t = qa[:, t * 128:(t + 1) * 128]  # [TM, 128] = g blocks
-        rep = jnp.broadcast_to(qa_t[None], (g, tm, 128))
-        col_g = jax.lax.broadcasted_iota(jnp.int32, (g, tm, 128), 2) // blk
-        row_g = jax.lax.broadcasted_iota(jnp.int32, (g, tm, 128), 0)
+    for t in range(nblk // gs):
+        qa_t = qa[:, t * d128:(t + 1) * d128]  # [TM, 128*span] = gs blocks
+        rep = jnp.broadcast_to(qa_t[None], (gs, tm, d128))
+        col_g = jax.lax.broadcasted_iota(jnp.int32, (gs, tm, d128), 2) // blk
+        row_g = jax.lax.broadcasted_iota(jnp.int32, (gs, tm, d128), 0)
         diag = jnp.where(col_g == row_g, rep, jnp.int8(0)).reshape(
-            g * tm, 128)
-        res = _int_dot(diag, qw[t * 128:(t + 1) * 128, :])  # [g*TM, TN]
+            gs * tm, d128)
+        res = _int_dot(diag, qw[t * d128:(t + 1) * d128, :])  # [gs*TM, TN]
         if stacked:
             dots.append(res)
         else:
-            dots.extend(res[j * tm:(j + 1) * tm, :] for j in range(g))
+            dots.extend(res[j * tm:(j + 1) * tm, :] for j in range(gs))
     return dots
 
 
-def _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of=None):
+def build_diag4(qa: jax.Array, span: int = 1) -> jax.Array:
+    """Precompute the stacked block-diagonal activation operand in XLA.
+
+    ``qa`` [M<=4, Kpad] int8 codes -> [4 * nblocks, 128 * span] int8 where
+    dispatch t's rows t*4*gs..(t+1)*4*gs hold its block-diagonal lhs
+    (row-within-dispatch j*4+i = block j, token i).  Under 1 MB even at
+    K=14336, XLA fuses the layout into the quantize pass — the kernel's
+    hot loop then slices + dots with NO in-kernel broadcast/iota/select
+    (the ``prediag`` decode variant).
+    """
+    m, kpad = qa.shape
+    assert m <= 4
+    if m < 4:
+        qa = jnp.pad(qa, ((0, 4 - m), (0, 0)))
+    d128 = 128 * span
+    nd = kpad // d128  # dispatches
+    gs = d128 // QK
+    # [nd, 4, d128] -> broadcast to [nd, gs, 4, d128] -> mask block-diagonal
+    qa_t = qa.T.reshape(nd, d128, 4).transpose(0, 2, 1)  # [nd, 4, d128]
+    rep = jnp.broadcast_to(qa_t[:, None], (nd, gs, 4, d128))
+    col_g = jax.lax.broadcasted_iota(jnp.int32, (nd, gs, 4, d128), 3) // QK
+    row_g = jax.lax.broadcasted_iota(jnp.int32, (nd, gs, 4, d128), 1)
+    diag = jnp.where(col_g == row_g, rep, jnp.int8(0))
+    return diag.reshape(nd * gs * 4, d128)
+
+
+def _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of=None, span=1, qd=None):
     """``acc += sum_b d[b, :] * (da[b, :] * sumi_b)`` over a plane's blocks.
 
     The shared post-hoist epilogue of the exact kernels (compensation/min
     terms are handled by the callers' per-tile MXU dots).  ``v_of`` enables
     the decode M <= 4 fast path: per-block [8, TN] VPU tiles would be half
-    m-padding, so the K128-group diag dots stay STACKED [16, TN] (4 blocks
-    x 4 m-rows) and are scaled densely — ~40% fewer VPU row-ops at the
-    headline decode shape.  ``v_of(t)`` must return the group's stacked
-    activation scales [16, 1] (row j*4+i = block j of group t, token i) —
-    built OUTSIDE this helper because Mosaic has no [4,4]->[16,1] shape
-    cast: the unfused kernel streams a pre-stacked ``da4`` plane, the
-    fused kernel sublane-concats its in-kernel quant columns.  The cross-m
-    fold it defers (acc rows 4..7 hold the other half of the block partial
+    m-padding, so the K128-group diag dots stay STACKED [4*gs, TN]
+    (gs = 4*span blocks x 4 m-rows) and are scaled densely — ~40% fewer
+    VPU row-ops at the headline decode shape.  ``v_of(t)`` must return
+    dispatch t's stacked activation scales [4*gs, 1] (row j*4+i = block j,
+    token i) — built OUTSIDE this helper because Mosaic has no
+    [gs,4]->[4gs,1] shape cast: the unfused kernel streams a pre-stacked
+    ``da4`` plane, the fused kernel sublane-concats its in-kernel quant
+    columns.  ``qd`` (stack4 only) is a PREDIAGONALIZED lhs slice
+    [4*tkb, 128*span] built by :func:`build_diag4` — the hot loop is then
+    slice + dot with no in-kernel broadcast/iota/select.  The cross-m fold
+    it defers (acc rows 4..7 hold the other half of the block partial
     sums) happens ONCE at the last grid step (``_fold_stack4``).
     """
     if v_of is not None:
-        for t, res in enumerate(
-                _block_dots_diag(qa[:4, :], qw, tkb, 4, stacked=True)):
-            dd = jnp.repeat(d[t * 4:(t + 1) * 4, :], 4, axis=0)  # [16, TN]
+        gs = 4 * span
+        if qd is not None:
+            dots = [
+                _int_dot(qd[t * 4 * gs:(t + 1) * 4 * gs, :],
+                         qw[t * 128 * span:(t + 1) * 128 * span, :])
+                for t in range(tkb // gs)
+            ]
+        else:
+            dots = _block_dots_diag(qa[:4, :], qw, tkb, 4, stacked=True,
+                                    span=span)
+        for t, res in enumerate(dots):
+            dd = jnp.repeat(d[t * gs:(t + 1) * gs, :], 4, axis=0)  # [4gs, TN]
             s = dd * (v_of(t) * res.astype(jnp.float32))
-            acc += s[0:8, :] + s[8:16, :]
+            tot = s[0:8, :]
+            for h in range(1, gs // 2):
+                tot = tot + s[h * 8:(h + 1) * 8, :]
+            acc += tot
         return acc
     for b, res in enumerate(_block_dots_diag(qa, qw, tkb, acc.shape[0])):
         acc += d[b, :][None, :] * (
@@ -212,7 +260,8 @@ def _expand_bits_int(qh_tile: jax.Array) -> jax.Array:
 
 
 def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
-            has_min: bool, has_qh: bool, stack4: bool = False):
+            has_min: bool, has_qh: bool, stack4: bool = False,
+            span: int = 1, prediag: bool = False):
     """4/5-bit weights.  Ref order:
 
     packed, d_lo, d_hi, [m_lo, m_hi,] [qh_lo, qh_hi,] qa, da, sa, [sq,] out
@@ -235,6 +284,7 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
     sa_ref = next(it)
     sq_ref = None if has_qh else next(it)  # [nb_p, TM] i32 (full)
     da4_ref = next(it) if stack4 else None  # [4*nb_p, 1] f32 (full)
+    qd_ref = next(it) if (stack4 and prediag) else None  # [4*nb_p, 128*span]
     out_ref = refs[-1]
 
     kt = pl.program_id(1)
@@ -290,10 +340,16 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
             coeff = -t if coeff is None else coeff - t
         acc = jnp.zeros_like(out_ref)
         v_of = None
+        qd = None
         if stack4:
-            def v_of(t, koff=koff):  # noqa: E306 — stacked scales [16, 1]
-                return da4_ref[pl.ds((koff * tkb + t * 4) * 4, 16), :]
-        acc = _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of)
+            gs = 4 * span
+
+            def v_of(t, koff=koff):  # noqa: E306 — stacked scales [4gs, 1]
+                return da4_ref[pl.ds((koff * tkb + t * gs) * 4, 4 * gs), :]
+            if prediag:
+                qd = qd_ref[pl.ds(koff * tkb * 4, tkb * 4), :]
+        acc = _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of,
+                                 span=span, qd=qd)
         if coeff is not None:
             acc += _f32_dot_bt(coeff, d)
         if has_min:
@@ -336,6 +392,8 @@ def gemm_exact(
     *,
     tn: int | None = None,
     tkp: int = 512,
+    span: int = 1,
+    prediag: bool = False,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Reference-semantics WxA8 integer GEMM, all five weight formats.
@@ -436,6 +494,9 @@ def gemm_exact(
         if sq_t is not None:
             operands.append(sq_t)
             in_specs.append(full_spec(sq_t))
+        stack4 = m <= 4
+        if stack4 and (tkb % (4 * span) or span < 1):
+            span = 1  # span must divide the plane tile's block count
         if m <= 4:
             # stack4 path (see _scaled_block_sums): pre-stacked activation
             # scales [4*nb_p, 1] with row b*4+i = d_a of block b, token i
@@ -443,6 +504,10 @@ def gemm_exact(
             da4_t = da_t[:, :4].reshape(-1, 1)
             operands.append(da4_t)
             in_specs.append(full_spec(da4_t))
+            if prediag:
+                qd = build_diag4(qa[:4, :], span=span)
+                operands.append(qd)
+                in_specs.append(full_spec(qd))
         kernel = functools.partial(
             _kernel,
             tkb=tkb,
@@ -451,7 +516,9 @@ def gemm_exact(
             offset={"q4_0": 8, "q5_0": 16}.get(w.qtype, 0),
             has_min=has_min,
             has_qh=has_qh,
-            stack4=m <= 4,
+            stack4=stack4,
+            span=span if stack4 else 1,
+            prediag=prediag and stack4,
         )
     else:
         operands = [w.qs_t, w.d_t, qa, da_t, sa_t]
@@ -481,7 +548,7 @@ def gemm_exact(
 
 
 def _kernel_fused(*refs, tkb: int, tkp: int, nkt: int, offset: int,
-                  has_min: bool, stack4: bool = False):
+                  has_min: bool, stack4: bool = False, span: int = 1):
     """Fused-quantization exact kernel (4-bit, non-q5 — x8 fast path).
 
     Ref order: packed, d_lo, d_hi, [m_lo, m_hi,] ax, out.  ``ax`` is the
@@ -531,10 +598,12 @@ def _kernel_fused(*refs, tkb: int, tkp: int, nkt: int, offset: int,
             coeff = -t if coeff is None else coeff - t
         v_of = None
         if stack4:
-            def v_of(t):  # stacked scales [16, 1], matching _kernel's da4
+            gs = 4 * span
+
+            def v_of(t):  # stacked scales [4gs, 1], matching _kernel's da4
                 return jnp.concatenate(
-                    [blocks[t * 4 + j][1][:4, :] for j in range(4)], axis=0)
-        acc = _scaled_block_sums(qa_cat, qw, tkb, d, da, acc, v_of)
+                    [blocks[t * gs + j][1][:4, :] for j in range(gs)], axis=0)
+        acc = _scaled_block_sums(qa_cat, qw, tkb, d, da, acc, v_of, span=span)
         if coeff is not None:
             acc += _f32_dot_bt(coeff, d)
         if has_min:
@@ -571,6 +640,7 @@ def gemm_exact_fused(
     *,
     tn: int | None = None,
     tkp: int = 512,
+    span: int = 1,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Exact WxA8 GEMM with IN-KERNEL Q8_1 activation quantization.
@@ -648,6 +718,7 @@ def gemm_exact_fused(
             offset={"q4_0": 8}.get(w.qtype, 0),
             has_min=has_min,
             stack4=m <= 4,
+            span=span if (m <= 4 and tkb % (4 * span) == 0) else 1,
         )
     else:
         operands = [w.qs_t, w.d_t, ax]
