@@ -67,6 +67,15 @@ def main():
             tag = f"span{span}" + ("/prediag" if prediag else "")
             cases.append((tag, lambda wp_, aq_, s=span, p=prediag: gemm_exact(
                 wp_, aq_, span=s, prediag=p, interpret=interp), (wp, a_q)))
+    # f16 scale planes (10% fewer bytes) x deepest span: the r3/r4 f16
+    # verdicts predate the dispatch-depth levers — with the hot loop
+    # cheaper, the byte cut may now win despite the in-kernel bit-decode
+    wp16 = gemm_pallas.prepare_device(jax_quant.quantize_q4_0(w),
+                                      scales_dtype=np.float16)
+    for span, prediag in ((1, False), (4, True)):
+        tag = f"f16sc/span{span}" + ("/prediag" if prediag else "")
+        cases.append((tag, lambda wp_, aq_, s=span, p=prediag: gemm_exact(
+            wp_, aq_, span=s, prediag=p, interpret=interp), (wp16, a_q)))
 
     # numerics guard: every variant within f32 fold-order of span1
     base = np.asarray(gemm_exact(wp, a_q, interpret=interp))
