@@ -226,7 +226,8 @@ def _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of=None, span=1, qd=None):
                 tot = tot + s[h * 8:(h + 1) * 8, :]
             acc += tot
         return acc
-    for b, res in enumerate(_block_dots_diag(qa, qw, tkb, acc.shape[0])):
+    for b, res in enumerate(_block_dots_diag(qa, qw, tkb, acc.shape[0],
+                                             span=span)):
         acc += d[b, :][None, :] * (
             da[b, :][:, None] * res.astype(jnp.float32))
     return acc
@@ -495,7 +496,7 @@ def gemm_exact(
             operands.append(sq_t)
             in_specs.append(full_spec(sq_t))
         stack4 = m <= 4
-        if stack4 and (tkb % (4 * span) or span < 1):
+        if tkb % (4 * span) or span < 1:
             span = 1  # span must divide the plane tile's block count
         if m <= 4:
             # stack4 path (see _scaled_block_sums): pre-stacked activation
@@ -517,7 +518,7 @@ def gemm_exact(
             has_min=has_min,
             has_qh=has_qh,
             stack4=stack4,
-            span=span if stack4 else 1,
+            span=span,
             prediag=prediag and stack4,
         )
     else:
@@ -718,7 +719,7 @@ def gemm_exact_fused(
             offset={"q4_0": 8}.get(w.qtype, 0),
             has_min=has_min,
             stack4=m <= 4,
-            span=span if (m <= 4 and tkb % (4 * span) == 0) else 1,
+            span=span if tkb % (4 * span) == 0 else 1,
         )
     else:
         operands = [w.qs_t, w.d_t, ax]

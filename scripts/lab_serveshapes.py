@@ -110,6 +110,12 @@ def main():
                 f"exact tn{e[0]}/tkp{e[1]}",
                 lambda wp_, aq_, tn=tn, tkp=tkp: gemm_exact(
                     wp_, aq_, tn=tn, tkp=tkp, interpret=interp), (wp, a_q)))
+        # dispatch-depth lever at the full-N default tile (see lab_depth)
+        for span in (2, 4):
+            cases.append((
+                f"exact span{span}",
+                lambda wp_, aq_, s=span: gemm_exact(
+                    wp_, aq_, span=s, interpret=interp), (wp, a_q)))
         ef = eff(np_stored, 512)
         cases.append((
             f"fused tn{ef[0]}/tkp{ef[1]}",
