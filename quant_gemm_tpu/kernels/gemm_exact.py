@@ -199,9 +199,9 @@ def _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of=None, span=1, qd=None):
     VPU row-ops at the headline decode shape.  ``v_of(t)`` must return
     dispatch t's stacked activation scales [4*gs, 1] (row j*4+i = block j,
     token i) — built OUTSIDE this helper because Mosaic has no
-    [gs,4]->[4gs,1] shape cast: the unfused kernel streams a pre-stacked
-    ``da4`` plane, the fused kernel sublane-concats its in-kernel quant
-    columns.  ``qd`` (stack4 only) is a PREDIAGONALIZED lhs slice
+    [gs,4]->[4gs,1] shape cast: the unfused kernel repeats+masks rows of
+    its resident da plane, the fused kernel sublane-concats its in-kernel
+    quant columns.  ``qd`` (stack4 only) is a PREDIAGONALIZED lhs slice
     [4*tkb, 128*span] built by :func:`build_diag4` — the hot loop is then
     slice + dot with no in-kernel broadcast/iota/select.  The cross-m fold
     it defers (acc rows 4..7 hold the other half of the block partial
@@ -265,7 +265,8 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
             span: int = 1, prediag: bool = False):
     """4/5-bit weights.  Ref order:
 
-    packed, d_lo, d_hi, [m_lo, m_hi,] [qh_lo, qh_hi,] qa, da, sa, [sq,] out
+    packed, d_lo, d_hi, [m_lo, m_hi,] [qh_lo, qh_hi,] qa, da, sa, [sq,]
+    [qd,] out
 
     Weight planes arrive as per-grid-step tiles; the small activation-side
     operands (qa int8 codes, d_a/s_a per-block vectors, sq int32 per-block
@@ -284,7 +285,6 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
     da_ref = next(it)  # [nb_p, TM] f32 (full)
     sa_ref = next(it)
     sq_ref = None if has_qh else next(it)  # [nb_p, TM] i32 (full)
-    da4_ref = next(it) if stack4 else None  # [4*nb_p, 1] f32 (full)
     qd_ref = next(it) if (stack4 and prediag) else None  # [4*nb_p, 128*span]
     out_ref = refs[-1]
 
@@ -346,7 +346,16 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
             gs = 4 * span
 
             def v_of(t, koff=koff):  # noqa: E306 — stacked scales [4gs, 1]
-                return da4_ref[pl.ds((koff * tkb + t * gs) * 4, 4 * gs), :]
+                # row j*4+i = da[block, token i], built from the resident
+                # da plane (a dedicated [4*nb, 1] operand padded to 918 KB
+                # of 128-lane VMEM rows and OOM'd q5_1's operand set)
+                sl = da_ref[pl.ds(koff * tkb + t * gs, gs), 0:4]  # [gs, 4]
+                rep = jnp.repeat(sl, 4, axis=0)  # [4gs, 4] row j*4+i = blk j
+                shape = (4 * gs, 4)
+                tok = jax.lax.broadcasted_iota(jnp.int32, shape, 0) % 4
+                col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+                return jnp.sum(jnp.where(col == tok, rep, 0.0), axis=1,
+                               keepdims=True)
             if prediag:
                 qd = qd_ref[pl.ds(koff * tkb * 4, tkb * 4), :]
         acc = _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of,
@@ -423,6 +432,11 @@ def gemm_exact(
         # extra m/qh planes of q4_1/q5_x still fit)
         np_stored = (w.packed_t if is4 else w.qs_t).shape[1]
         tn = np_stored if np_stored <= 8192 else 4096
+        if w.qh_t is not None and w.m_t is not None:
+            # q5_1 carries BOTH qh and min planes, and the q5 path widens
+            # the packed tile to i32 in-kernel: tn=4096 blows the 16 MB
+            # scoped-VMEM budget at K=14336 (bench_suite r4 OOM) — cap it
+            tn = min(tn, 2048)
     # padded packed column space (prepare() zero-pads K to 256-row packs)
     kdim = w.packed_t.shape[0] if is4 else w.qs_t.shape[0]
     tkp = min(tkp, kdim)
@@ -498,17 +512,10 @@ def gemm_exact(
         stack4 = m <= 4
         if tkb % (4 * span) or span < 1:
             span = 1  # span must divide the plane tile's block count
-        if m <= 4:
-            # stack4 path (see _scaled_block_sums): pre-stacked activation
-            # scales [4*nb_p, 1] with row b*4+i = d_a of block b, token i
-            # (Mosaic has no in-kernel [4,4]->[16,1] cast); tiny, XLA-fused
-            da4_t = da_t[:, :4].reshape(-1, 1)
-            operands.append(da4_t)
-            in_specs.append(full_spec(da4_t))
-            if prediag:
-                qd = build_diag4(qa[:4, :], span=span)
-                operands.append(qd)
-                in_specs.append(full_spec(qd))
+        if stack4 and prediag:
+            qd = build_diag4(qa[:4, :], span=span)
+            operands.append(qd)
+            in_specs.append(full_spec(qd))
         kernel = functools.partial(
             _kernel,
             tkb=tkb,

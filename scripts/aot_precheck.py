@@ -75,6 +75,17 @@ def main() -> int:
                lambda wq, aq: gemm_exact(wq, aq, tn=4096, tkp=512,
                                          interpret=False), w, a_q)
     failures += not ok
+    # q5_1 carries the largest operand set (qh + min planes, i32-widened
+    # q5 path): the format most likely to blow scoped VMEM first
+    w51 = prepare(numpy_ref.quantize_q5_1(datagen.normal((n_feat, k),
+                                                         seed=0)))
+    ok = check("exact q5_1 4096x4x14336 (bench_suite shape)",
+               lambda wq, aq: gemm_exact(wq, aq, interpret=False), w51, a_q)
+    failures += not ok
+    ok = check("exact q4_0 span4/prediag 4096x4x14336",
+               lambda wq, aq: gemm_exact(wq, aq, span=4, prediag=True,
+                                         interpret=False), w, a_q)
+    failures += not ok
     ok = check("fused q4_0 4096x4x14336",
                lambda wq, x: gemm_exact_fused(wq, x, interpret=False),
                w, jnp.asarray(a))
