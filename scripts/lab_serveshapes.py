@@ -94,14 +94,13 @@ def main():
         cases = [("probe", lambda wp_: dma_probe(
             wp_, tn=probe_tn, tkp=probe_tkp), (wp,))]
         seen = set()
-        # unfused exact is the round-4 dispatch default; sweep tkp down to
-        # 128 at the short-K shapes (more grid steps -> prologue overlap)
-        # and UP to the full kdim (K-resident: nkt=1, the pipeline streams
-        # over N tiles — large DMAs AND multiple grid steps AND no output
-        # revisits; the round-3 full-N/tkp512 winner had a 2-step grid)
-        for tn, tkp in [(np_stored, 512), (np_stored, 256), (np_stored, 128),
-                        (4096, 512), (2048, 512), (4096, 256),
-                        (2048, kdim), (1024, kdim), (4096, kdim)]:
+        # unfused exact is the round-4 dispatch default.  Contenders only
+        # (the r4 campaign's full sweep timed out the stage): the r4 run
+        # showed tkp128 Mosaic-illegal, span2/4 slower at every m=8 shape,
+        # full-N losing at wqkv (15.2 vs 13.5 us for tn2048) and OOMing at
+        # wgu's np=16384; K-resident (tkp=kdim) stays in the race.
+        for tn, tkp in [(np_stored, 512), (4096, 512), (2048, 512),
+                        (2048, kdim), (1024, kdim)]:
             e = eff(tn, tkp)
             if e in seen:
                 continue
@@ -110,12 +109,6 @@ def main():
                 f"exact tn{e[0]}/tkp{e[1]}",
                 lambda wp_, aq_, tn=tn, tkp=tkp: gemm_exact(
                     wp_, aq_, tn=tn, tkp=tkp, interpret=interp), (wp, a_q)))
-        # dispatch-depth lever at the full-N default tile (see lab_depth)
-        for span in (2, 4):
-            cases.append((
-                f"exact span{span}",
-                lambda wp_, aq_, s=span: gemm_exact(
-                    wp_, aq_, span=s, interpret=interp), (wp, a_q)))
         ef = eff(np_stored, 512)
         cases.append((
             f"fused tn{ef[0]}/tkp{ef[1]}",
