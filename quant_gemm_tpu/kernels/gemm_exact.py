@@ -401,7 +401,7 @@ def gemm_exact(
     a_q: Q8_1Tensor,
     *,
     tn: int | None = None,
-    tkp: int = 512,
+    tkp: int | None = None,
     span: int = 1,
     prediag: bool = False,
     interpret: bool | None = None,
@@ -422,23 +422,30 @@ def gemm_exact(
     m, k = a_q.qs.shape
     assert k == w.k
     is4 = w.packed_t is not None
+    np_stored = (w.packed_t if is4 else w.qs_t).shape[1]
+    # padded packed column space (prepare() zero-pads K to 256-row packs)
+    kdim = w.packed_t.shape[0] if is4 else w.qs_t.shape[0]
+    # Short-K weights (K <= 2048 4-bit, the per-layer serving GEMMs) go
+    # K-RESIDENT: the whole packed K in one grid step, pipeline streaming
+    # N tiles — measured fastest at 5-rep medians on every short-K serving
+    # shape except vocab-sized N (r4 lab_serveshapes: wqkv tn1024/tkp1024
+    # 13.5 vs full-N 15.2 us; wo 5.2 vs 6.9; wgu tn2048/tkp1024 29.4;
+    # lm_head keeps tkp512 — 55.5 vs 57.4 K-resident)
+    short_k = kdim <= 1024 and np_stored <= 16384
+    if tkp is None:
+        tkp = kdim if short_k else 512
     if tn is None:
-        # round-3 serving-shapes lab (scripts/lab_serveshapes.py): FULL-N
-        # tiles win at the short-K serving shapes (wqkv 6144x2048:
-        # 15.5 -> 11.6 us; wgu 16384x2048: 34.6 -> ~30 us; lm_head
-        # 32000x2048: 77 -> ~56 us at tn=4096->4000) — fewer, larger
-        # DMAs beat grid-step count once the K grid is only 2 deep.
-        # Cap at 8192 (q4 packed tile 512x8192 = 4 MB x2 buffers; the
-        # extra m/qh planes of q4_1/q5_x still fit)
-        np_stored = (w.packed_t if is4 else w.qs_t).shape[1]
-        tn = np_stored if np_stored <= 8192 else 4096
+        if short_k:
+            tn = 1024 if np_stored <= 2048 else 2048
+        else:
+            # long-K: larger tiles win (r3 lab); cap at 8192 (q4 packed
+            # tile 512x8192 = 4 MB x2 buffers; q4_1/q5_x extra planes fit)
+            tn = np_stored if np_stored <= 8192 else 4096
         if w.qh_t is not None and w.m_t is not None:
             # q5_1 carries BOTH qh and min planes, and the q5 path widens
             # the packed tile to i32 in-kernel: tn=4096 blows the 16 MB
             # scoped-VMEM budget at K=14336 (bench_suite r4 OOM) — cap it
             tn = min(tn, 2048)
-    # padded packed column space (prepare() zero-pads K to 256-row packs)
-    kdim = w.packed_t.shape[0] if is4 else w.qs_t.shape[0]
     tkp = min(tkp, kdim)
     while kdim % tkp:
         tkp //= 2
