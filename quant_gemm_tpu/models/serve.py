@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import attention
 from ..utils import round_up
 from . import llama, sampling
 
@@ -59,12 +60,15 @@ def _prefill_step(qparams, rope, tokens, c1, length, *, cfg, act_mode, t):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "act_mode"), donate_argnums=(3,)
+    jax.jit, static_argnames=("cfg", "act_mode", "attn_ts"),
+    donate_argnums=(3,),
 )
 def _decode_step(qparams, rope, tokens, cache, keys, temps, topk, topp,
-                 minp, recent, rpen, bias_ids, bias_vals, *, cfg, act_mode):
+                 minp, recent, rpen, bias_ids, bias_vals, *, cfg, act_mode,
+                 attn_ts=None):
     logits, cache = llama.forward(
-        qparams, cfg, tokens, cache, act_mode=act_mode, rope_cache=rope
+        qparams, cfg, tokens, cache, act_mode=act_mode, rope_cache=rope,
+        attn_ts=attn_ts,
     )
     # fold position = the sampled token's own position (pos - 1 after the
     # forward advanced it) — same scheme as llama.sample_decode, so replays
@@ -90,16 +94,18 @@ def _sample_one(logits, key, position, temp, topk, topp, minp, recent, rpen,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "act_mode"), donate_argnums=(3,)
+    jax.jit, static_argnames=("cfg", "act_mode", "attn_ts"),
+    donate_argnums=(3,),
 )
 def _decode_step_logits(qparams, rope, tokens, cache, keys, temps, topk,
                         topp, minp, recent, rpen, bias_ids, bias_vals, *,
-                        cfg, act_mode):
+                        cfg, act_mode, attn_ts=None):
     """_decode_step variant that ALSO returns the last-position logits —
     compiled only when grammar-constrained requests are active (the host
     needs the full distribution to apply the grammar mask)."""
     logits, cache = llama.forward(
-        qparams, cfg, tokens, cache, act_mode=act_mode, rope_cache=rope
+        qparams, cfg, tokens, cache, act_mode=act_mode, rope_cache=rope,
+        attn_ts=attn_ts,
     )
     nxt = sampling.sample(
         logits[:, -1], keys, cache.pos - 1, temps, topk, topp,
@@ -300,6 +306,9 @@ class Server:
         self._next_rid = 0
         self._rope = llama.rope_for(cfg, qparams)
         self._pending_tok = np.zeros(n_slots, np.int32)
+        # host mirror of cache.pos (avoids a device read per step): drives
+        # the attention tile-size bucket (ops.attention.decode_ts_bucket)
+        self._hpos = np.zeros(n_slots, np.int64)
         self._temps = np.zeros(n_slots, np.float32)
         self._topk = np.zeros(n_slots, np.int32)
         self._topp = np.ones(n_slots, np.float32)
@@ -481,6 +490,7 @@ class Server:
                 self.finished[r.rid] = r
                 continue
             self._pending_tok[s] = tok
+            self._hpos[s] = len(r.prompt)
             self._recent[s] = np.roll(self._recent[s], -1)
             self._recent[s, -1] = tok  # admit-time token is generated too
             self.slots[s] = r
@@ -501,6 +511,7 @@ class Server:
             # shifting rewrites every slot's slab layout: the materialized
             # prefixes no longer start at position 0
             self._history = [[] for _ in range(self.n_slots)]
+            self._hpos = np.asarray(self.cache.pos).astype(np.int64)
         tokens = jnp.asarray(self._pending_tok[:, None])
         gslots = [s for s in active if self.slots[s].grammar is not None]
         pslots = [s for s in active if self.slots[s].n_probs]
@@ -511,12 +522,21 @@ class Server:
             jnp.asarray(self._recent), jnp.asarray(self._rpen),
             jnp.asarray(self._bias_ids), jnp.asarray(self._bias_vals),
         )
+        # attention tile-size bucket from the batch's longest slot (window/
+        # ring attention never attends past the window, so cap by it)
+        max_ctx = int(max(self._hpos[s] for s in active))
+        if self.cfg.window:
+            max_ctx = min(max_ctx, self.cfg.window)
+        attn_ts = attention.decode_ts_bucket(max_ctx, self.cache.quantized)
         if gslots or pslots:
             nxt, last_logits, self.cache = _decode_step_logits(
-                *step_args, cfg=self.cfg, act_mode=self.act_mode)
+                *step_args, cfg=self.cfg, act_mode=self.act_mode,
+                attn_ts=attn_ts)
         else:
             nxt, self.cache = _decode_step(
-                *step_args, cfg=self.cfg, act_mode=self.act_mode)
+                *step_args, cfg=self.cfg, act_mode=self.act_mode,
+                attn_ts=attn_ts)
+        self._hpos[active] += 1
         nxt = np.asarray(nxt)
         if pslots:
             llp = np.asarray(last_logits)

@@ -160,6 +160,25 @@ def _kernel(*refs, ts: int, ns: int, scale: float, stacked: bool,
         o_ref[0] = (acc / jnp.where(l_prev > 0, l_prev, 1.0)).astype(o_ref.dtype)
 
 
+def decode_ts_bucket(max_ctx: int, quant: bool = True) -> int | None:
+    """Attention tile size for a decode step whose longest slot is at
+    ``max_ctx`` cached tokens.
+
+    The KV BlockSpec clamp is TILE-granular: a slot with 5 cached tokens
+    still DMAs a full ts-token tile, so short contexts waste most of the
+    default 512 tile.  Measured on v5e (q8 cache, B=8, KV=16, hd=128,
+    medians of 5 interleaved): ctx 16/128 → ts128 32.7/32.9 µs vs ts512
+    45.0/45.5; ctx 448 → ts256 43.2 best; ≥512 keeps the swept default.
+    Three buckets bound the jit-cache growth (the step recompiles at most
+    twice as the batch's max context crosses 256 and 512).
+    """
+    if max_ctx < 256:
+        return 128
+    if max_ctx < 512:
+        return 256 if quant else None  # bf16 default IS 256
+    return None  # format default: 512 (q8) / 256 (bf16)
+
+
 def flash_decode(
     q: jax.Array,  # [B, KV, rep, hd] grouped queries (one token per slot)
     k: jax.Array,  # [B, KV, S, hd] cache, or [L, B, KV, S, hd] with layer=
@@ -549,4 +568,5 @@ def flash_decode_ref(q, k, v, pos):
     return jnp.einsum("bgrs,bgsd->bgrd", probs, v.astype(jnp.float32))
 
 
-__all__ = ["flash_decode", "flash_prefill", "flash_decode_ref"]
+__all__ = ["flash_decode", "flash_prefill", "flash_decode_ref",
+           "decode_ts_bucket"]

@@ -127,12 +127,23 @@ def main():
               f"{cache_bytes/1e9:.3f} GB -> {cache_bytes/900e3:.0f} us floor",
               flush=True)
 
+    # the serving engine buckets the attention tile by the batch's max
+    # context (serve.Server.step); the bench mirrors it, sized for the
+    # loop's final position
+    from quant_gemm_tpu.ops.attention import decode_ts_bucket
+
+    max_ctx = (args.ctx or 0) + 8 + args.steps
+    if cfg.window:
+        max_ctx = min(max_ctx, cfg.window)
+    attn_ts = decode_ts_bucket(max_ctx, quant=args.kv == "q8")
+
     @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("n",))
     def decode_loop(qp, cache, toks, n):
         def body(_, carry):
             t, c = carry
             logits, c = llama.forward(qp, cfg, t, c,
-                                      act_mode="q8_1", rope_cache=rope)
+                                      act_mode="q8_1", rope_cache=rope,
+                                      attn_ts=attn_ts)
             return jnp.argmax(logits[:, -1:], -1).astype(jnp.int32), c
         return jax.lax.fori_loop(0, n, body, (toks, cache))
 
