@@ -500,6 +500,7 @@ def forward(
     tp_ctx=None,
     return_hidden: bool = False,
     attn_ts: int | None = None,
+    attn_s_hi: int | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """Run T tokens per slot (prefill when T>1, decode when T=1).
 
@@ -644,7 +645,7 @@ def forward(
                 qg, new_k, new_v, positions[:, 0], layer=li,
                 k_current=k_t, v_current=v_t,
                 k_scale=new_ks, v_scale=new_vs, window=cfg.window,
-                ring=ring_r, ts=attn_ts,
+                ring=ring_r, ts=attn_ts, s_hi=attn_s_hi,
             ).reshape(b, t, nq)
         else:
             if quant_cache:

@@ -60,15 +60,15 @@ def _prefill_step(qparams, rope, tokens, c1, length, *, cfg, act_mode, t):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "act_mode", "attn_ts"),
+    jax.jit, static_argnames=("cfg", "act_mode", "attn_ts", "attn_s_hi"),
     donate_argnums=(3,),
 )
 def _decode_step(qparams, rope, tokens, cache, keys, temps, topk, topp,
                  minp, recent, rpen, bias_ids, bias_vals, *, cfg, act_mode,
-                 attn_ts=None):
+                 attn_ts=None, attn_s_hi=None):
     logits, cache = llama.forward(
         qparams, cfg, tokens, cache, act_mode=act_mode, rope_cache=rope,
-        attn_ts=attn_ts,
+        attn_ts=attn_ts, attn_s_hi=attn_s_hi,
     )
     # fold position = the sampled token's own position (pos - 1 after the
     # forward advanced it) — same scheme as llama.sample_decode, so replays
@@ -94,18 +94,18 @@ def _sample_one(logits, key, position, temp, topk, topp, minp, recent, rpen,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "act_mode", "attn_ts"),
+    jax.jit, static_argnames=("cfg", "act_mode", "attn_ts", "attn_s_hi"),
     donate_argnums=(3,),
 )
 def _decode_step_logits(qparams, rope, tokens, cache, keys, temps, topk,
                         topp, minp, recent, rpen, bias_ids, bias_vals, *,
-                        cfg, act_mode, attn_ts=None):
+                        cfg, act_mode, attn_ts=None, attn_s_hi=None):
     """_decode_step variant that ALSO returns the last-position logits —
     compiled only when grammar-constrained requests are active (the host
     needs the full distribution to apply the grammar mask)."""
     logits, cache = llama.forward(
         qparams, cfg, tokens, cache, act_mode=act_mode, rope_cache=rope,
-        attn_ts=attn_ts,
+        attn_ts=attn_ts, attn_s_hi=attn_s_hi,
     )
     nxt = sampling.sample(
         logits[:, -1], keys, cache.pos - 1, temps, topk, topp,
@@ -527,15 +527,16 @@ class Server:
         max_ctx = int(max(self._hpos[s] for s in active))
         if self.cfg.window:
             max_ctx = min(max_ctx, self.cfg.window)
-        attn_ts = attention.decode_ts_bucket(max_ctx, self.cache.quantized)
+        attn_ts, attn_s_hi = attention.decode_ts_bucket(
+            max_ctx, self.cache.quantized)
         if gslots or pslots:
             nxt, last_logits, self.cache = _decode_step_logits(
                 *step_args, cfg=self.cfg, act_mode=self.act_mode,
-                attn_ts=attn_ts)
+                attn_ts=attn_ts, attn_s_hi=attn_s_hi)
         else:
             nxt, self.cache = _decode_step(
                 *step_args, cfg=self.cfg, act_mode=self.act_mode,
-                attn_ts=attn_ts)
+                attn_ts=attn_ts, attn_s_hi=attn_s_hi)
         self._hpos[active] += 1
         nxt = np.asarray(nxt)
         if pslots:

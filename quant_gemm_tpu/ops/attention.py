@@ -160,23 +160,31 @@ def _kernel(*refs, ts: int, ns: int, scale: float, stacked: bool,
         o_ref[0] = (acc / jnp.where(l_prev > 0, l_prev, 1.0)).astype(o_ref.dtype)
 
 
-def decode_ts_bucket(max_ctx: int, quant: bool = True) -> int | None:
-    """Attention tile size for a decode step whose longest slot is at
-    ``max_ctx`` cached tokens.
+def decode_ts_bucket(
+    max_ctx: int, quant: bool = True
+) -> tuple[int | None, int | None]:
+    """(tile size, static sequence bound) for a decode step whose longest
+    slot is at ``max_ctx`` cached tokens.
 
-    The KV BlockSpec clamp is TILE-granular: a slot with 5 cached tokens
-    still DMAs a full ts-token tile, so short contexts waste most of the
-    default 512 tile.  Measured on v5e (q8 cache, B=8, KV=16, hd=128,
-    medians of 5 interleaved): ctx 16/128 → ts128 32.7/32.9 µs vs ts512
-    45.0/45.5; ctx 448 → ts256 43.2 best; ≥512 keeps the swept default.
-    Three buckets bound the jit-cache growth (the step recompiles at most
-    twice as the batch's max context crosses 256 and 512).
+    Two short-context wins, both keyed on the STATIC bucket boundary so the
+    jit cache stays bounded (at most 2 recompiles per config as the batch's
+    max context crosses 256 and 512):
+
+    * tile size — the KV BlockSpec clamp is TILE-granular: a slot with 5
+      cached tokens still DMAs a full ts-token tile.  Measured on v5e (q8
+      cache, B=8, KV=16, hd=128, medians of 5 interleaved): ctx 16/128 →
+      ts128 32.7/32.9 µs vs ts512 45.0/45.5; ctx 448 → ts256 43.2 best.
+    * grid bound (``s_hi``) — without it the grid iterates max_seq/ts
+      steps per slot even when every step past the bucket is clamped to a
+      deduped DMA + skipped compute; per-grid-step bookkeeping is the
+      short-ctx floor.  Every slot's position must be < s_hi (the caller
+      picks the bucket from the batch max, so it is).
     """
     if max_ctx < 256:
-        return 128
+        return 128, 256
     if max_ctx < 512:
-        return 256 if quant else None  # bf16 default IS 256
-    return None  # format default: 512 (q8) / 256 (bf16)
+        return (256 if quant else None), 512  # bf16 default IS 256
+    return None, None  # format default: 512 (q8) / 256 (bf16); full grid
 
 
 def flash_decode(
@@ -191,6 +199,7 @@ def flash_decode(
     v_scale: jax.Array | None = None,
     layer: int | None = None,
     ts: int | None = None,
+    s_hi: int | None = None,  # static bound: every pos[b] < s_hi
     window: int = 0,  # sliding-window width (0 = full causal)
     ring: int = 0,  # ring-buffer capacity R (0 = linear cache)
     interpret: bool | None = None,
@@ -248,6 +257,11 @@ def flash_decode(
     while s % ts:
         ts //= 2
     ns = s // ts
+    if s_hi is not None and not ring:
+        # static grid bound (see decode_ts_bucket): tiles past the bucket
+        # can never hold valid data, so don't even iterate them — the
+        # per-grid-step bookkeeping of clamped steps is the short-ctx floor
+        ns = max(1, min(ns, -(-s_hi // ts)))
     scale = 1.0 / float(np.sqrt(hd))
 
     grid = (bsz, ns)
@@ -285,7 +299,10 @@ def flash_decode(
                 jnp.maximum(pos[b] - window + 1, 0) // ts, last // ts
             )
             st = jnp.maximum(st, first)
-        return st
+        # with a bounded grid (s_hi), an INACTIVE serving slot can hold a
+        # stale position past the bucket: keep its (masked-garbage) tile
+        # index in range rather than DMA out of bounds
+        return jnp.minimum(st, ns - 1)
 
     if stacked:
         li = int(layer)

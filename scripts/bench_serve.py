@@ -135,7 +135,7 @@ def main():
     max_ctx = (args.ctx or 0) + 8 + args.steps
     if cfg.window:
         max_ctx = min(max_ctx, cfg.window)
-    attn_ts = decode_ts_bucket(max_ctx, quant=args.kv == "q8")
+    attn_ts, attn_s_hi = decode_ts_bucket(max_ctx, quant=args.kv == "q8")
 
     @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("n",))
     def decode_loop(qp, cache, toks, n):
@@ -143,7 +143,7 @@ def main():
             t, c = carry
             logits, c = llama.forward(qp, cfg, t, c,
                                       act_mode="q8_1", rope_cache=rope,
-                                      attn_ts=attn_ts)
+                                      attn_ts=attn_ts, attn_s_hi=attn_s_hi)
             return jnp.argmax(logits[:, -1:], -1).astype(jnp.int32), c
         return jax.lax.fori_loop(0, n, body, (toks, cache))
 

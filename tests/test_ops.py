@@ -146,6 +146,35 @@ def test_flash_decode_matches_reference():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_flash_decode_bounded_grid():
+    """s_hi (the serving bucket's static grid bound) must not change the
+    result for positions under the bound, and a STALE position past the
+    bound (an inactive serving slot) must stay in-bounds (garbage output
+    allowed there, crash not)."""
+    import jax.numpy as jnp
+
+    from quant_gemm_tpu.ops.attention import decode_ts_bucket, flash_decode
+    from quant_gemm_tpu.ops.attention import flash_decode_ref
+
+    rng = np.random.default_rng(5)
+    b, kv, rep, s, hd = 4, 2, 4, 512, 128
+    q = jnp.asarray(rng.standard_normal((b, kv, rep, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, kv, s, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, kv, s, hd)), jnp.float32)
+    pos = jnp.asarray([0, 31, 100, 200], jnp.int32)
+    ts, s_hi = decode_ts_bucket(int(pos.max()))
+    assert (ts, s_hi) == (128, 256)
+    out = flash_decode(q, k, v, pos, ts=ts, s_hi=s_hi)
+    ref = flash_decode_ref(q, k, v, pos)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    # stale slot past the bound: rows 0..2 (in-bucket) still exact
+    pos2 = jnp.asarray([0, 31, 100, 500], jnp.int32)
+    out2 = flash_decode(q, k, v, pos2, ts=ts, s_hi=s_hi)
+    np.testing.assert_allclose(np.asarray(out2[:3]), np.asarray(ref[:3]),
+                               atol=2e-5)
+    assert np.isfinite(np.asarray(out2)).all()
+
+
 def test_flash_decode_gqa_single_rep():
     """rep=1 (MHA) and bf16 cache dtypes go through the same kernel."""
     import jax.numpy as jnp
