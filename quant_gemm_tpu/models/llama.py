@@ -605,10 +605,26 @@ def forward(
     nkv = kv_heads * cfg.head_dim
     k_pending, v_pending = [], []  # decode: deferred all-layer batch write
     ks_pending, vs_pending = [], []
+    # Decode layer-megakernel path (kernels/gemm_megalayer.py): at T=1 with
+    # q4_0 PreparedWeights and batch <= 8, the whole per-layer GEMM chain
+    # runs as TWO Pallas calls (norm+quantize+wqkv, and the post-attention
+    # tail) instead of 4 GEMMs + ~8 elementwise ops — one continuous weight
+    # stream per call with no dispatch seams (round-4 serving-floor attack)
+    from ..kernels import gemm_megalayer as _mega
+
+    use_mega = (
+        act_mode == "q8_1" and t == 1 and tp_ctx is None
+        and all(_mega.layer_supported(ly, cfg, b * t)
+                for ly in qparams["layers"])
+    )
     for li, lyr in enumerate(qparams["layers"]):
-        h = rms_norm(x, lyr["attn_norm"], cfg.eps)
-        flat = h.reshape(b * t, cfg.dim)
-        qkv = _linear(get_w(lyr["wqkv"]), flat, act_mode)  # fused projection
+        if use_mega:
+            qkv = _mega.norm_qkv(lyr["wqkv"], x.reshape(b * t, cfg.dim),
+                                 lyr["attn_norm"], cfg.eps)
+        else:
+            h = rms_norm(x, lyr["attn_norm"], cfg.eps)
+            flat = h.reshape(b * t, cfg.dim)
+            qkv = _linear(get_w(lyr["wqkv"]), flat, act_mode)  # fused proj
         if "bqkv" in lyr:
             # QKV bias (Qwen2 family; llama.cpp blk.*.attn_{q,k,v}.bias).
             # TP layout stacks it [tp, 1, n_local]; single-chip is [3n]
@@ -661,15 +677,22 @@ def forward(
                 ks=new_ks[li] if quant_cache else None,
                 vs=new_vs[li] if quant_cache else None,
             )
-        o = _linear(get_w(lyr["wo"]), attn.reshape(b * t, -1), act_mode)
-        x = x + reduce_out(o).reshape(b, t, cfg.dim)
+        if use_mega:
+            x = _mega.attn_tail(
+                attn.reshape(b * t, -1), x.reshape(b * t, cfg.dim),
+                lyr["mlp_norm"], lyr["wo"], lyr["wgu"], lyr["w_down"],
+                cfg.eps, d_ff,
+            ).reshape(b, t, cfg.dim)
+        else:
+            o = _linear(get_w(lyr["wo"]), attn.reshape(b * t, -1), act_mode)
+            x = x + reduce_out(o).reshape(b, t, cfg.dim)
 
-        h = rms_norm(x, lyr["mlp_norm"], cfg.eps)
-        flat = h.reshape(b * t, cfg.dim)
-        gu = _linear(get_w(lyr["wgu"]), flat, act_mode)  # fused gate/up
-        ff = silu_mul(gu[:, :d_ff], gu[:, d_ff:])
-        dn = _linear(get_w(lyr["w_down"]), ff, act_mode)
-        x = x + reduce_out(dn).reshape(b, t, cfg.dim)
+            h = rms_norm(x, lyr["mlp_norm"], cfg.eps)
+            flat = h.reshape(b * t, cfg.dim)
+            gu = _linear(get_w(lyr["wgu"]), flat, act_mode)  # fused gate/up
+            ff = silu_mul(gu[:, :d_ff], gu[:, d_ff:])
+            dn = _linear(get_w(lyr["w_down"]), ff, act_mode)
+            x = x + reduce_out(dn).reshape(b, t, cfg.dim)
 
     if k_pending:
         new_k = write_cache_all_layers(new_k, jnp.stack(k_pending))
