@@ -188,7 +188,8 @@ def build_diag4(qa: jax.Array, span: int = 1) -> jax.Array:
     return diag.reshape(nd * gs * 4, d128)
 
 
-def _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of=None, span=1, qd=None):
+def _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of=None, span=1, qd=None,
+                       qw2=None, mult2=0):
     """``acc += sum_b d[b, :] * (da[b, :] * sumi_b)`` over a plane's blocks.
 
     The shared post-hoist epilogue of the exact kernels (compensation/min
@@ -206,18 +207,32 @@ def _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of=None, span=1, qd=None):
     slice + dot with no in-kernel broadcast/iota/select.  The cross-m fold
     it defers (acc rows 4..7 hold the other half of the block partial
     sums) happens ONCE at the last grid step (``_fold_stack4``).
+
+    ``qw2``/``mult2`` add a SECOND weight plane whose per-block dots are
+    combined into the primary plane's at int32 (``res + mult2 * res2``,
+    exact) before the f32 epilogue — the q5 5th-bit plane: sumi =
+    nib_dot + 16*h_dot (x16 again on the 16x-scaled hi plane).  The i32
+    combine touches only the [4gs, TN]-per-dispatch dot results (~1/32 of
+    the element count), so the h plane rides the same epilogue for free.
     """
+    def _plane_dots(w):
+        if v_of is not None:
+            gs = 4 * span
+            if qd is not None:
+                return [
+                    _int_dot(qd[t * 4 * gs:(t + 1) * 4 * gs, :],
+                             w[t * 128 * span:(t + 1) * 128 * span, :])
+                    for t in range(tkb // gs)
+                ]
+            return _block_dots_diag(qa[:4, :], w, tkb, 4, stacked=True,
+                                    span=span)
+        return _block_dots_diag(qa, w, tkb, acc.shape[0], span=span)
+
+    dots = _plane_dots(qw)
+    if qw2 is not None:
+        dots = [a + mult2 * b for a, b in zip(dots, _plane_dots(qw2))]
     if v_of is not None:
         gs = 4 * span
-        if qd is not None:
-            dots = [
-                _int_dot(qd[t * 4 * gs:(t + 1) * 4 * gs, :],
-                         qw[t * 128 * span:(t + 1) * 128 * span, :])
-                for t in range(tkb // gs)
-            ]
-        else:
-            dots = _block_dots_diag(qa[:4, :], qw, tkb, 4, stacked=True,
-                                    span=span)
         for t, res in enumerate(dots):
             dd = jnp.repeat(d[t * gs:(t + 1) * gs, :], 4, axis=0)  # [4gs, TN]
             s = dd * (v_of(t) * res.astype(jnp.float32))
@@ -226,8 +241,7 @@ def _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of=None, span=1, qd=None):
                 tot = tot + s[h * 8:(h + 1) * 8, :]
             acc += tot
         return acc
-    for b, res in enumerate(_block_dots_diag(qa, qw, tkb, acc.shape[0],
-                                             span=span)):
+    for b, res in enumerate(dots):
         acc += d[b, :][None, :] * (
             da[b, :][:, None] * res.astype(jnp.float32))
     return acc
@@ -262,7 +276,7 @@ def _expand_bits_int(qh_tile: jax.Array) -> jax.Array:
 
 def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
             has_min: bool, has_qh: bool, stack4: bool = False,
-            span: int = 1, prediag: bool = False):
+            span: int = 1, prediag: bool = False, qh_mode: str = "hdot"):
     """4/5-bit weights.  Ref order:
 
     packed, d_lo, d_hi, [m_lo, m_hi,] [qh_lo, qh_hi,] qa, da, sa, [sq,]
@@ -284,7 +298,8 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
     qa_ref = next(it)  # [TM, 2*kdim] int8 (full)
     da_ref = next(it)  # [nb_p, TM] f32 (full)
     sa_ref = next(it)
-    sq_ref = None if has_qh else next(it)  # [nb_p, TM] i32 (full)
+    legacy_qh = has_qh and qh_mode == "i32"
+    sq_ref = None if legacy_qh else next(it)  # [nb_p, TM] i32 (full)
     qd_ref = next(it) if (stack4 and prediag) else None  # [4*nb_p, 128*span]
     out_ref = refs[-1]
 
@@ -294,21 +309,32 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    if has_qh:
-        # q5: the 16*qh add needs raw nibbles at i32 anyway; undo the x8
-        # store with one mask+xor (sign-extended i8 -> original byte)
+    if legacy_qh:
+        # legacy q5 path (qh_mode="i32", kept for the on-chip A/B): the
+        # 16*qh add is done at i32 on the full plane — undo the x8 store
+        # with one mask+xor (sign-extended i8 -> original byte)
         packed = (packed_ref[:].astype(jnp.int32) & 0xFF) ^ 0x80
         lo, hi = packed & 0x0F, packed >> 4
         hi_fix = False
     else:
-        # x8 fast path: native-i8 masks only (see module docstring)
+        # x8 fast path: native-i8 masks only (see module docstring).  q5
+        # formats stay on it too (qh_mode="hdot"): the 5th-bit plane rides
+        # a SEPARATE i8 MXU dot combined exactly at i32 in the epilogue
+        # (sumi = nib_dot + 16*h_dot), so the packed plane never widens.
         p = packed_ref[:]
         lo, hi = p & jnp.int8(0x0F), p & jnp.int8(-16)
         hi_fix = True
 
     def plane(qw, d_ref, m_ref, qh_ref, koff, fixup):
-        if has_qh:
+        qw2, mult2 = None, 0
+        if has_qh and legacy_qh:
             qw = qw + 16 * _expand_bits_int(qh_ref[:])  # codes 0..31
+        elif has_qh:
+            # h in {0,1} as native i8; its dot adds 16*h_dot to the 1x lo
+            # plane and 256*h_dot to the 16x-scaled hi plane — both exact
+            # at i32 (|h_dot| <= 32*127 per block)
+            qw2 = _expand_bits_int(qh_ref[:]).astype(jnp.int8)
+            mult2 = 256 if fixup else 16
         qa = qa_ref[:, pl.ds(koff * tkp, tkp)]  # [TM, tkp]
         da = da_ref[pl.ds(koff * tkb, tkb), :]  # [tkb, TM]
         sa = sa_ref[pl.ds(koff * tkb, tkb), :]
@@ -359,7 +385,7 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
             if prediag:
                 qd = qd_ref[pl.ds(koff * tkb * 4, tkb * 4), :]
         acc = _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of,
-                                 span=span, qd=qd)
+                                 span=span, qd=qd, qw2=qw2, mult2=mult2)
         if coeff is not None:
             acc += _f32_dot_bt(coeff, d)
         if has_min:
@@ -404,6 +430,7 @@ def gemm_exact(
     tkp: int | None = None,
     span: int = 1,
     prediag: bool = False,
+    qh_mode: str = "hdot",
     interpret: bool | None = None,
 ) -> jax.Array:
     """Reference-semantics WxA8 integer GEMM, all five weight formats.
@@ -473,7 +500,8 @@ def gemm_exact(
     da_t = pad_scales_k(padm(a_q.d).astype(jnp.float32), k, kdim, is4).T
     sa_t = pad_scales_k(padm(a_q.s).astype(jnp.float32), k, kdim, is4).T
     has_qh = w.qh_t is not None
-    if is4 and not has_qh:
+    legacy_qh = has_qh and qh_mode == "i32"
+    if is4 and not legacy_qh:
         # per-block int32 activation code sums for the x8 hi-plane fixup
         # (fused by XLA into the quantization pass under jit; tiny: [nb, M])
         sumq = jnp.asarray(a_q.qs, jnp.int32).reshape(m, k // QK, QK).sum(-1)
@@ -534,6 +562,7 @@ def gemm_exact(
             stack4=stack4,
             span=span,
             prediag=prediag and stack4,
+            qh_mode=qh_mode,
         )
     else:
         operands = [w.qs_t, w.d_t, qa, da_t, sa_t]

@@ -60,7 +60,8 @@ class PreparedWeight:
     instances pass through ``jit`` / ``device_put`` / shardings cleanly.
     """
 
-    def __init__(self, qtype, n, k, packed_t, qs_t, d_t, m_t, qh_t):
+    def __init__(self, qtype, n, k, packed_t, qs_t, d_t, m_t, qh_t,
+                 qh2_t=None):
         self.qtype = qtype  # format name
         self.n = n  # out-features
         self.k = k  # reduction dim
@@ -71,10 +72,18 @@ class PreparedWeight:
         self.d_t = d_t  # float32[K/32, N]
         self.m_t = m_t  # float32[K/32, N] (q4_1/q5_1)
         self.qh_t = qh_t  # uint8[K/8, N] planar 5th bits (q5_x)
+        # int8[K/2, N] nibble-packed 5th bits (q5_x serving fast path):
+        # row r = h(lo-half elem r) | h(hi-half elem r) << 4, so the exact
+        # kernel decodes BOTH planes' h with one native-i8 mask each
+        # (& 0x0F -> h, & -16 -> 16*h) — zero i32 work.  Costs +K/2 bytes
+        # per column over the bit-packed qh_t it supplements (see
+        # gemm_exact qh_mode="qh2"); built by prepare() for q5 formats.
+        self.qh2_t = qh2_t
 
     def tree_flatten(self):
         return (
-            (self.packed_t, self.qs_t, self.d_t, self.m_t, self.qh_t),
+            (self.packed_t, self.qs_t, self.d_t, self.m_t, self.qh_t,
+             self.qh2_t),
             (self.qtype, self.n, self.k),
         )
 
@@ -235,9 +244,21 @@ def prepare(w_q, scales_dtype=None) -> PreparedWeight:
         ).T
         if hasattr(w_q, "qh") else None
     )
+    qh2_t = None
+    if hasattr(w_q, "qh"):
+        # nibble-packed 5th bits (see PreparedWeight.qh2_t): expand each
+        # half's bit plane to one 0/1 byte per element, then pair lo/hi
+        # halves into nibbles so the kernel's h decode is mask-only
+        qh = np.asarray(w_q.qh, np.uint8)  # [N, 2*khalf/8], LSB-first
+        hb = np.unpackbits(qh, axis=1, bitorder="little")  # [N, 2*khalf]
+        h_lo = padcols(hb[:, :khalf], khalf_p)
+        h_hi = padcols(hb[:, khalf:], khalf_p)
+        qh2_t = jnp.asarray(
+            padrows((h_lo | (h_hi << 4)).view(np.int8), np_pad)
+        ).T
     return PreparedWeight(
         name, n, khalf * 2, jnp.asarray(packed).T, None, jnp.asarray(d).T,
-        m_t, qh_t,
+        m_t, qh_t, qh2_t,
     )
 
 

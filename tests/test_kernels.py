@@ -356,3 +356,28 @@ def test_prepare_device_matches_prepare(fmt, data):
         else:
             np.testing.assert_array_equal(np.asarray(h), np.asarray(d),
                                           err_msg=name)
+
+
+@pytest.mark.parametrize("m_tok", [1, 4, 9])
+@pytest.mark.parametrize("fmt", ["q5_0", "q5_1"])
+def test_exact_q5_hdot_modes_agree(fmt, m_tok):
+    """The q5 x8 reformulation (qh_mode="hdot": native-i8 nibble masks +
+    a separate 5th-bit MXU dot combined exactly at int32) must stay
+    golden-exact and agree with the legacy i32 path to f32 epilogue-
+    regrouping noise — both modes compute the identical integer sumi, so
+    any divergence beyond last-ulp regrouping is a decode bug.  Covers
+    the stack4 decode path (m<=4) and the per-block path (m=9)."""
+    a = datagen.normal((m_tok, K), seed=31)
+    w = datagen.normal((N, K), seed=32)
+    w_q = numpy_ref.QUANTIZE[fmt](w)
+    wp = prepare(w_q)
+    a_q = numpy_ref.quantize_q8_1(a)
+    aqd = jax_quant.device_put(a_q)
+    gold = refg.gemm_wxa8(w_q, a_q)
+    hdot = np.asarray(gemm_exact(wp, aqd, qh_mode="hdot"))
+    legacy = np.asarray(gemm_exact(wp, aqd, qh_mode="i32"))
+    for name, out in (("hdot", hdot), ("i32", legacy)):
+        met = ErrorMetrics.compute(out, gold)
+        assert met.nmse < 1e-11, (fmt, m_tok, name, met)
+    rel = np.max(np.abs(hdot - legacy)) / (np.abs(legacy).max() + 1e-30)
+    assert rel < 1e-6, (fmt, m_tok, rel)
