@@ -37,8 +37,17 @@ that capped decode at ~74% of the DMA roofline, docs/PERF_NOTES.md):
   hi-plane dot returns ``16*sumi - 128*sumq_a`` and the true ``sumi`` is
   recovered with an exact int32 fixup ``(raw + 128*sumq_a) >> 4`` from the
   per-block activation CODE sums (``s_a`` cannot substitute — it is the
-  f16-rounded ``d*sumq``).  5-bit formats add ``16*qh`` to the nibbles and
-  keep the i32 path, recovering raw bytes with one extra mask+xor.
+  f16-rounded ``d*sumq``).
+
+q5 x8 (5-bit formats): the nibble planes stay on the same native-i8 mask
+path, and the 5th bits ride a SEPARATE int8 MXU dot combined exactly at
+int32 on the stacked per-block results: ``sumi = nib_dot + 16*h_dot``
+(x16 again on the 16x-scaled hi plane).  Three h decodes, raced on-chip
+(scripts/lab_q5.py, 4096x4x14336 medians): ``qh_mode="qh2"`` (default)
+reads the prepare()-built nibble-packed h plane with one i8 mask per
+plane — zero i32 work, +K/2 bytes/col stream, 134 -> ~81 us; ``"hdot"``
+expands the bit-packed qh plane in-kernel (i32 repeat+shift, ~108 us);
+``"i32"`` is the legacy whole-plane i32 widen (~134 us), kept for A/Bs.
 """
 
 from __future__ import annotations
@@ -276,7 +285,7 @@ def _expand_bits_int(qh_tile: jax.Array) -> jax.Array:
 
 def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
             has_min: bool, has_qh: bool, stack4: bool = False,
-            span: int = 1, prediag: bool = False, qh_mode: str = "hdot"):
+            span: int = 1, prediag: bool = False, qh_mode: str = "qh2"):
     """4/5-bit weights.  Ref order:
 
     packed, d_lo, d_hi, [m_lo, m_hi,] [qh_lo, qh_hi,] qa, da, sa, [sq,]
@@ -294,7 +303,11 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
     packed_ref = next(it)
     dlo_ref, dhi_ref = next(it), next(it)
     mlo_ref, mhi_ref = (next(it), next(it)) if has_min else (None, None)
-    qhlo_ref, qhhi_ref = (next(it), next(it)) if has_qh else (None, None)
+    qhlo_ref = qhhi_ref = qh2_ref = None
+    if has_qh and qh_mode == "qh2":
+        qh2_ref = next(it)  # nibble-packed h plane, one tile serves both
+    elif has_qh:
+        qhlo_ref, qhhi_ref = next(it), next(it)
     qa_ref = next(it)  # [TM, 2*kdim] int8 (full)
     da_ref = next(it)  # [nb_p, TM] f32 (full)
     sa_ref = next(it)
@@ -329,6 +342,14 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
         qw2, mult2 = None, 0
         if has_qh and legacy_qh:
             qw = qw + 16 * _expand_bits_int(qh_ref[:])  # codes 0..31
+        elif has_qh and qh2_ref is not None:
+            # mask-only h decode off the nibble-packed qh2 plane: lo rows
+            # carry h at bit 0 (& 0x0F -> h, dot = h_sum, x16), hi rows at
+            # bit 4 (& -16 -> 16*h, dot = 16*h_sum, x16 = the 256*h_sum
+            # the 16x-scaled hi plane needs) — zero i32 decode work
+            p2 = qh2_ref[:]
+            qw2 = (p2 & jnp.int8(-16)) if fixup else (p2 & jnp.int8(0x0F))
+            mult2 = 16
         elif has_qh:
             # h in {0,1} as native i8; its dot adds 16*h_dot to the 1x lo
             # plane and 256*h_dot to the 16x-scaled hi plane — both exact
@@ -430,7 +451,7 @@ def gemm_exact(
     tkp: int | None = None,
     span: int = 1,
     prediag: bool = False,
-    qh_mode: str = "hdot",
+    qh_mode: str = "qh2",
     interpret: bool | None = None,
 ) -> jax.Array:
     """Reference-semantics WxA8 integer GEMM, all five weight formats.
@@ -500,6 +521,8 @@ def gemm_exact(
     da_t = pad_scales_k(padm(a_q.d).astype(jnp.float32), k, kdim, is4).T
     sa_t = pad_scales_k(padm(a_q.s).astype(jnp.float32), k, kdim, is4).T
     has_qh = w.qh_t is not None
+    if qh_mode == "qh2" and getattr(w, "qh2_t", None) is None:
+        qh_mode = "hdot"  # qh2 plane not prepared (e.g. prepare_device)
     legacy_qh = has_qh and qh_mode == "i32"
     if is4 and not legacy_qh:
         # per-block int32 activation code sums for the x8 hi-plane fixup
@@ -533,7 +556,12 @@ def gemm_exact(
         if has_min:
             operands += [w.m_t, w.m_t]
             in_specs += [wspec((tkb, tn)), wspec((tkb, tn), off=nkt)]
-        if has_qh:
+        if has_qh and qh_mode == "qh2":
+            # one nibble-packed h tile serves BOTH planes (rows match the
+            # packed tile's lo-half K range; bit 4 = the hi-half element)
+            operands.append(w.qh2_t)
+            in_specs.append(wspec((tkp, tn)))
+        elif has_qh:
             operands += [w.qh_t, w.qh_t]
             in_specs += [
                 wspec((tkp // 8, tn)),

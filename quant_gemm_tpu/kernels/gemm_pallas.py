@@ -151,7 +151,7 @@ def _store_scales(x: np.ndarray, sdt) -> np.ndarray:
     return x.astype(sdt)
 
 
-def prepare(w_q, scales_dtype=None) -> PreparedWeight:
+def prepare(w_q, scales_dtype=None, build_qh2: bool = True) -> PreparedWeight:
     """Transpose a row-major SoA container into the K-major kernel layout.
 
     Scales are stored as ``scales_dtype`` (default :data:`SCALES_DTYPE`)
@@ -245,7 +245,7 @@ def prepare(w_q, scales_dtype=None) -> PreparedWeight:
         if hasattr(w_q, "qh") else None
     )
     qh2_t = None
-    if hasattr(w_q, "qh"):
+    if hasattr(w_q, "qh") and build_qh2:
         # nibble-packed 5th bits (see PreparedWeight.qh2_t): expand each
         # half's bit plane to one 0/1 byte per element, then pair lo/hi
         # halves into nibbles so the kernel's h decode is mask-only

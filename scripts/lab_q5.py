@@ -65,6 +65,8 @@ def main():
     variants = [
         ("i32-legacy", "i32"),
         ("hdot-x8", "hdot"),
+        ("qh2-mask", "qh2"),  # nibble-packed h plane: +K/2 B/col stream,
+        #                       zero i32 decode (bit-identical to hdot)
     ]
 
     # correctness first: both modes share exact integer sumi
@@ -81,6 +83,8 @@ def main():
         print(f"  mode delta (f32 regrouping only): max {rel:.2e} rel",
               flush=True)
         assert rel < 1e-5, f"{fmt}: modes disagree beyond regrouping noise"
+        assert np.array_equal(outs["hdot-x8"], outs["qh2-mask"]), \
+            f"{fmt}: qh2 must be bit-identical to hdot"
 
     times: dict[tuple, list[float]] = {}
     for rep in range(reps):

@@ -381,3 +381,7 @@ def test_exact_q5_hdot_modes_agree(fmt, m_tok):
         assert met.nmse < 1e-11, (fmt, m_tok, name, met)
     rel = np.max(np.abs(hdot - legacy)) / (np.abs(legacy).max() + 1e-30)
     assert rel < 1e-6, (fmt, m_tok, rel)
+    # the mask-only qh2 plane computes the SAME integer sumi through the
+    # same f32 grouping as hdot -> bit-identical, not just close
+    qh2 = np.asarray(gemm_exact(wp, aqd, qh_mode="qh2"))
+    assert np.array_equal(hdot, qh2), (fmt, m_tok)
