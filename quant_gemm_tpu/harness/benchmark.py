@@ -174,19 +174,28 @@ def benchmark_kernel(
     return BenchResult(name, dt, flops, bytes_accessed)
 
 
-def weight_bytes(qtype: str, n: int, k: int, f32_scales: bool = True) -> int:
-    """HBM bytes for a prepared quantized weight (roofline denominator)."""
+def weight_bytes(qtype: str, n: int, k: int, f32_scales: bool = True,
+                 qh2: bool = True) -> int:
+    """HBM bytes STREAMED per GEMM for a prepared quantized weight (the
+    roofline denominator).
+
+    ``qh2`` reflects the q5 family's shipping default (gemm_exact
+    qh_mode='qh2'): the kernel streams the nibble-packed 5th-bit plane
+    (k/2 bytes per column) INSTEAD of the bit-packed qh plane (k/8).
+    Pass ``qh2=False`` when benchmarking the hdot/i32 modes.
+    """
     nb = k // 32
     scale_b = 4 if f32_scales else 2
+    qh_b = k // 2 if qh2 else k // 8
     per = {
         "q4_0": k // 2 + nb * scale_b,
         "q4_1": k // 2 + 2 * nb * scale_b,
-        "q5_0": k // 2 + k // 8 + nb * scale_b,
-        "q5_1": k // 2 + k // 8 + 2 * nb * scale_b,
+        "q5_0": k // 2 + qh_b + nb * scale_b,
+        "q5_1": k // 2 + qh_b + 2 * nb * scale_b,
         "q8_0": k + nb * scale_b,
         # K-quants serve as effective q4_1/q5_1 with f32 (d, m) per 32
         "q4_k": k // 2 + 2 * nb * 4,
-        "q5_k": k // 2 + k // 8 + 2 * nb * 4,
+        "q5_k": k // 2 + qh_b + 2 * nb * 4,
     }[qtype]
     return n * per
 

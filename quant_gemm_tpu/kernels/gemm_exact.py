@@ -467,6 +467,7 @@ def gemm_exact(
     """
     if interpret is None:
         interpret = _interpret_default()
+    assert qh_mode in ("qh2", "hdot", "i32"), f"bad qh_mode {qh_mode!r}"
     m, k = a_q.qs.shape
     assert k == w.k
     is4 = w.packed_t is not None
@@ -490,9 +491,12 @@ def gemm_exact(
             # tile 512x8192 = 4 MB x2 buffers; q4_1/q5_x extra planes fit)
             tn = np_stored if np_stored <= 8192 else 4096
         if w.qh_t is not None and w.m_t is not None:
-            # q5_1 carries BOTH qh and min planes, and the q5 path widens
-            # the packed tile to i32 in-kernel: tn=4096 blows the 16 MB
-            # scoped-VMEM budget at K=14336 (bench_suite r4 OOM) — cap it
+            # q5_1 carries BOTH qh and min planes on top of packed+d:
+            # tn=4096 blew the 16 MB scoped-VMEM budget at K=14336 under
+            # the old in-kernel i32 widen (bench_suite r4 OOM).  The
+            # default qh2 mode no longer widens, but the qh2 plane is as
+            # large as packed itself, so the budget stays tight — keep
+            # the 2048 cap (re-raced post-qh2: see scripts/lab_q5.py)
             tn = min(tn, 2048)
     tkp = min(tkp, kdim)
     while kdim % tkp:
@@ -724,7 +728,8 @@ def gemm_exact_fused(
     :func:`gemm_exact` — bit-identical to ``quantize_q8_1`` + ``gemm_exact``
     while skipping the activation's code/scale HBM round-trip (one fewer
     pass per decode GEMM).  Supports q4_0/q4_1 (x8 fast path) and q8_0;
-    q5 formats take the unfused path (their qh planes keep the i32 decode).
+    q5 formats take the unfused path (their 5th-bit plane needs the extra
+    qh2/hdot operand plumbing that only ``gemm_exact`` carries).
     """
     if interpret is None:
         interpret = _interpret_default()

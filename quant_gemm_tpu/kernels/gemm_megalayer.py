@@ -55,8 +55,17 @@ from ..formats.blocks import QK
 from .gemm_exact import _f32_dot_bt, _quant_block_q8_1, _scaled_block_sums
 from .gemm_pallas import PreparedWeight, _interpret_default, scale_f32
 
-# Serving-path switch (bench_serve --mega on/off A/Bs it end-to-end).
-ENABLED = True
+# Serving-path switches (bench_serve --mega on/off A/Bs them end-to-end).
+# Round-5 on-chip adjudication (scripts/lab_mega.py, 5-rep interleaved
+# medians at dim 2048 / d_ff 8192 / M=8 on v5e):
+#   norm_qkv   15.2 us vs unfused chain 17.9 us  -> +2.7 us/layer: KEEP
+#   attn_tail  61.8 us vs unfused chain 60.7 us  -> -1.0 us/layer: OFF
+# The tail's three GEMMs already stream back to back under XLA dispatch;
+# serializing them into one grid bought nothing and cost a point of
+# pipelining, so only the qkv megakernel ships enabled.
+ENABLED = True        # master switch (off = no megakernels anywhere)
+ENABLE_QKV = True     # norm+quantize+wqkv in one Pallas call (measured win)
+ENABLE_TAIL = False   # post-attention tail megakernel (measured loss)
 
 _TM = 8  # decode row tile: batch <= 8 rides one MXU/VPU sublane tile
 
@@ -448,19 +457,36 @@ def attn_tail(attn_out: jax.Array, x_res: jax.Array, norm_w: jax.Array,
     return out[:m]
 
 
-def layer_supported(lyr: dict, cfg, m: int) -> bool:
-    """True when this layer's decode step can take the megakernel path."""
-    if not ENABLED or m > _TM:
+def qkv_supported(lyr: dict, cfg, m: int) -> bool:
+    """True when this layer's decode step can take the norm_qkv megakernel."""
+    if not (ENABLED and ENABLE_QKV) or m > _TM:
+        return False
+    if cfg.dim % 512:
+        return False
+    return _supported_w(lyr.get("wqkv"), k=cfg.dim)
+
+
+def tail_supported(lyr: dict, cfg, m: int) -> bool:
+    """True when this layer's decode step can take the attn_tail megakernel."""
+    if not (ENABLED and ENABLE_TAIL) or m > _TM:
         return False
     dim, dff = cfg.dim, cfg.d_ff
     if dim % 512 or dff % 512:
         return False
     return (
-        _supported_w(lyr.get("wqkv"), k=dim)
-        and _supported_w(lyr.get("wo"), k=dim, n=dim)
+        _supported_w(lyr.get("wo"), k=dim, n=dim)
         and _supported_w(lyr.get("wgu"), k=dim, n=2 * dff)
         and _supported_w(lyr.get("w_down"), k=dff, n=dim)
     )
 
 
-__all__ = ["ENABLED", "norm_qkv", "attn_tail", "layer_supported"]
+def layer_supported(lyr: dict, cfg, m: int) -> bool:
+    """True when BOTH megakernels apply (lab/bench A/B convenience)."""
+    return qkv_supported(lyr, cfg, m) and tail_supported(lyr, cfg, m)
+
+
+__all__ = [
+    "ENABLED", "ENABLE_QKV", "ENABLE_TAIL",
+    "norm_qkv", "attn_tail",
+    "qkv_supported", "tail_supported", "layer_supported",
+]

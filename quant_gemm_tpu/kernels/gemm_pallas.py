@@ -177,6 +177,13 @@ def prepare(w_q, scales_dtype=None, build_qh2: bool = True) -> PreparedWeight:
     exactly nothing regardless of activation content.  ``PreparedWeight.k``
     stays the TRUE K; kernels read the padded extent off the array shapes
     and pad/reindex the activation to match (see :func:`pad_activation_k`).
+
+    For q5 formats, ``build_qh2`` (default on) additionally materializes
+    the nibble-packed 5th-bit plane ``qh2_t`` — the serving fast path's
+    operand (gemm_exact qh_mode='qh2').  HBM cost: +k/2 bytes per column
+    on top of the retained k/8 bit plane, i.e. q5 device weight memory
+    grows ~1.65x vs hdot-only; pass ``build_qh2=False`` to trade the
+    ~1.6x q5 decode speedup back for memory.
     """
 
     sdt = SCALES_DTYPE if scales_dtype is None else scales_dtype

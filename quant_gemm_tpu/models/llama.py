@@ -606,17 +606,18 @@ def forward(
     k_pending, v_pending = [], []  # decode: deferred all-layer batch write
     ks_pending, vs_pending = [], []
     # Decode layer-megakernel path (kernels/gemm_megalayer.py): at T=1 with
-    # q4_0 PreparedWeights and batch <= 8, the whole per-layer GEMM chain
-    # runs as TWO Pallas calls (norm+quantize+wqkv, and the post-attention
-    # tail) instead of 4 GEMMs + ~8 elementwise ops — one continuous weight
-    # stream per call with no dispatch seams (round-4 serving-floor attack)
+    # q4_0 PreparedWeights and batch <= 8, fusable per-layer GEMM chains run
+    # as single Pallas calls instead of GEMM + elementwise dispatch seams.
+    # Round-5 on-chip adjudication (lab_mega): norm_qkv wins (+2.7 us/layer)
+    # and ships on; attn_tail measured a loss (-1.0 us/layer) and ships off
+    # (gemm_megalayer.ENABLE_TAIL).
     from ..kernels import gemm_megalayer as _mega
 
-    use_mega = (
-        act_mode == "q8_1" and t == 1 and tp_ctx is None
-        and all(_mega.layer_supported(ly, cfg, b * t)
-                for ly in qparams["layers"])
-    )
+    can_mega = act_mode == "q8_1" and t == 1 and tp_ctx is None
+    use_mega = can_mega and all(
+        _mega.qkv_supported(ly, cfg, b * t) for ly in qparams["layers"])
+    use_mega_tail = can_mega and all(
+        _mega.tail_supported(ly, cfg, b * t) for ly in qparams["layers"])
     for li, lyr in enumerate(qparams["layers"]):
         if use_mega:
             qkv = _mega.norm_qkv(lyr["wqkv"], x.reshape(b * t, cfg.dim),
@@ -677,7 +678,7 @@ def forward(
                 ks=new_ks[li] if quant_cache else None,
                 vs=new_vs[li] if quant_cache else None,
             )
-        if use_mega:
+        if use_mega_tail:
             x = _mega.attn_tail(
                 attn.reshape(b * t, -1), x.reshape(b * t, cfg.dim),
                 lyr["mlp_norm"], lyr["wo"], lyr["wgu"], lyr["w_down"],

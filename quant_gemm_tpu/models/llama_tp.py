@@ -72,7 +72,7 @@ def _stack_prepared(chunks, mesh: Mesh, axis: str):
 
     return gemm_pallas.PreparedWeight(
         c0.qtype, c0.n, c0.k, stack("packed_t"), stack("qs_t"),
-        stack("d_t"), stack("m_t"), stack("qh_t"),
+        stack("d_t"), stack("m_t"), stack("qh_t"), stack("qh2_t"),
     )
 
 
@@ -84,7 +84,7 @@ def _local(stacked: gemm_pallas.PreparedWeight) -> gemm_pallas.PreparedWeight:
     s = stacked
     return gemm_pallas.PreparedWeight(
         s.qtype, s.n, s.k, first(s.packed_t), first(s.qs_t),
-        first(s.d_t), first(s.m_t), first(s.qh_t),
+        first(s.d_t), first(s.m_t), first(s.qh_t), first(s.qh2_t),
     )
 
 

@@ -160,6 +160,7 @@ def shard_weight(w_q, mesh: Mesh, axis: str = "tp", mode: str = "col") -> Sharde
         stack("d_t"),
         stack("m_t"),
         stack("qh_t"),
+        stack("qh2_t"),
     )
     return ShardedWeight(w_q.spec.name, n, k, mode, axis, stacked)
 
@@ -173,7 +174,7 @@ def _local_weight(sw: ShardedWeight) -> gemm_pallas.PreparedWeight:
 
     return gemm_pallas.PreparedWeight(
         st.qtype, st.n, st.k, first(st.packed_t), first(st.qs_t),
-        first(st.d_t), first(st.m_t), first(st.qh_t),
+        first(st.d_t), first(st.m_t), first(st.qh_t), first(st.qh2_t),
     )
 
 
@@ -294,7 +295,7 @@ def shard_weight_ring(w_q, mesh: Mesh, axis: str = "tp",
 
     stacked = gemm_pallas.PreparedWeight(
         g0.qtype, g0.n, g0.k, stack("packed_t"), stack("qs_t"),
-        stack("d_t"), stack("m_t"), stack("qh_t"),
+        stack("d_t"), stack("m_t"), stack("qh_t"), stack("qh2_t"),
     )
     return ShardedWeight(w_q.spec.name, n, k, mode + "_ring", axis, stacked)
 
@@ -309,7 +310,7 @@ def _pick_chunk(st: gemm_pallas.PreparedWeight, c) -> gemm_pallas.PreparedWeight
 
     return gemm_pallas.PreparedWeight(
         st.qtype, st.n, st.k, pick(st.packed_t), pick(st.qs_t),
-        pick(st.d_t), pick(st.m_t), pick(st.qh_t),
+        pick(st.d_t), pick(st.m_t), pick(st.qh_t), pick(st.qh2_t),
     )
 
 

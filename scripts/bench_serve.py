@@ -57,6 +57,10 @@ def main():
                     help="override kernels.registry.FUSED_DECODE (in-kernel "
                          "vs standalone Q8_1 activation quantization) for "
                          "the end-to-end A/B")
+    ap.add_argument("--mega", choices=["on", "off"], default=None,
+                    help="override kernels.gemm_megalayer.ENABLED (whole-"
+                         "layer decode megakernels vs the per-GEMM dispatch "
+                         "chain) for the end-to-end A/B")
     args = ap.parse_args()
 
     if args.fused is not None:
@@ -64,6 +68,11 @@ def main():
 
         registry.FUSED_DECODE = args.fused == "on"
         print(f"FUSED_DECODE={registry.FUSED_DECODE}", flush=True)
+    if args.mega is not None:
+        from quant_gemm_tpu.kernels import gemm_megalayer
+
+        gemm_megalayer.ENABLED = args.mega == "on"
+        print(f"MEGA={gemm_megalayer.ENABLED}", flush=True)
 
     cfg = llama.LlamaConfig(
         vocab=args.vocab, dim=args.dim, n_layers=args.layers,

@@ -63,22 +63,30 @@ def main():
         return xm + gemm_exact(wd, jax_quant.quantize_q8_1(ff))
 
     # ---- numerics --------------------------------------------------------
+    # On CPU-interpret the megakernels are BIT-identical to the unfused
+    # chain (tests/test_megalayer.py).  On hardware the in-kernel glue
+    # (Mosaic rsqrt/sigmoid/mean) rounds differently than the XLA ops at
+    # f32 ulp level, which can flip individual Q8_1 codes — so the honest
+    # on-chip criterion is "mega-vs-unfused disagreement is small relative
+    # to the quantization noise both share", measured as NMSE of the
+    # mega-unfused delta over the unfused output's own variance.
+    def nmse(a, b):
+        return float(((a - b) ** 2).mean() / (b.var() + 1e-30))
+
     r_ref = np.asarray(jax.jit(unfused_qkv)(x))
     r_meg = np.asarray(jax.jit(
         lambda x: mega.norm_qkv(wqkv, x, nw_a, eps))(x))
-    d = np.abs(r_ref - r_meg).max()
-    print(f"  norm_qkv:  max abs diff {d:.2e} "
-          f"({'ok' if d < 1e-3 * max(1.0, np.abs(r_ref).max()) else 'BAD'})",
-          flush=True)
+    d, e = np.abs(r_ref - r_meg).max(), nmse(r_meg, r_ref)
+    print(f"  norm_qkv:  max abs diff {d:.2e}  delta-NMSE {e:.2e} "
+          f"({'ok' if e < 1e-5 else 'BAD'})", flush=True)
 
     t_ref = np.asarray(jax.jit(unfused_tail)(attn, x))
     t_meg = np.asarray(jax.jit(
         lambda a, x: mega.attn_tail(a, x, nw_m, wo, wgu, wd, eps, dff)
     )(attn, x))
-    d = np.abs(t_ref - t_meg).max()
-    print(f"  attn_tail: max abs diff {d:.2e} "
-          f"({'ok' if d < 1e-3 * max(1.0, np.abs(t_ref).max()) else 'BAD'})",
-          flush=True)
+    d, e = np.abs(t_ref - t_meg).max(), nmse(t_meg, t_ref)
+    print(f"  attn_tail: max abs diff {d:.2e}  delta-NMSE {e:.2e} "
+          f"({'ok' if e < 1e-5 else 'BAD'})", flush=True)
 
     # ---- interleaved timing ---------------------------------------------
     by_qkv = bm.weight_bytes("q4_0", wqkv.n, wqkv.k)

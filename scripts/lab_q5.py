@@ -6,7 +6,8 @@ ladder (q5_k 370 GB/s / 41% roofline, q5_0 ~310 at K=4096 vs q4_0 727 /
 widen/mask/xor/shift chain plus an i32 bit-expansion add (~8.5 i32 VPU
 ops per weight element) before the MXU saw data.
 
-The reformulation (gemm_exact qh_mode="hdot", now the default) keeps the
+The reformulation (gemm_exact qh_mode="hdot"; the shipping default is the
+further nibble-packed "qh2" variant) keeps the
 q4-style native-i8 masks for both nibble planes (1 i8 op/elem) and rides
 the 5th bits on a SEPARATE int8 MXU dot: per block,
 ``sumi = nib_dot + 16 * h_dot`` combined exactly at int32 on the stacked
