@@ -174,6 +174,90 @@ def benchmark_kernel(
     return BenchResult(name, dt, flops, bytes_accessed)
 
 
+# Anything reported above this is a measurement artifact, not physics: the
+# v5e HBM spec is 819 GB/s and the measured stream peak ~907 (bench_suite
+# probes).  Reps above it get rejected and re-run (the round-4 campaign
+# logged a 0.6 us / 18,973 GB/s w_down rep — impossible by 20x).
+PHYS_MAX_GBPS = 1000.0
+
+
+def interleaved_medians(
+    cases: Sequence,
+    *,
+    reps: int = 5,
+    max_extra_rounds: int = 3,
+    min_time_s: float = 30e-6,
+    verbose: bool = True,
+) -> dict:
+    """Robust per-case medians over interleaved rounds.
+
+    ``cases`` is a sequence of ``(name, fn, args, bytes_accessed)``.  Every
+    round measures each case once (so chip/host drift hits all rows
+    equally).  Hardening (VERDICT r4 weak #5):
+
+    * reps whose implied bandwidth exceeds :data:`PHYS_MAX_GBPS` or whose
+      slope was non-positive are rejected outright;
+    * after the base rounds, samples outside 3x of the per-case median are
+      dropped, and extra FULL rounds run (up to ``max_extra_rounds``) until
+      every case has >= ``reps`` surviving samples;
+    * cases whose median lands under ``min_time_s`` get the extra rounds
+      too (sub-30 us rows need more samples to stabilize).
+
+    Returns ``{name: median_seconds}``; raises if any case cannot produce
+    a single valid sample.
+    """
+    import statistics
+
+    samples: dict[str, list[float]] = {c[0]: [] for c in cases}
+
+    def run_round(rep: int) -> None:
+        for name, fn, args, by in cases:
+            r = benchmark_kernel(fn, args, name=f"{name} #{rep}",
+                                 bytes_accessed=by)
+            if verbose:
+                print(f"  {r.row()}", flush=True)
+            if not r.valid:
+                continue
+            if by and by / r.time_s / 1e9 > PHYS_MAX_GBPS:
+                if verbose:
+                    print(f"    ^ rejected: {by / r.time_s / 1e9:.0f} GB/s "
+                          f"> {PHYS_MAX_GBPS:.0f} physical cap", flush=True)
+                continue
+            samples[name].append(r.time_s)
+
+    def surviving(name: str) -> list[float]:
+        vals = samples[name]
+        if not vals:
+            return vals
+        med = statistics.median(vals)
+        return [v for v in vals if med / 3 <= v <= med * 3]
+
+    rnd = 0
+    for rnd in range(reps):
+        run_round(rnd)
+    for _ in range(max_extra_rounds):
+        need_more = any(
+            len(surviving(c[0])) < reps
+            or statistics.median(surviving(c[0])) < min_time_s
+            and len(surviving(c[0])) < reps + max_extra_rounds
+            for c in cases
+            if surviving(c[0])
+        ) or any(not samples[c[0]] for c in cases)
+        if not need_more:
+            break
+        rnd += 1
+        run_round(rnd)
+
+    out = {}
+    for name, *_ in cases:
+        vals = surviving(name)
+        if not vals:
+            raise RuntimeError(f"{name}: no valid samples after "
+                               f"{rnd + 1} rounds")
+        out[name] = statistics.median(vals)
+    return out
+
+
 def weight_bytes(qtype: str, n: int, k: int, f32_scales: bool = True,
                  qh2: bool = True) -> int:
     """HBM bytes STREAMED per GEMM for a prepared quantized weight (the
@@ -224,7 +308,10 @@ __all__ = [
     "BenchResult",
     "benchmark_kernel",
     "default_chain",
+    "interleaved_medians",
     "weight_bytes",
+    "prepared_bytes",
     "gemm_flops",
     "print_table",
+    "PHYS_MAX_GBPS",
 ]

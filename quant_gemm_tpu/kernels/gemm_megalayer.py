@@ -17,7 +17,10 @@ in-kernel between stages while the next stage's weights stream in.
 Two kernels cover a llama layer at decode (M = batch <= 8, T = 1):
 
 * :func:`norm_qkv` — attn RMSNorm + Q8_1 quantize + the fused-QKV
-  projection (stage grid: N tiles of wqkv);
+  projection (stage grid: N tiles of wqkv); covers q4_0 and the
+  min-plane formats (q4_1 + the K-quant effective container a Q4_K_M
+  GGUF loads — the min term rides the same per-tile ``s_a @ m`` hoist
+  as gemm_exact);
 * :func:`attn_tail` — everything after attention: wo projection +
   residual + mlp RMSNorm + quantize + gate/up projection + SiLU*mul +
   re-quantize + down projection + residual, in one call (stage grid:
@@ -94,10 +97,13 @@ def _quantize_rows(h: jax.Array, nb: int):
     return qa, da, sa, sq
 
 
-def _plane(qw, d_tile, qa, da, sa, sq, offset: int, fixup: bool):
-    """One nibble plane of the exact q4_0 GEMM — mirrors ``_kernel``'s
+def _plane(qw, d_tile, qa, da, sa, sq, offset: int, fixup: bool,
+           m_tile=None):
+    """One nibble plane of the exact 4-bit GEMM — mirrors ``_kernel``'s
     ``plane`` (gemm_exact.py) for the unstacked x8 path, operation for
-    operation, so outputs are bit-identical to the unfused kernel."""
+    operation, so outputs are bit-identical to the unfused kernel.
+    ``m_tile`` is the min plane of q4_1 / K-quant-effective weights (one
+    exact ``s_a @ m`` dot per tile, same hoist as gemm_exact)."""
     tkb = d_tile.shape[0]
     d = scale_f32(d_tile)
     if fixup:
@@ -112,16 +118,21 @@ def _plane(qw, d_tile, qa, da, sa, sq, offset: int, fixup: bool):
     acc = _scaled_block_sums(qa, qw, tkb, d, da, acc, None, span=1)
     if coeff is not None:
         acc += _f32_dot_bt(coeff, d)
+    if m_tile is not None:
+        acc += _f32_dot_bt(sa, scale_f32(m_tile))
     return acc
 
 
 def _gemm_step(packed_tile, dlo_tile, dhi_tile, qa_ref, da_s, sa_s, sq_s,
-               koff_lo, tkp: int, tkb: int, nkt: int):
+               koff_lo, tkp: int, tkb: int, nkt: int, offset: int = 8,
+               mlo_tile=None, mhi_tile=None):
     """lo-plane + hi-plane exact GEMM for one weight tile.
 
     ``qa_ref``/scale refs hold the FULL activation (scratch); ``koff_lo``
     is the lo plane's K offset in grid-step units (the hi plane sits
     ``nkt`` further, as in the unfused kernel's ``kt`` / ``kt + nkt``).
+    ``offset`` is the format's code offset (8 for q4_0, 0 for q4_1 /
+    q4_k-effective); ``mlo/mhi_tile`` the optional min planes.
     Returns (acc_lo, acc_hi) so callers can keep the unfused path's
     ``out += lo; out += hi`` accumulation order bit-exactly.
     """
@@ -130,20 +141,25 @@ def _gemm_step(packed_tile, dlo_tile, dhi_tile, qa_ref, da_s, sa_s, sq_s,
     a_lo = _plane(lo, dlo_tile, qa_ref[:, pl.ds(koff_lo * tkp, tkp)],
                   da_s[pl.ds(koff_lo * tkb, tkb)],
                   sa_s[pl.ds(koff_lo * tkb, tkb)],
-                  sq_s[pl.ds(koff_lo * tkb, tkb)], 8, False)
+                  sq_s[pl.ds(koff_lo * tkb, tkb)], offset, False, mlo_tile)
     koff_hi = koff_lo + nkt
     a_hi = _plane(hi, dhi_tile, qa_ref[:, pl.ds(koff_hi * tkp, tkp)],
                   da_s[pl.ds(koff_hi * tkb, tkb)],
                   sa_s[pl.ds(koff_hi * tkb, tkb)],
-                  sq_s[pl.ds(koff_hi * tkb, tkb)], 8, True)
+                  sq_s[pl.ds(koff_hi * tkb, tkb)], offset, True, mhi_tile)
     return a_lo, a_hi
 
 
-def _supported_w(w, k: int | None = None, n: int | None = None) -> bool:
-    """q4_0 PreparedWeight with unpadded planes (true K/N == stored)."""
-    if not isinstance(w, PreparedWeight) or w.qtype != "q4_0":
+def _supported_w(w, k: int | None = None, n: int | None = None,
+                 qtypes=("q4_0", "q4_1", "q4_k")) -> bool:
+    """4-bit PreparedWeight with unpadded planes (true K/N == stored).
+
+    q4_0 plus the min-plane formats (q4_1 and the K-quant effective
+    container a Q4_K_M GGUF actually loads); 5-bit formats (qh planes)
+    stay on the unfused dispatch path."""
+    if not isinstance(w, PreparedWeight) or w.qtype not in qtypes:
         return False
-    if w.packed_t is None or w.m_t is not None or w.qh_t is not None:
+    if w.packed_t is None or w.qh_t is not None:
         return False
     kdim, np_ = w.packed_t.shape
     if 2 * kdim != w.k or np_ != w.n or kdim % 256:
@@ -168,8 +184,12 @@ def _pick_tn(np_: int, cap: int) -> int:
 # --------------------------------------------------------------------------
 
 
-def _qkv_kernel(packed_ref, dlo_ref, dhi_ref, x_ref, nw_ref, out_ref,
-                qa_s, da_s, sa_s, sq_s, *, tkp, tkb, nb, eps):
+def _qkv_kernel(*refs, tkp, tkb, nb, eps, offset, has_min):
+    it = iter(refs)
+    packed_ref, dlo_ref, dhi_ref = next(it), next(it), next(it)
+    mlo_ref, mhi_ref = (next(it), next(it)) if has_min else (None, None)
+    x_ref, nw_ref, out_ref = next(it), next(it), next(it)
+    qa_s, da_s, sa_s, sq_s = next(it), next(it), next(it), next(it)
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -182,7 +202,9 @@ def _qkv_kernel(packed_ref, dlo_ref, dhi_ref, x_ref, nw_ref, out_ref,
         sq_s[:] = sq
 
     a_lo, a_hi = _gemm_step(packed_ref[:], dlo_ref[:], dhi_ref[:], qa_s,
-                            da_s, sa_s, sq_s, 0, tkp, tkb, 1)
+                            da_s, sa_s, sq_s, 0, tkp, tkb, 1, offset,
+                            mlo_ref[:] if has_min else None,
+                            mhi_ref[:] if has_min else None)
     out_ref[:] = a_lo
     out_ref[:] += a_hi
 
@@ -206,22 +228,34 @@ def norm_qkv(w: PreparedWeight, x: jax.Array, norm_w: jax.Array, eps: float,
     tn = _pick_tn(np_, 1024)
     if m < _TM:
         x = jnp.pad(x, ((0, _TM - m), (0, 0)))
+    has_min = w.m_t is not None
+    vm = pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec((kdim, tn), lambda i: (0, i), memory_space=vm),
+        pl.BlockSpec((tkb, tn), lambda i: (0, i), memory_space=vm),
+        pl.BlockSpec((tkb, tn), lambda i: (1, i), memory_space=vm),
+    ]
+    operands = [w.packed_t, w.d_t, w.d_t]
+    if has_min:
+        in_specs += [
+            pl.BlockSpec((tkb, tn), lambda i: (0, i), memory_space=vm),
+            pl.BlockSpec((tkb, tn), lambda i: (1, i), memory_space=vm),
+        ]
+        operands += [w.m_t, w.m_t]
+    in_specs += [
+        pl.BlockSpec((_TM, k), lambda i: (0, 0), memory_space=vm),
+        pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=vm),
+    ]
+    operands += [x.astype(jnp.float32),
+                 norm_w.astype(jnp.float32).reshape(1, k)]
     out = pl.pallas_call(
-        functools.partial(_qkv_kernel, tkp=kdim, tkb=tkb, nb=nb, eps=eps),
+        functools.partial(_qkv_kernel, tkp=kdim, tkb=tkb, nb=nb, eps=eps,
+                          offset=8 if w.qtype == "q4_0" else 0,
+                          has_min=has_min),
         grid=(np_ // tn,),
-        in_specs=[
-            pl.BlockSpec((kdim, tn), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tkb, tn), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tkb, tn), lambda i: (1, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TM, k), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((_TM, tn), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
+                               memory_space=vm),
         out_shape=jax.ShapeDtypeStruct((_TM, np_), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((_TM, k), jnp.int8),
@@ -233,8 +267,7 @@ def norm_qkv(w: PreparedWeight, x: jax.Array, norm_w: jax.Array, eps: float,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(w.packed_t, w.d_t, w.d_t, x.astype(jnp.float32),
-      norm_w.astype(jnp.float32).reshape(1, k))
+    )(*operands)
     return out[:m]
 
 
@@ -346,9 +379,10 @@ def attn_tail(attn_out: jax.Array, x_res: jax.Array, norm_w: jax.Array,
         interpret = _interpret_default()
     m, dim = attn_out.shape
     assert m <= _TM and x_res.shape == (m, dim)
-    assert _supported_w(wo, k=dim, n=dim)
-    assert _supported_w(wgu, k=dim, n=2 * d_ff)
-    assert _supported_w(wd, k=d_ff, n=dim)
+    # tail stages have no min-plane handling yet: q4_0 only
+    assert _supported_w(wo, k=dim, n=dim, qtypes=("q4_0",))
+    assert _supported_w(wgu, k=dim, n=2 * d_ff, qtypes=("q4_0",))
+    assert _supported_w(wd, k=d_ff, n=dim, qtypes=("q4_0",))
 
     kdim = dim // 2
     tn_wo = _pick_tn(dim, 1024)
@@ -457,13 +491,27 @@ def attn_tail(attn_out: jax.Array, x_res: jax.Array, norm_w: jax.Array,
     return out[:m]
 
 
+_BYPASS_LOGGED: set = set()
+
+
 def qkv_supported(lyr: dict, cfg, m: int) -> bool:
     """True when this layer's decode step can take the norm_qkv megakernel."""
     if not (ENABLED and ENABLE_QKV) or m > _TM:
         return False
-    if cfg.dim % 512:
-        return False
-    return _supported_w(lyr.get("wqkv"), k=cfg.dim)
+    ok = cfg.dim % 512 == 0 and _supported_w(lyr.get("wqkv"), k=cfg.dim)
+    if not ok:
+        # loud (once per qtype/dim) so a served model silently losing the
+        # megakernel speedup is visible in the server log (VERDICT r4 #5)
+        w = lyr.get("wqkv")
+        key = (getattr(w, "qtype", None), cfg.dim)
+        if key not in _BYPASS_LOGGED:
+            _BYPASS_LOGGED.add(key)
+            import sys
+
+            print(f"megalayer: norm_qkv bypassed (wqkv qtype={key[0]}, "
+                  f"dim={cfg.dim}) — unfused dispatch path",
+                  file=sys.stderr, flush=True)
+    return ok
 
 
 def tail_supported(lyr: dict, cfg, m: int) -> bool:
@@ -474,9 +522,9 @@ def tail_supported(lyr: dict, cfg, m: int) -> bool:
     if dim % 512 or dff % 512:
         return False
     return (
-        _supported_w(lyr.get("wo"), k=dim, n=dim)
-        and _supported_w(lyr.get("wgu"), k=dim, n=2 * dff)
-        and _supported_w(lyr.get("w_down"), k=dff, n=dim)
+        _supported_w(lyr.get("wo"), k=dim, n=dim, qtypes=("q4_0",))
+        and _supported_w(lyr.get("wgu"), k=dim, n=2 * dff, qtypes=("q4_0",))
+        and _supported_w(lyr.get("w_down"), k=dff, n=dim, qtypes=("q4_0",))
     )
 
 

@@ -117,7 +117,8 @@ def main():
     ) + weight_bytes("q4_0", args.vocab, args.dim)  # lm head
     floor_us = lin_bytes / 900e3  # ~900 GB/s measured stream
     print(f"weight stream per step: {lin_bytes/1e9:.3f} GB -> "
-          f"{floor_us:.0f} us floor", flush=True)
+          f"{floor_us:.0f} us floor (at the 900 GB/s measured stream)",
+          flush=True)
 
     rope = llama.make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base, freq_scale=cfg.rope_scale)
 

@@ -28,7 +28,12 @@ from quant_gemm_tpu.harness.metrics import ErrorMetrics  # noqa: E402
 from quant_gemm_tpu.kernels import dispatch, gemm_pallas  # noqa: E402
 from quant_gemm_tpu.ref import gemm as refg  # noqa: E402
 
-HBM_GBPS = 900.0  # measured streaming roofline (docs/PERF_NOTES.md)
+# One denominator policy (VERDICT r4 item 6): every headline "% roofline"
+# in every committed artifact is a fraction of the 819 GB/s v5e HBM SPEC
+# (same as bench.py); the ~900 GB/s measured stream peak (docs/PERF_NOTES.md)
+# is reported alongside, labeled, for kernel-vs-probe work.
+HBM_SPEC_GBPS = 819.0
+HBM_STREAM_GBPS = 900.0
 
 
 def run(fmt: str, shapes, out_path: str | None, reps: int = 3):
@@ -79,10 +84,13 @@ def run(fmt: str, shapes, out_path: str | None, reps: int = 3):
             med = statistics.median(times[m])
             flops = bm.gemm_flops(m, n_feat, k)
             by = wb + m * k + m * n_feat * 4
-            pct = 100.0 * by / med / 1e9 / HBM_GBPS
+            gbps = by / med / 1e9
+            pct_spec = 100.0 * gbps / HBM_SPEC_GBPS
+            pct_stream = 100.0 * gbps / HBM_STREAM_GBPS
             print(f"{fmt} {n_feat}x{m}x{k}: median {med*1e6:8.1f} us "
-                  f"{flops/med/1e12:7.2f} TFLOPS {by/med/1e9:7.1f} GB/s "
-                  f"{pct:5.1f}% roofline  nmse={nmse:.2e}")
+                  f"{flops/med/1e12:7.2f} TFLOPS {gbps:7.1f} GB/s "
+                  f"{pct_spec:5.1f}% of 819 spec ({pct_stream:.1f}% of "
+                  f"900 stream)  nmse={nmse:.2e}")
             records.append(
                 {
                     "fmt": fmt,
@@ -92,8 +100,10 @@ def run(fmt: str, shapes, out_path: str | None, reps: int = 3):
                     "time_us": med * 1e6,
                     "time_us_best": min(times[m]) * 1e6,
                     "tflops": flops / med / 1e12,
-                    "gbps": by / med / 1e9,
-                    "roofline_pct": pct,
+                    "gbps": gbps,
+                    "roofline_pct": pct_spec,
+                    "roofline_denom_gbps": HBM_SPEC_GBPS,
+                    "roofline_pct_stream": pct_stream,
                     "nmse_vs_fp32": nmse,
                 }
             )

@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--seq", type=int, default=1024)
     ap.add_argument("--ctx", type=int, default=896)
     ap.add_argument("--kv", default="q8", choices=["bf16", "q8"])
+    ap.add_argument("--strict", action="store_true",
+                    help="exit 1 if the breakdown's unexplained residual "
+                         "is >=10% of the full step")
     args = ap.parse_args()
 
     cfg = llama.LlamaConfig(
@@ -104,19 +107,14 @@ def main():
             k_scale=cache.ks, v_scale=cache.vs),
         (q, cache.k, cache.v, cache.pos), cache_rd))
 
-    times: dict[str, list[float]] = {name: [] for name, *_ in comps}
-    for rep in range(REPS):
-        for name, fn, cargs, by in comps:
-            r = bm.benchmark_kernel(fn, cargs, name=f"{name} #{rep}",
-                                    bytes_accessed=by)
-            print(f"  {r.row()}", flush=True)
-            if r.valid:
-                times[name].append(r.time_s)
-
-    med = {}
-    print(f"\nper-component medians (of {REPS} interleaved):", flush=True)
+    # Robust runner (VERDICT r4 weak #5): rejects physically-impossible
+    # reps (the round-4 log once recorded a 0.6 us / 18,973 GB/s w_down),
+    # drops >3x-from-median outliers, and adds full extra rounds until
+    # every row has REPS surviving samples — sub-30 us rows get them too.
+    med = bm.interleaved_medians(comps, reps=REPS)
+    print(f"\nper-component medians (of >={REPS} interleaved, outlier-"
+          f"rejected):", flush=True)
     for name, _fn, _a, by in comps:
-        med[name] = statistics.median(times[name])
         print(f"  {name:<24s} {med[name]*1e6:8.1f} us "
               f"{by/med[name]/1e9:7.1f} GB/s", flush=True)
 
@@ -206,13 +204,21 @@ def main():
           f"{', '.join(f'{s:.0f}' for s in slopes)})", flush=True)
 
     parts = layers_gemm_us + lmhead_us + attn_us + write_us
+    resid_pct = 100 * (step_us - parts) / step_us
     print(
         f"\nbreakdown: gemms {layers_gemm_us + lmhead_us:.0f} + attention "
         f"{attn_us:.0f} + writes {write_us:.0f} = {parts:.0f} us; full "
         f"{step_us:.0f} us -> unexplained {step_us - parts:.0f} us "
-        f"({100 * (step_us - parts) / step_us:.0f}%)",
+        f"({resid_pct:.0f}%)",
         flush=True,
     )
+    # A breakdown that cannot account for >=10% of the step (either way)
+    # must not steer kernel work (VERDICT r4 item 7).
+    ok = abs(resid_pct) < 10
+    print(f"residual-check: {'PASS' if ok else 'FAIL'} "
+          f"(|{resid_pct:.1f}%| {'<' if ok else '>='} 10%)", flush=True)
+    if not ok and args.strict:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

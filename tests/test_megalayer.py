@@ -100,6 +100,59 @@ def test_attn_tail_matches_unfused(weights, m):
     _close(got, want, exact=m > 4)
 
 
+@pytest.mark.parametrize("fmt", ["q4_1", "q4_k"])
+@pytest.mark.parametrize("m", [8, 3])
+def test_norm_qkv_min_plane_formats(fmt, m):
+    """Min-plane weights (q4_1 and the K-quant effective container a
+    Q4_K_M GGUF loads) take the megakernel too (VERDICT r4 item 5)."""
+    rng = np.random.default_rng(11)
+    wf = rng.normal(0, 0.05, (3 * DIM, DIM)).astype(np.float32)
+    if fmt == "q4_1":
+        wq = numpy_ref.quantize_q4_1(wf)
+    else:
+        from quant_gemm_tpu.formats import kquants
+
+        wq = kquants.to_effective(kquants.quantize_q4_k(wf))
+    w = prepare(wq)
+    assert w.m_t is not None and w.qtype == fmt
+    assert mega._supported_w(w, k=DIM)
+    nw = jnp.asarray(rng.normal(1, 0.02, (DIM,)), jnp.float32)
+    x = jnp.asarray(datagen.normal((m, DIM), seed=30 + m), jnp.float32)
+    got = mega.norm_qkv(w, x, nw, EPS)
+    want = _unfused_qkv(w, x, nw)
+    assert got.shape == want.shape == (m, 3 * DIM)
+    _close(got, want, exact=m > 4)
+
+
+def test_q4k_model_decode_mega_on_off():
+    """A q4_k-quantized model's decode must route through norm_qkv and
+    produce identical logits with the megakernel on and off."""
+    from quant_gemm_tpu.models import llama
+
+    cfg = llama.LlamaConfig(vocab=128, dim=DIM, n_layers=1, n_heads=8,
+                            n_kv_heads=8, d_ff=DFF, max_seq=16)
+    params = llama.init_params(cfg, seed=0)
+    qp = llama.quantize_params(params, "q4_k")
+    assert qp["layers"][0]["wqkv"].qtype == "q4_k"
+    assert mega.qkv_supported(qp["layers"][0], cfg, 2) == (
+        mega.ENABLED and mega.ENABLE_QKV)
+    toks = jnp.asarray([[3], [5]], jnp.int32)
+    rope = llama.make_rope_cache(cfg.max_seq, cfg.head_dim, cfg.rope_base)
+
+    def run(on):
+        old = mega.ENABLED
+        mega.ENABLED = on
+        try:
+            cache = llama.KVCache.init(cfg, 2)
+            logits, _ = llama.forward(qp, cfg, toks, cache,
+                                      act_mode="q8_1", rope_cache=rope)
+            return np.asarray(logits)
+        finally:
+            mega.ENABLED = old
+
+    _close(run(True), run(False))
+
+
 def test_norm_qkv_under_jit(weights):
     wqkv, *_rest, nw = weights
     x = jnp.asarray(datagen.normal((8, DIM), seed=3), jnp.float32)
