@@ -209,11 +209,22 @@ def interleaved_medians(
     import statistics
 
     samples: dict[str, list[float]] = {c[0]: [] for c in cases}
+    # cases whose kernel RAISES (e.g. a tile variant that overflows scoped
+    # VMEM at compile) are dropped loudly instead of killing the whole lab
+    # — they are excluded from the returned dict
+    dead: dict[str, str] = {}
 
     def run_round(rep: int) -> None:
         for name, fn, args, by in cases:
-            r = benchmark_kernel(fn, args, name=f"{name} #{rep}",
-                                 bytes_accessed=by)
+            if name in dead:
+                continue
+            try:
+                r = benchmark_kernel(fn, args, name=f"{name} #{rep}",
+                                     bytes_accessed=by)
+            except Exception as e:  # noqa: BLE001 — compile/runtime failure
+                dead[name] = repr(e)
+                print(f"  {name}: case DROPPED — {e!r:.300}", flush=True)
+                continue
             if verbose:
                 print(f"  {r.row()}", flush=True)
             if not r.valid:
@@ -236,13 +247,16 @@ def interleaved_medians(
     for rnd in range(reps):
         run_round(rnd)
     for _ in range(max_extra_rounds):
+        live = [c for c in cases if c[0] not in dead]
+        if not live:
+            break
         need_more = any(
             len(surviving(c[0])) < reps
             or statistics.median(surviving(c[0])) < min_time_s
             and len(surviving(c[0])) < reps + max_extra_rounds
-            for c in cases
+            for c in live
             if surviving(c[0])
-        ) or any(not samples[c[0]] for c in cases)
+        ) or any(not samples[c[0]] for c in live)
         if not need_more:
             break
         rnd += 1
@@ -250,6 +264,8 @@ def interleaved_medians(
 
     out = {}
     for name, *_ in cases:
+        if name in dead:
+            continue
         vals = surviving(name)
         if not vals:
             raise RuntimeError(f"{name}: no valid samples after "

@@ -197,21 +197,37 @@ def build_diag4(qa: jax.Array, span: int = 1) -> jax.Array:
     return diag.reshape(nd * gs * 4, d128)
 
 
+def _stacked_da(sl: jax.Array, rows: int) -> jax.Array:
+    """[gs, rows] per-block activation scales -> stacked [rows*gs, 1]
+    (row j*rows+i = block j, token i) via repeat+mask — Mosaic has no
+    [gs, r] -> [r*gs, 1] shape cast.  Exact (select/sum-with-zeros)."""
+    gs = sl.shape[0]
+    rep = jnp.repeat(sl, rows, axis=0)  # [rows*gs, rows] row j*rows+i = blk j
+    shape = (rows * gs, rows)
+    tok = jax.lax.broadcasted_iota(jnp.int32, shape, 0) % rows
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return jnp.sum(jnp.where(col == tok, rep, 0.0), axis=1, keepdims=True)
+
+
 def _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of=None, span=1, qd=None,
-                       qw2=None, mult2=0):
+                       qw2=None, mult2=0, rows=4):
     """``acc += sum_b d[b, :] * (da[b, :] * sumi_b)`` over a plane's blocks.
 
     The shared post-hoist epilogue of the exact kernels (compensation/min
     terms are handled by the callers' per-tile MXU dots).  ``v_of`` enables
-    the decode M <= 4 fast path: per-block [8, TN] VPU tiles would be half
-    m-padding, so the K128-group diag dots stay STACKED [4*gs, TN]
-    (gs = 4*span blocks x 4 m-rows) and are scaled densely — ~40% fewer
-    VPU row-ops at the headline decode shape.  ``v_of(t)`` must return
-    dispatch t's stacked activation scales [4*gs, 1] (row j*4+i = block j,
-    token i) — built OUTSIDE this helper because Mosaic has no
-    [gs,4]->[4gs,1] shape cast: the unfused kernel repeats+masks rows of
-    its resident da plane, the fused kernel sublane-concats its in-kernel
-    quant columns.  ``qd`` (stack4 only) is a PREDIAGONALIZED lhs slice
+    the decode M <= 8 stacked fast path (``rows`` = the stacked row count,
+    4 for M <= 4, 8 for 4 < M <= 8): per-block [8, TN] VPU tiles would be
+    half m-padding at M <= 4 and one dispatch per block at M <= 8, so the
+    K128-group diag dots stay STACKED [rows*gs, TN] (gs = 4*span blocks x
+    ``rows`` m-rows) and are scaled densely — ~40% fewer VPU row-ops at
+    the headline decode shape, and 8-row-aligned direct folds at M = 8
+    (the serving batch — no deferred cross-m fold needed).  ``v_of(t)``
+    must return dispatch t's stacked activation scales [rows*gs, 1] (row
+    j*rows+i = block j, token i) — built OUTSIDE this helper because
+    Mosaic has no [gs,r]->[r*gs,1] shape cast (see :func:`_stacked_da`):
+    the unfused kernel repeats+masks rows of its resident da plane, the
+    fused kernel sublane-concats its in-kernel quant columns.  ``qd``
+    (rows=4 only) is a PREDIAGONALIZED lhs slice
     [4*tkb, 128*span] built by :func:`build_diag4` — the hot loop is then
     slice + dot with no in-kernel broadcast/iota/select.  The cross-m fold
     it defers (acc rows 4..7 hold the other half of the block partial
@@ -233,7 +249,7 @@ def _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of=None, span=1, qd=None,
                              w[t * 128 * span:(t + 1) * 128 * span, :])
                     for t in range(tkb // gs)
                 ]
-            return _block_dots_diag(qa[:4, :], w, tkb, 4, stacked=True,
+            return _block_dots_diag(qa[:rows, :], w, tkb, rows, stacked=True,
                                     span=span)
         return _block_dots_diag(qa, w, tkb, acc.shape[0], span=span)
 
@@ -243,10 +259,10 @@ def _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of=None, span=1, qd=None,
     if v_of is not None:
         gs = 4 * span
         for t, res in enumerate(dots):
-            dd = jnp.repeat(d[t * gs:(t + 1) * gs, :], 4, axis=0)  # [4gs, TN]
-            s = dd * (v_of(t) * res.astype(jnp.float32))
+            dd = jnp.repeat(d[t * gs:(t + 1) * gs, :], rows, axis=0)
+            s = dd * (v_of(t) * res.astype(jnp.float32))  # [rows*gs, TN]
             tot = s[0:8, :]
-            for h in range(1, gs // 2):
+            for h in range(1, rows * gs // 8):
                 tot = tot + s[h * 8:(h + 1) * 8, :]
             acc += tot
         return acc
@@ -284,7 +300,7 @@ def _expand_bits_int(qh_tile: jax.Array) -> jax.Array:
 
 
 def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
-            has_min: bool, has_qh: bool, stack4: bool = False,
+            has_min: bool, has_qh: bool, stack_rows: int = 0,
             span: int = 1, prediag: bool = False, qh_mode: str = "qh2"):
     """4/5-bit weights.  Ref order:
 
@@ -313,7 +329,8 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
     sa_ref = next(it)
     legacy_qh = has_qh and qh_mode == "i32"
     sq_ref = None if legacy_qh else next(it)  # [nb_p, TM] i32 (full)
-    qd_ref = next(it) if (stack4 and prediag) else None  # [4*nb_p, 128*span]
+    # [4*nb_p, 128*span], stack4 (rows=4) only
+    qd_ref = next(it) if (stack_rows == 4 and prediag) else None
     out_ref = refs[-1]
 
     kt = pl.program_id(1)
@@ -389,24 +406,21 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
         acc = jnp.zeros_like(out_ref)
         v_of = None
         qd = None
-        if stack4:
+        if stack_rows:
             gs = 4 * span
 
-            def v_of(t, koff=koff):  # noqa: E306 — stacked scales [4gs, 1]
-                # row j*4+i = da[block, token i], built from the resident
-                # da plane (a dedicated [4*nb, 1] operand padded to 918 KB
-                # of 128-lane VMEM rows and OOM'd q5_1's operand set)
-                sl = da_ref[pl.ds(koff * tkb + t * gs, gs), 0:4]  # [gs, 4]
-                rep = jnp.repeat(sl, 4, axis=0)  # [4gs, 4] row j*4+i = blk j
-                shape = (4 * gs, 4)
-                tok = jax.lax.broadcasted_iota(jnp.int32, shape, 0) % 4
-                col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-                return jnp.sum(jnp.where(col == tok, rep, 0.0), axis=1,
-                               keepdims=True)
-            if prediag:
+            def v_of(t, koff=koff):  # noqa: E306 — stacked scales
+                # [rows*gs, 1], row j*rows+i = da[block, token i], built
+                # from the resident da plane (a dedicated [rows*nb, 1]
+                # operand padded to 918 KB of 128-lane VMEM rows and
+                # OOM'd q5_1's operand set)
+                sl = da_ref[pl.ds(koff * tkb + t * gs, gs), 0:stack_rows]
+                return _stacked_da(sl, stack_rows)
+            if prediag and stack_rows == 4:
                 qd = qd_ref[pl.ds(koff * tkb * 4, tkb * 4), :]
         acc = _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of,
-                                 span=span, qd=qd, qw2=qw2, mult2=mult2)
+                                 span=span, qd=qd, qw2=qw2, mult2=mult2,
+                                 rows=stack_rows or 4)
         if coeff is not None:
             acc += _f32_dot_bt(coeff, d)
         if has_min:
@@ -416,7 +430,7 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
 
     out_ref[:] += plane(lo, dlo_ref, mlo_ref, qhlo_ref, kt, False)
     out_ref[:] += plane(hi, dhi_ref, mhi_ref, qhhi_ref, kt + nkt, hi_fix)
-    if stack4:
+    if stack_rows == 4:  # rows=8 folds are 8-row-aligned, no deferred fold
         _fold_stack4(out_ref, kt, nkt - 1)
 
 
@@ -576,10 +590,13 @@ def gemm_exact(
         if sq_t is not None:
             operands.append(sq_t)
             in_specs.append(full_spec(sq_t))
-        stack4 = m <= 4
+        # stacked dense-scaling epilogue: 4-row stacks at M <= 4 (decode),
+        # 8-row stacks at 4 < M <= 8 (the serving batch) — see
+        # _scaled_block_sums; unstacked per-block tiles beyond
+        stack_rows = 4 if m <= 4 else (8 if m <= 8 else 0)
         if tkb % (4 * span) or span < 1:
             span = 1  # span must divide the plane tile's block count
-        if stack4 and prediag:
+        if stack_rows == 4 and prediag:
             qd = build_diag4(qa[:4, :], span=span)
             operands.append(qd)
             in_specs.append(full_spec(qd))
@@ -591,9 +608,9 @@ def gemm_exact(
             offset={"q4_0": 8, "q5_0": 16}.get(w.qtype, 0),
             has_min=has_min,
             has_qh=has_qh,
-            stack4=stack4,
+            stack_rows=stack_rows,
             span=span,
-            prediag=prediag and stack4,
+            prediag=prediag and stack_rows == 4,
             qh_mode=qh_mode,
         )
     else:
@@ -624,7 +641,7 @@ def gemm_exact(
 
 
 def _kernel_fused(*refs, tkb: int, tkp: int, nkt: int, offset: int,
-                  has_min: bool, stack4: bool = False, span: int = 1):
+                  has_min: bool, stack_rows: int = 0, span: int = 1):
     """Fused-quantization exact kernel (4-bit, non-q5 — x8 fast path).
 
     Ref order: packed, d_lo, d_hi, [m_lo, m_hi,] ax, out.  ``ax`` is the
@@ -673,13 +690,15 @@ def _kernel_fused(*refs, tkb: int, tkp: int, nkt: int, offset: int,
             t = float(offset * (16 if fixup else 1)) * sa
             coeff = -t if coeff is None else coeff - t
         v_of = None
-        if stack4:
+        if stack_rows:
             gs = 4 * span
 
-            def v_of(t):  # stacked scales [4gs, 1], matching _kernel's da4
+            def v_of(t):  # stacked scales [rows*gs, 1] (_kernel's layout)
                 return jnp.concatenate(
-                    [blocks[t * gs + j][1][:4, :] for j in range(gs)], axis=0)
-        acc = _scaled_block_sums(qa_cat, qw, tkb, d, da, acc, v_of, span=span)
+                    [blocks[t * gs + j][1][:stack_rows, :]
+                     for j in range(gs)], axis=0)
+        acc = _scaled_block_sums(qa_cat, qw, tkb, d, da, acc, v_of,
+                                 span=span, rows=stack_rows or 4)
         if coeff is not None:
             acc += _f32_dot_bt(coeff, d)
         if has_min:
@@ -689,7 +708,7 @@ def _kernel_fused(*refs, tkb: int, tkp: int, nkt: int, offset: int,
 
     out_ref[:] += plane(lo, dlo_ref, mlo_ref, kt, False)
     out_ref[:] += plane(hi, dhi_ref, mhi_ref, kt + nkt, True)
-    if stack4:
+    if stack_rows == 4:
         _fold_stack4(out_ref, kt, nkt - 1)
 
 
@@ -794,7 +813,7 @@ def gemm_exact_fused(
             nkt=nkt,
             offset={"q4_0": 8}.get(w.qtype, 0),
             has_min=has_min,
-            stack4=m <= 4,
+            stack_rows=4 if m <= 4 else (8 if m <= 8 else 0),
             span=span if tkb % (4 * span) == 0 else 1,
         )
     else:

@@ -55,7 +55,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..formats.blocks import QK
-from .gemm_exact import _f32_dot_bt, _quant_block_q8_1, _scaled_block_sums
+from .gemm_exact import (
+    _f32_dot_bt,
+    _quant_block_q8_1,
+    _scaled_block_sums,
+    _stacked_da,
+)
 from .gemm_pallas import PreparedWeight, _interpret_default, scale_f32
 
 # Serving-path switches (bench_serve --mega on/off A/Bs them end-to-end).
@@ -115,7 +120,12 @@ def _plane(qw, d_tile, qa, da, sa, sq, offset: int, fixup: bool,
         t = float(offset * (16 if fixup else 1)) * sa
         coeff = -t if coeff is None else coeff - t
     acc = jnp.zeros((qa.shape[0], qw.shape[1]), jnp.float32)
-    acc = _scaled_block_sums(qa, qw, tkb, d, da, acc, None, span=1)
+
+    def v_of(t):  # stack8 dense scaling — same ops as gemm_exact at M=8
+        return _stacked_da(da[t * 4:(t + 1) * 4, 0:_TM], _TM)
+
+    acc = _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of, span=1,
+                             rows=_TM)
     if coeff is not None:
         acc += _f32_dot_bt(coeff, d)
     if m_tile is not None:

@@ -78,6 +78,25 @@ def test_invalid_slope_reps_skipped(monkeypatch):
     assert med["a"] == pytest.approx(50e-6)
 
 
+def test_raising_case_dropped_not_fatal(monkeypatch):
+    """A case whose kernel raises (e.g. a tile variant overflowing scoped
+    VMEM at compile) is dropped from the results; other cases survive."""
+
+    class Boom(FakeTimer):
+        def __call__(self, fn, args, *, name="", bytes_accessed=0, **kw):
+            if name.startswith("bad"):
+                raise RuntimeError("scoped vmem exceeded")
+            return super().__call__(fn, args, name=name,
+                                    bytes_accessed=bytes_accessed, **kw)
+
+    timer = Boom({"ok": [1e-3] * 8, "bad": []})
+    monkeypatch.setattr(bm, "benchmark_kernel", timer)
+    med = bm.interleaved_medians(
+        [("ok", None, (), 0), ("bad", None, (), 0)], verbose=False)
+    assert med == {"ok": pytest.approx(1e-3)}
+    assert "bad" not in med
+
+
 def test_raises_when_no_valid_samples(monkeypatch):
     with pytest.raises(RuntimeError, match="no valid samples"):
         _run(monkeypatch, {"a": [None] * 20}, [("a", None, (), 0)])
