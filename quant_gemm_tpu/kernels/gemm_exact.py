@@ -496,7 +496,12 @@ def gemm_exact(
     # lm_head keeps tkp512 — 55.5 vs 57.4 K-resident)
     short_k = kdim <= 1024 and np_stored <= 16384
     if tkp is None:
-        tkp = kdim if short_k else 512
+        # vocab-sized N at decode: halve the K grid (r5 lab_serve8 medians,
+        # lm_head 32000x8x2048: tkp1024 56.6 vs tkp512 58.6 us).  q5
+        # formats keep tkp512 — their qh2 plane doubles the tile bytes
+        # and a 1024-row tile pair would brush the scoped-VMEM limit.
+        tkp = kdim if short_k else (
+            1024 if np_stored > 16384 and m <= 8 and w.qh_t is None else 512)
     if tn is None:
         if short_k:
             tn = 1024 if np_stored <= 2048 else 2048
