@@ -301,7 +301,8 @@ def _expand_bits_int(qh_tile: jax.Array) -> jax.Array:
 
 def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
             has_min: bool, has_qh: bool, stack_rows: int = 0,
-            span: int = 1, prediag: bool = False, qh_mode: str = "qh2"):
+            span: int = 1, prediag: bool = False, qh_mode: str = "qh2",
+            submask: bool = False):
     """4/5-bit weights.  Ref order:
 
     packed, d_lo, d_hi, [m_lo, m_hi,] [qh_lo, qh_hi,] qa, da, sa, [sq,]
@@ -352,11 +353,21 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
         # a SEPARATE i8 MXU dot combined exactly at i32 in the epilogue
         # (sumi = nib_dot + 16*h_dot), so the packed plane never widens.
         p = packed_ref[:]
-        lo, hi = p & jnp.int8(0x0F), p & jnp.int8(-16)
+        hi = p & jnp.int8(-16)
+        # submask: skip the second [TKP, TN] VPU mask — the lo plane dots
+        # the UNMASKED packed tile and subtracts the hi-mask dots at int32
+        # (exact: p as int8 == lo + (p & -16), so dot(p) - dot(hi) ==
+        # dot(lo) element-for-element).  Costs one extra stacked dot set
+        # per step; q5 formats keep both masks (their qw2 slot carries the
+        # 5th-bit plane).
+        do_sub = submask and not has_qh
+        lo = p if do_sub else p & jnp.int8(0x0F)
         hi_fix = True
 
     def plane(qw, d_ref, m_ref, qh_ref, koff, fixup):
         qw2, mult2 = None, 0
+        if not legacy_qh and not has_qh and not fixup and submask:
+            qw2, mult2 = hi, -1
         if has_qh and legacy_qh:
             qw = qw + 16 * _expand_bits_int(qh_ref[:])  # codes 0..31
         elif has_qh and qh2_ref is not None:
@@ -466,6 +477,7 @@ def gemm_exact(
     span: int = 1,
     prediag: bool = False,
     qh_mode: str = "qh2",
+    submask: bool = False,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Reference-semantics WxA8 integer GEMM, all five weight formats.
@@ -617,6 +629,7 @@ def gemm_exact(
             span=span,
             prediag=prediag and stack_rows == 4,
             qh_mode=qh_mode,
+            submask=submask,
         )
     else:
         operands = [w.qs_t, w.d_t, qa, da_t, sa_t]

@@ -17,6 +17,9 @@ step (NOT bit-exact — timing only) to attribute the microseconds:
   dotsonly    no masks, convert-only accumulation (MXU + DMA + acc)
   dot1        lo plane only (halves MXU dispatches AND MACs — MXU
               sensitivity)
+  submask     ONE mask (hi) + lo-plane dots as dot(p) - dot(hi) at int32
+              (exact: p int8 == lo + hi-masked) — trades a [512, TN] VPU
+              mask pass for one extra stacked dot set per step
 
 Each variant runs as a real pallas_call over the same grid/BlockSpecs as
 gemm_exact (same DMA stream), so pairwise deltas attribute the VPU/MXU
@@ -72,9 +75,14 @@ def _ablate_kernel(packed_ref, dlo_ref, dhi_ref, qa_ref, da_ref, out_ref,
 
     p = packed_ref[:]
     masked = variant in ("full", "noscale")
-    lo = (p & jnp.int8(0x0F)) if masked else p
-    hi = (p & jnp.int8(-16)) if masked else p
-    scaled = variant in ("full", "nomask")
+    sub = variant == "submask"
+    if sub:
+        hi = p & jnp.int8(-16)
+        lo = p  # lo dots become dot(p) - dot(hi) at int32
+    else:
+        lo = (p & jnp.int8(0x0F)) if masked else p
+        hi = (p & jnp.int8(-16)) if masked else p
+    scaled = variant in ("full", "nomask", "submask")
 
     gs = 4
     acc = jnp.zeros_like(out_ref)
@@ -87,6 +95,8 @@ def _ablate_kernel(packed_ref, dlo_ref, dhi_ref, qa_ref, da_ref, out_ref,
             qa_t = qa_ref[0:4, pl.ds(koff * TKP + t * 128, 128)]
             diag = _diag4(qa_t)
             res = _int_dot(diag, qw[t * 128:(t + 1) * 128, :])  # [16, N]
+            if sub and pi == 0:
+                res = res - _int_dot(diag, hi[t * 128:(t + 1) * 128, :])
             if scaled:  # the shipping dense-scaling epilogue
                 sl = da_ref[pl.ds(koff * tkb + t * gs, gs), 0:4]
                 v = _stacked_da(sl, 4)
@@ -138,7 +148,7 @@ def main():
 
     cases = [("shipping gemm_exact", lambda w_, a_: gemm_exact(w_, a_),
               (wp, aq), by)]
-    for v in ("full", "nomask", "noscale", "dotsonly", "dot1"):
+    for v in ("full", "nomask", "noscale", "dotsonly", "dot1", "submask"):
         cases.append((f"ablate {v}",
                       functools.partial(run_variant, variant=v),
                       (wp, qa, da_t), by))

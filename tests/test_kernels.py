@@ -145,6 +145,22 @@ def test_jax_quantize_matches_numpy():
         )
 
 
+@pytest.mark.parametrize("fmt", ["q4_0", "q4_1"])
+@pytest.mark.parametrize("m", [4, 8])
+def test_submask_bit_identical(fmt, m):
+    """submask=True (lo dots = dot(p) - dot(hi) at int32, one VPU mask
+    saved) must be BIT-identical to the two-mask default — the int32
+    subtraction is exact, so the f32 epilogue sees identical sumi."""
+    a = datagen.normal((m, K), seed=21)
+    w = datagen.normal((N, K), seed=22)
+    a_q = numpy_ref.quantize_q8_1(a)
+    wp = prepare(numpy_ref.QUANTIZE[fmt](w))
+    aqd = jax_quant.device_put(a_q)
+    base = np.asarray(gemm_exact(wp, aqd))
+    sub = np.asarray(gemm_exact(wp, aqd, submask=True))
+    np.testing.assert_array_equal(base, sub)
+
+
 def test_dispatch_decode_routes_to_exact(data):
     """Decode-regime Q8_1 dispatch must hit the exact int kernel: the output
     matches the integer golden bit-for-bit (the dequant rung would not)."""
