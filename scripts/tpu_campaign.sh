@@ -1,5 +1,5 @@
 #!/usr/bin/env bash
-# On-chip measurement campaign — round 4: close the steady-state gap.
+# On-chip measurement campaign — round 5: adjudicate what round 4 built.
 # Run when the TPU tunnel is healthy (a trivial matmul completes in <60s);
 # each stage appends to tpu_campaign.log. Numbers feed docs/PERF_NOTES.md
 # and BENCH; all labs now report MEDIANS of interleaved reps (steady
@@ -24,17 +24,17 @@ import jax, jax.numpy as jnp
 print('tunnel healthy:', jax.devices()[0])" | tee -a "$LOG" || {
   echo "TUNNEL DOWN - aborting campaign" | tee -a "$LOG"; exit 1; }
 
-# 1. decode weight-stream layout A/B (VERDICT r4 item 1: f16 scales +
-#    probe-raising layouts, median-of-5 interleaved)
-run python scripts/lab_layout.py 4 5
+# 1. headline-kernel compute attribution + submask race (VERDICT r4
+#    item 4: where do the ~8 us over the DMA probe go?)
+run python scripts/lab_ablate.py 5
 
 # 2. headline BENCH shape through dispatch (median + best + uniform NMSE)
 run python bench.py
 
 # 3. serving decode step: fused-vs-unfused END-TO-END adjudication
 #    (VERDICT r3 item 2) at short ctx, then the ctx-896 q8 config
-run python scripts/bench_serve.py --steps 64 --fast-init --fused off
-run python scripts/bench_serve.py --steps 64 --fast-init --fused on
+run python scripts/bench_serve.py --steps 64 --fast-init --mega on
+run python scripts/bench_serve.py --steps 64 --fast-init --mega off
 run python scripts/bench_serve.py --steps 64 --kv q8 --ctx 896 --fast-init
 
 # 4. ring cache at long context vs linear windowed (same window) —
@@ -44,18 +44,20 @@ run python scripts/bench_serve.py --steps 64 --seq 4096 --window 1024 --ring --c
 
 # 5. the all-formats llama-shape perf matrix (VERDICT r4 item 3; reference
 #    tests/test_llama_shapes.cu:247-290).  One format per timeout window,
-#    records merged into BENCH_SUITE_r04.json
+#    records merged into BENCH_SUITE_r05.json
 for fmt in q4_0 q8_0 q4_1 q5_0 q5_1 q4_k q5_k; do
   run python scripts/bench_suite.py --format "$fmt" \
-      --out BENCH_SUITE_r04.json --append
+      --out BENCH_SUITE_r05.json --append
 done
 
-# 6. serving-shape GEMM attack: unfused exact across (tn, tkp) incl. small
-#    tkp at short K + standalone quantize cost (VERDICT r3 item 2)
-run python scripts/lab_serveshapes.py
+# 6. serving-shape GEMM races: m=8 tile grid + exact-vs-dequant rungs
+run python scripts/lab_serve8.py 5
+run python scripts/lab_dequant8.py
 
-# 7. decode-step component breakdown (interleaved medians — VERDICT r3 #7)
-run python scripts/profile_decode.py
+# 7. decode-step component breakdown, TWICE back-to-back (VERDICT r4
+#    item 7 done-condition: rows agree within +-10%, no impossible rows)
+run python scripts/profile_decode.py --strict
+run python scripts/profile_decode.py --strict
 
 # 8. per-16 K-quant decode kernel (q6_k lm-head-sized GEMM)
 run python scripts/perf_lab.py 4
