@@ -26,21 +26,27 @@ from quant_gemm_tpu.harness import benchmark as bm  # noqa: E402
 from quant_gemm_tpu.kernels.gemm_exact import gemm_exact  # noqa: E402
 from quant_gemm_tpu.models import llama  # noqa: E402
 
-# per-shape tile variants: (label, tn, tkp); None = shipping default
+# per-shape variants: (label, kwargs for gemm_exact); {} = shipping default.
+# Round-5 second pass: the tkp/tn grid is exhausted (all within 0.4-2 us,
+# see tpu_campaign.log) — this round races the COMPUTE levers at m=8:
+# span (deeper stacked dispatches, untested at rows=8) and submask (one
+# VPU mask saved per step, one extra dot set).
 VARIANTS = {
-    "wqkv": [("default", None, None), ("tn1024", 1024, None),
-             ("tn2048/tkp512", 2048, 512), ("tn1024/tkp512", 1024, 512),
-             ("tn3072", 3072, None)],
-    "wo": [("default", None, None), ("tn512", 512, None),
-           ("tn1024/tkp512", 1024, 512), ("tn2048/tkp512", 2048, 512),
-           ("tn2048/tkp256", 2048, 256)],
-    "wgu": [("default", None, None), ("tn4096", 4096, None),
-            ("tn1024", 1024, None), ("tn4096/tkp512", 4096, 512)],
-    "w_down": [("default", None, None), ("tkp1024", None, 1024),
-               ("tkp2048", None, 2048), ("tkp256", None, 256),
-               ("tn1024/tkp1024", 1024, 1024)],
-    "lm_head": [("default", None, None), ("tkp1024", None, 1024),
-                ("tn2048", 2048, None), ("tn8192", 8192, None)],
+    "wqkv": [("default", {}), ("span2", {"span": 2}),
+             ("span4", {"span": 4}), ("submask", {"submask": True}),
+             ("span2+submask", {"span": 2, "submask": True})],
+    "wo": [("default", {}), ("span2", {"span": 2}),
+           ("submask", {"submask": True}),
+           ("span2+submask", {"span": 2, "submask": True})],
+    "wgu": [("default", {}), ("span2", {"span": 2}),
+            ("submask", {"submask": True}),
+            ("span2+submask", {"span": 2, "submask": True})],
+    "w_down": [("default", {}), ("span2", {"span": 2}),
+               ("submask", {"submask": True}),
+               ("span2+submask", {"span": 2, "submask": True})],
+    "lm_head": [("default", {}), ("span2", {"span": 2}),
+                ("submask", {"submask": True}),
+                ("span2+submask", {"span": 2, "submask": True})],
 }
 
 
@@ -60,11 +66,10 @@ def main():
     cases = []
     for name, w, kk in shapes:
         x = jnp.asarray(rng.normal(0, 1, (b, kk)), jnp.float32)
-        for label, tn, tkp in VARIANTS[name]:
-            def fn(w, x, tn=tn, tkp=tkp):
+        for label, kw in VARIANTS[name]:
+            def fn(w, x, kw=kw):
                 # the serving dispatch path: XLA quantize + exact GEMM
-                return gemm_exact(w, jax_quant.quantize_q8_1(x),
-                                  tn=tn, tkp=tkp)
+                return gemm_exact(w, jax_quant.quantize_q8_1(x), **kw)
             cases.append((f"{name} {label}", fn, (w, x),
                           bm.weight_bytes("q4_0", w.n, w.k)))
 
