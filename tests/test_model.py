@@ -75,6 +75,29 @@ def test_prefill_then_decode_consistency(qparams):
     )
 
 
+def test_batch8_decode_matches_batch_split(qparams):
+    """Batch-8 decode (the serving batch — stack8 GEMM epilogue + the qkv
+    megakernel row tile) vs the same slots decoded in two batches of 4
+    (stack4 path).  The paths differ at f32-accumulation/in-kernel-glue
+    ulp level, which can flip individual Q8_1 codes — so agreement is at
+    quantization-noise scale, and greedy argmax must match exactly (a
+    broken stack8 epilogue would diverge wildly, not by ~1e-2)."""
+    rng = np.random.default_rng(5)
+    toks = jnp.asarray(rng.integers(1, CFG.vocab, (8, 1)), jnp.int32)
+    cache8 = llama.KVCache.init(CFG, 8)
+    out8, _ = FWD(qparams, CFG, toks, cache8, act_mode="q8_1")
+    outs = []
+    for half in (slice(0, 4), slice(4, 8)):
+        cache4 = llama.KVCache.init(CFG, 4)
+        o, _ = FWD(qparams, CFG, toks[half], cache4, act_mode="q8_1")
+        outs.append(np.asarray(o))
+    split = np.concatenate(outs)
+    out8 = np.asarray(out8)
+    nmse = ((out8 - split) ** 2).mean() / (split.var() + 1e-30)
+    assert nmse < 1e-4, nmse
+    np.testing.assert_array_equal(out8.argmax(-1), split.argmax(-1))
+
+
 def test_greedy_decode_jits(qparams):
     prompt = jnp.asarray([[1, 2, 3]], dtype=jnp.int32)
     toks, cache = GREEDY(qparams, CFG, prompt, steps=4)
