@@ -103,12 +103,13 @@ def _quantize_rows(h: jax.Array, nb: int):
 
 
 def _plane(qw, d_tile, qa, da, sa, sq, offset: int, fixup: bool,
-           m_tile=None):
-    """One nibble plane of the exact 4-bit GEMM — mirrors ``_kernel``'s
-    ``plane`` (gemm_exact.py) for the unstacked x8 path, operation for
+           m_tile=None, qw2=None, mult2=0):
+    """One nibble plane of the exact 4/5-bit GEMM — mirrors ``_kernel``'s
+    ``plane`` (gemm_exact.py) for the stacked-8 x8 path, operation for
     operation, so outputs are bit-identical to the unfused kernel.
-    ``m_tile`` is the min plane of q4_1 / K-quant-effective weights (one
-    exact ``s_a @ m`` dot per tile, same hoist as gemm_exact)."""
+    ``m_tile`` is the min plane of q4_1/q5_1 / K-quant-effective weights
+    (one exact ``s_a @ m`` dot per tile, same hoist as gemm_exact);
+    ``qw2``/``mult2`` the q5 5th-bit plane combined at int32."""
     tkb = d_tile.shape[0]
     d = scale_f32(d_tile)
     if fixup:
@@ -125,7 +126,7 @@ def _plane(qw, d_tile, qa, da, sa, sq, offset: int, fixup: bool,
         return _stacked_da(da[t * 4:(t + 1) * 4, 0:_TM], _TM)
 
     acc = _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of, span=1,
-                             rows=_TM)
+                             rows=_TM, qw2=qw2, mult2=mult2)
     if coeff is not None:
         acc += _f32_dot_bt(coeff, d)
     if m_tile is not None:
@@ -135,41 +136,53 @@ def _plane(qw, d_tile, qa, da, sa, sq, offset: int, fixup: bool,
 
 def _gemm_step(packed_tile, dlo_tile, dhi_tile, qa_ref, da_s, sa_s, sq_s,
                koff_lo, tkp: int, tkb: int, nkt: int, offset: int = 8,
-               mlo_tile=None, mhi_tile=None):
+               mlo_tile=None, mhi_tile=None, qh2_tile=None):
     """lo-plane + hi-plane exact GEMM for one weight tile.
 
     ``qa_ref``/scale refs hold the FULL activation (scratch); ``koff_lo``
     is the lo plane's K offset in grid-step units (the hi plane sits
     ``nkt`` further, as in the unfused kernel's ``kt`` / ``kt + nkt``).
-    ``offset`` is the format's code offset (8 for q4_0, 0 for q4_1 /
-    q4_k-effective); ``mlo/mhi_tile`` the optional min planes.
+    ``offset`` is the format's code offset (8 for q4_0, 16 for q5_0, 0
+    for the min-plane formats); ``mlo/mhi_tile`` the optional min planes;
+    ``qh2_tile`` the nibble-packed 5th-bit plane (q5 family — mask-only
+    decode, sumi = nib_dot + 16*h_dot at int32, as gemm_exact qh2 mode).
     Returns (acc_lo, acc_hi) so callers can keep the unfused path's
     ``out += lo; out += hi`` accumulation order bit-exactly.
     """
     lo = packed_tile & jnp.int8(0x0F)
     hi = packed_tile & jnp.int8(-16)
+    h_lo = h_hi = None
+    if qh2_tile is not None:
+        h_lo = qh2_tile & jnp.int8(0x0F)
+        h_hi = qh2_tile & jnp.int8(-16)
     a_lo = _plane(lo, dlo_tile, qa_ref[:, pl.ds(koff_lo * tkp, tkp)],
                   da_s[pl.ds(koff_lo * tkb, tkb)],
                   sa_s[pl.ds(koff_lo * tkb, tkb)],
-                  sq_s[pl.ds(koff_lo * tkb, tkb)], offset, False, mlo_tile)
+                  sq_s[pl.ds(koff_lo * tkb, tkb)], offset, False, mlo_tile,
+                  h_lo, 16 if h_lo is not None else 0)
     koff_hi = koff_lo + nkt
     a_hi = _plane(hi, dhi_tile, qa_ref[:, pl.ds(koff_hi * tkp, tkp)],
                   da_s[pl.ds(koff_hi * tkb, tkb)],
                   sa_s[pl.ds(koff_hi * tkb, tkb)],
-                  sq_s[pl.ds(koff_hi * tkb, tkb)], offset, True, mhi_tile)
+                  sq_s[pl.ds(koff_hi * tkb, tkb)], offset, True, mhi_tile,
+                  h_hi, 16 if h_hi is not None else 0)
     return a_lo, a_hi
 
 
 def _supported_w(w, k: int | None = None, n: int | None = None,
-                 qtypes=("q4_0", "q4_1", "q4_k")) -> bool:
-    """4-bit PreparedWeight with unpadded planes (true K/N == stored).
+                 qtypes=("q4_0", "q4_1", "q4_k", "q5_0", "q5_1",
+                         "q5_k")) -> bool:
+    """4/5-bit PreparedWeight with unpadded planes (true K/N == stored).
 
-    q4_0 plus the min-plane formats (q4_1 and the K-quant effective
-    container a Q4_K_M GGUF actually loads); 5-bit formats (qh planes)
-    stay on the unfused dispatch path."""
+    q4_0, the min-plane formats (q4_1 and the K-quant effective container
+    a Q4_K_M GGUF actually loads), and the q5 family via the nibble-packed
+    qh2 plane (the serving fast path's operand — a q5 weight prepared with
+    build_qh2=False stays on the unfused dispatch)."""
     if not isinstance(w, PreparedWeight) or w.qtype not in qtypes:
         return False
-    if w.packed_t is None or w.qh_t is not None:
+    if w.packed_t is None:
+        return False
+    if w.qh_t is not None and getattr(w, "qh2_t", None) is None:
         return False
     kdim, np_ = w.packed_t.shape
     if 2 * kdim != w.k or np_ != w.n or kdim % 256:
@@ -194,10 +207,11 @@ def _pick_tn(np_: int, cap: int) -> int:
 # --------------------------------------------------------------------------
 
 
-def _qkv_kernel(*refs, tkp, tkb, nb, eps, offset, has_min):
+def _qkv_kernel(*refs, tkp, tkb, nb, eps, offset, has_min, has_qh):
     it = iter(refs)
     packed_ref, dlo_ref, dhi_ref = next(it), next(it), next(it)
     mlo_ref, mhi_ref = (next(it), next(it)) if has_min else (None, None)
+    qh2_ref = next(it) if has_qh else None
     x_ref, nw_ref, out_ref = next(it), next(it), next(it)
     qa_s, da_s, sa_s, sq_s = next(it), next(it), next(it), next(it)
     i = pl.program_id(0)
@@ -214,7 +228,8 @@ def _qkv_kernel(*refs, tkp, tkb, nb, eps, offset, has_min):
     a_lo, a_hi = _gemm_step(packed_ref[:], dlo_ref[:], dhi_ref[:], qa_s,
                             da_s, sa_s, sq_s, 0, tkp, tkb, 1, offset,
                             mlo_ref[:] if has_min else None,
-                            mhi_ref[:] if has_min else None)
+                            mhi_ref[:] if has_min else None,
+                            qh2_ref[:] if has_qh else None)
     out_ref[:] = a_lo
     out_ref[:] += a_hi
 
@@ -239,6 +254,7 @@ def norm_qkv(w: PreparedWeight, x: jax.Array, norm_w: jax.Array, eps: float,
     if m < _TM:
         x = jnp.pad(x, ((0, _TM - m), (0, 0)))
     has_min = w.m_t is not None
+    has_qh = w.qh_t is not None
     vm = pltpu.VMEM
     in_specs = [
         pl.BlockSpec((kdim, tn), lambda i: (0, i), memory_space=vm),
@@ -252,6 +268,11 @@ def norm_qkv(w: PreparedWeight, x: jax.Array, norm_w: jax.Array, eps: float,
             pl.BlockSpec((tkb, tn), lambda i: (1, i), memory_space=vm),
         ]
         operands += [w.m_t, w.m_t]
+    if has_qh:
+        # nibble-packed 5th-bit plane, one tile serves both planes
+        in_specs.append(
+            pl.BlockSpec((kdim, tn), lambda i: (0, i), memory_space=vm))
+        operands.append(w.qh2_t)
     in_specs += [
         pl.BlockSpec((_TM, k), lambda i: (0, 0), memory_space=vm),
         pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=vm),
@@ -260,8 +281,8 @@ def norm_qkv(w: PreparedWeight, x: jax.Array, norm_w: jax.Array, eps: float,
                  norm_w.astype(jnp.float32).reshape(1, k)]
     out = pl.pallas_call(
         functools.partial(_qkv_kernel, tkp=kdim, tkb=tkb, nb=nb, eps=eps,
-                          offset=8 if w.qtype == "q4_0" else 0,
-                          has_min=has_min),
+                          offset={"q4_0": 8, "q5_0": 16}.get(w.qtype, 0),
+                          has_min=has_min, has_qh=has_qh),
         grid=(np_ // tn,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((_TM, tn), lambda i: (0, i),

@@ -124,6 +124,28 @@ def test_norm_qkv_min_plane_formats(fmt, m):
     _close(got, want, exact=m > 4)
 
 
+@pytest.mark.parametrize("fmt", ["q5_0", "q5_1", "q5_k"])
+def test_norm_qkv_q5_family(fmt):
+    """The q5 family rides the megakernel via the nibble-packed qh2 plane
+    (sumi = nib_dot + 16*h_dot at int32, as gemm_exact qh_mode='qh2')."""
+    rng = np.random.default_rng(13)
+    wf = rng.normal(0, 0.05, (3 * DIM, DIM)).astype(np.float32)
+    if fmt == "q5_k":
+        from quant_gemm_tpu.formats import kquants
+
+        wq = kquants.to_effective_q5_k(kquants.quantize_q5_k(wf))
+    else:
+        wq = numpy_ref.QUANTIZE[fmt](wf)
+    w = prepare(wq)
+    assert w.qh2_t is not None and mega._supported_w(w, k=DIM)
+    nw = jnp.asarray(rng.normal(1, 0.02, (DIM,)), jnp.float32)
+    x = jnp.asarray(datagen.normal((8, DIM), seed=40), jnp.float32)
+    got = mega.norm_qkv(w, x, nw, EPS)
+    want = _unfused_qkv(w, x, nw)
+    assert got.shape == want.shape == (8, 3 * DIM)
+    _close(got, want, exact=True)
+
+
 def test_q4k_model_decode_mega_on_off():
     """A q4_k-quantized model's decode must route through norm_qkv and
     produce identical logits with the megakernel on and off."""
@@ -176,11 +198,18 @@ def test_supported_predicates(weights):
     assert not mega.tail_supported(lyr, cfg, 9)
     # non-512-multiple dims fall back
     assert not mega.qkv_supported(lyr, _Cfg(DIM + 32, DFF), 8)
-    # q5/q8 weights (qh/qs planes) fall back
-    w5 = prepare(numpy_ref.quantize_q5_0(
-        np.random.default_rng(1).normal(0, 0.05, (DIM, DIM))
-        .astype(np.float32)))
-    assert not mega._supported_w(w5, k=DIM, n=DIM)
+    # q5 with the qh2 plane is supported; WITHOUT it (build_qh2=False,
+    # e.g. prepare_device) it falls back; q8 (qs plane) falls back
+    rng1 = np.random.default_rng(1)
+    w5f = rng1.normal(0, 0.05, (DIM, DIM)).astype(np.float32)
+    assert mega._supported_w(prepare(numpy_ref.quantize_q5_0(w5f)),
+                             k=DIM, n=DIM)
+    from quant_gemm_tpu.kernels.gemm_pallas import prepare as _prep
+
+    w5nq = _prep(numpy_ref.quantize_q5_0(w5f), build_qh2=False)
+    assert not mega._supported_w(w5nq, k=DIM, n=DIM)
+    w8 = prepare(numpy_ref.quantize_q8_0(w5f))
+    assert not mega._supported_w(w8, k=DIM, n=DIM)
 
 
 def test_model_decode_routes_through_mega(weights, monkeypatch):
