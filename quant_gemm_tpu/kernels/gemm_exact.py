@@ -285,6 +285,30 @@ def _fold_stack4(out_ref, kt, last_kt):
         out_ref[:] = o + jnp.concatenate([o[4:8, :], o[0:4, :]], axis=0)
 
 
+def _merged_epilogue(pieces):
+    """Contract ALL hoisted block-linear epilogue terms of a grid step in
+    ONE exact f32 dot; returns the [TM, TN] result (None if no pieces).
+
+    Each piece is ``(lhs [tkb, TM], rhs [tkb, TN])`` — a compensation term
+    (``coeff @ d``) or a min term (``s_a @ m``) of one nibble plane.  The
+    round-5 ablation (scripts/lab_ablate.py, tpu_campaign.log) attributed
+    ~4 µs/kernel of the headline decode's kernel-over-probe residual to
+    these dots: f32 HIGHEST runs as a 6-pass bf16 decomposition on the
+    MXU, so per-DOT cost dominates per-MAC cost at tkb-deep contractions
+    — stacking the pieces row-wise halves (q4_0) or thirds (q4_1/q5_1)
+    the 6-pass dispatches for the price of two VMEM concats.  Exact: f32
+    dot accumulation order changes, which the goldens tolerate (<1e-12
+    NMSE) and the fused/megalayer twins mirror operation-for-operation.
+    """
+    if not pieces:
+        return None
+    if len(pieces) == 1:
+        return _f32_dot_bt(*pieces[0])
+    lhs = jnp.concatenate([l for l, _ in pieces], axis=0)
+    rhs = jnp.concatenate([r for _, r in pieces], axis=0)
+    return _f32_dot_bt(lhs, rhs)
+
+
 def _expand_bits_int(qh_tile: jax.Array) -> jax.Array:
     """Planar 5th bits uint8[TKP/8, TN] -> int32[TKP, TN] (0/1 per row).
 
@@ -432,15 +456,23 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
         acc = _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of,
                                  span=span, qd=qd, qw2=qw2, mult2=mult2,
                                  rows=stack_rows or 4)
+        # hoisted block-linear terms (compensation + min) are returned as
+        # (lhs [tkb, TM], rhs [tkb, TN]) pieces and contracted in ONE
+        # merged f32 dot per grid step below — see _merged_epilogue_dot
+        pieces = []
         if coeff is not None:
-            acc += _f32_dot_bt(coeff, d)
+            pieces.append((coeff, d))
         if has_min:
-            # min term is linear across blocks: one exact f32 dot per tile
-            acc += _f32_dot_bt(sa, scale_f32(m_ref[:]))
-        return acc
+            pieces.append((sa, scale_f32(m_ref[:])))
+        return acc, pieces
 
-    out_ref[:] += plane(lo, dlo_ref, mlo_ref, qhlo_ref, kt, False)
-    out_ref[:] += plane(hi, dhi_ref, mhi_ref, qhhi_ref, kt + nkt, hi_fix)
+    a_lo, p_lo = plane(lo, dlo_ref, mlo_ref, qhlo_ref, kt, False)
+    a_hi, p_hi = plane(hi, dhi_ref, mhi_ref, qhhi_ref, kt + nkt, hi_fix)
+    out_ref[:] += a_lo
+    out_ref[:] += a_hi
+    merged = _merged_epilogue(p_lo + p_hi)
+    if merged is not None:
+        out_ref[:] += merged
     if stack_rows == 4:  # rows=8 folds are 8-row-aligned, no deferred fold
         _fold_stack4(out_ref, kt, nkt - 1)
 
@@ -717,15 +749,20 @@ def _kernel_fused(*refs, tkb: int, tkp: int, nkt: int, offset: int,
                      for j in range(gs)], axis=0)
         acc = _scaled_block_sums(qa_cat, qw, tkb, d, da, acc, v_of,
                                  span=span, rows=stack_rows or 4)
+        pieces = []
         if coeff is not None:
-            acc += _f32_dot_bt(coeff, d)
+            pieces.append((coeff, d))
         if has_min:
-            # min term is linear across blocks: one exact f32 dot per tile
-            acc += _f32_dot_bt(sa, scale_f32(m_ref[:]))
-        return acc
+            pieces.append((sa, scale_f32(m_ref[:])))
+        return acc, pieces
 
-    out_ref[:] += plane(lo, dlo_ref, mlo_ref, kt, False)
-    out_ref[:] += plane(hi, dhi_ref, mhi_ref, kt + nkt, True)
+    a_lo, p_lo = plane(lo, dlo_ref, mlo_ref, kt, False)
+    a_hi, p_hi = plane(hi, dhi_ref, mhi_ref, kt + nkt, True)
+    out_ref[:] += a_lo
+    out_ref[:] += a_hi
+    merged = _merged_epilogue(p_lo + p_hi)
+    if merged is not None:
+        out_ref[:] += merged
     if stack_rows == 4:
         _fold_stack4(out_ref, kt, nkt - 1)
 

@@ -57,6 +57,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..formats.blocks import QK
 from .gemm_exact import (
     _f32_dot_bt,
+    _merged_epilogue,
     _quant_block_q8_1,
     _scaled_block_sums,
     _stacked_da,
@@ -127,11 +128,14 @@ def _plane(qw, d_tile, qa, da, sa, sq, offset: int, fixup: bool,
 
     acc = _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of, span=1,
                              rows=_TM, qw2=qw2, mult2=mult2)
+    # hoisted terms returned as pieces; the caller contracts BOTH planes'
+    # in one merged f32 dot (_merged_epilogue — same op order as _kernel)
+    pieces = []
     if coeff is not None:
-        acc += _f32_dot_bt(coeff, d)
+        pieces.append((coeff, d))
     if m_tile is not None:
-        acc += _f32_dot_bt(sa, scale_f32(m_tile))
-    return acc
+        pieces.append((sa, scale_f32(m_tile)))
+    return acc, pieces
 
 
 def _gemm_step(packed_tile, dlo_tile, dhi_tile, qa_ref, da_s, sa_s, sq_s,
@@ -146,8 +150,9 @@ def _gemm_step(packed_tile, dlo_tile, dhi_tile, qa_ref, da_s, sa_s, sq_s,
     for the min-plane formats); ``mlo/mhi_tile`` the optional min planes;
     ``qh2_tile`` the nibble-packed 5th-bit plane (q5 family — mask-only
     decode, sumi = nib_dot + 16*h_dot at int32, as gemm_exact qh2 mode).
-    Returns (acc_lo, acc_hi) so callers can keep the unfused path's
-    ``out += lo; out += hi`` accumulation order bit-exactly.
+    Returns (acc_lo, acc_hi, merged) — merged is the one contracted
+    hoisted-terms dot (or None) — so callers can keep the unfused path's
+    ``out += lo; out += hi; out += merged`` accumulation order bit-exactly.
     """
     lo = packed_tile & jnp.int8(0x0F)
     hi = packed_tile & jnp.int8(-16)
@@ -155,18 +160,18 @@ def _gemm_step(packed_tile, dlo_tile, dhi_tile, qa_ref, da_s, sa_s, sq_s,
     if qh2_tile is not None:
         h_lo = qh2_tile & jnp.int8(0x0F)
         h_hi = qh2_tile & jnp.int8(-16)
-    a_lo = _plane(lo, dlo_tile, qa_ref[:, pl.ds(koff_lo * tkp, tkp)],
-                  da_s[pl.ds(koff_lo * tkb, tkb)],
-                  sa_s[pl.ds(koff_lo * tkb, tkb)],
-                  sq_s[pl.ds(koff_lo * tkb, tkb)], offset, False, mlo_tile,
-                  h_lo, 16 if h_lo is not None else 0)
+    a_lo, p_lo = _plane(lo, dlo_tile, qa_ref[:, pl.ds(koff_lo * tkp, tkp)],
+                        da_s[pl.ds(koff_lo * tkb, tkb)],
+                        sa_s[pl.ds(koff_lo * tkb, tkb)],
+                        sq_s[pl.ds(koff_lo * tkb, tkb)], offset, False,
+                        mlo_tile, h_lo, 16 if h_lo is not None else 0)
     koff_hi = koff_lo + nkt
-    a_hi = _plane(hi, dhi_tile, qa_ref[:, pl.ds(koff_hi * tkp, tkp)],
-                  da_s[pl.ds(koff_hi * tkb, tkb)],
-                  sa_s[pl.ds(koff_hi * tkb, tkb)],
-                  sq_s[pl.ds(koff_hi * tkb, tkb)], offset, True, mhi_tile,
-                  h_hi, 16 if h_hi is not None else 0)
-    return a_lo, a_hi
+    a_hi, p_hi = _plane(hi, dhi_tile, qa_ref[:, pl.ds(koff_hi * tkp, tkp)],
+                        da_s[pl.ds(koff_hi * tkb, tkb)],
+                        sa_s[pl.ds(koff_hi * tkb, tkb)],
+                        sq_s[pl.ds(koff_hi * tkb, tkb)], offset, True,
+                        mhi_tile, h_hi, 16 if h_hi is not None else 0)
+    return a_lo, a_hi, _merged_epilogue(p_lo + p_hi)
 
 
 def _supported_w(w, k: int | None = None, n: int | None = None,
@@ -225,13 +230,16 @@ def _qkv_kernel(*refs, tkp, tkb, nb, eps, offset, has_min, has_qh):
         sa_s[:] = sa
         sq_s[:] = sq
 
-    a_lo, a_hi = _gemm_step(packed_ref[:], dlo_ref[:], dhi_ref[:], qa_s,
-                            da_s, sa_s, sq_s, 0, tkp, tkb, 1, offset,
-                            mlo_ref[:] if has_min else None,
-                            mhi_ref[:] if has_min else None,
-                            qh2_ref[:] if has_qh else None)
+    a_lo, a_hi, merged = _gemm_step(
+        packed_ref[:], dlo_ref[:], dhi_ref[:], qa_s,
+        da_s, sa_s, sq_s, 0, tkp, tkb, 1, offset,
+        mlo_ref[:] if has_min else None,
+        mhi_ref[:] if has_min else None,
+        qh2_ref[:] if has_qh else None)
     out_ref[:] = a_lo
     out_ref[:] += a_hi
+    if merged is not None:
+        out_ref[:] += merged
 
 
 def norm_qkv(w: PreparedWeight, x: jax.Array, norm_w: jax.Array, eps: float,
@@ -333,9 +341,13 @@ def _tail_kernel(wo_p_ref, wo_dlo_ref, wo_dhi_ref,
 
     @pl.when(i < s0)
     def _wo():
-        a_lo, a_hi = _gemm_step(wo_p_ref[:], wo_dlo_ref[:], wo_dhi_ref[:],
-                                qa_a, da_a, sa_a, sq_a, 0, tkp_wo, tkb_wo, 1)
-        o_scr[:, pl.ds(i * tn_wo, tn_wo)] = a_lo + a_hi
+        a_lo, a_hi, merged = _gemm_step(
+            wo_p_ref[:], wo_dlo_ref[:], wo_dhi_ref[:],
+            qa_a, da_a, sa_a, sq_a, 0, tkp_wo, tkb_wo, 1)
+        val = a_lo + a_hi
+        if merged is not None:
+            val = val + merged
+        o_scr[:, pl.ds(i * tn_wo, tn_wo)] = val
 
     @pl.when(i == s0 - 1)
     def _prep_mlp():
@@ -352,9 +364,12 @@ def _tail_kernel(wo_p_ref, wo_dlo_ref, wo_dhi_ref,
     @pl.when((i >= s0) & (i < s1))
     def _wgu():
         j = i - s0
-        a_lo, a_hi = _gemm_step(gu_p_ref[:], gu_dlo_ref[:], gu_dhi_ref[:],
-                                qa_h, da_h, sa_h, sq_h, 0, tkp_gu, tkb_gu, 1)
+        a_lo, a_hi, merged = _gemm_step(
+            gu_p_ref[:], gu_dlo_ref[:], gu_dhi_ref[:],
+            qa_h, da_h, sa_h, sq_h, 0, tkp_gu, tkb_gu, 1)
         acc = a_lo + a_hi
+        if merged is not None:
+            acc = acc + merged
 
         @pl.when(j % 2 == 0)
         def _gate():
@@ -380,11 +395,13 @@ def _tail_kernel(wo_p_ref, wo_dlo_ref, wo_dhi_ref,
         def _init():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        a_lo, a_hi = _gemm_step(wd_p_ref[:], wd_dlo_ref[:], wd_dhi_ref[:],
-                                qa_f, da_f, sa_f, sq_f, kt, tkp_wd, tkb_wd,
-                                nkt_wd)
+        a_lo, a_hi, merged = _gemm_step(
+            wd_p_ref[:], wd_dlo_ref[:], wd_dhi_ref[:],
+            qa_f, da_f, sa_f, sq_f, kt, tkp_wd, tkb_wd, nkt_wd)
         out_ref[:] += a_lo
         out_ref[:] += a_hi
+        if merged is not None:
+            out_ref[:] += merged
 
         @pl.when(kt == nkt_wd - 1)
         def _residual():
