@@ -509,7 +509,7 @@ def gemm_exact(
     span: int = 1,
     prediag: bool = False,
     qh_mode: str = "qh2",
-    submask: bool = False,
+    submask: bool | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Reference-semantics WxA8 integer GEMM, all five weight formats.
@@ -526,6 +526,12 @@ def gemm_exact(
     if interpret is None:
         interpret = _interpret_default()
     assert qh_mode in ("qh2", "hdot", "i32"), f"bad qh_mode {qh_mode!r}"
+    if submask is None:
+        # A/B knob for the on-chip race (bit-identical either way; the
+        # lo-plane mask is traded for one extra stacked dot set)
+        import os
+
+        submask = os.environ.get("QGT_SUBMASK", "0") == "1"
     m, k = a_q.qs.shape
     assert k == w.k
     is4 = w.packed_t is not None

@@ -17,10 +17,11 @@ in-kernel between stages while the next stage's weights stream in.
 Two kernels cover a llama layer at decode (M = batch <= 8, T = 1):
 
 * :func:`norm_qkv` — attn RMSNorm + Q8_1 quantize + the fused-QKV
-  projection (stage grid: N tiles of wqkv); covers q4_0 and the
-  min-plane formats (q4_1 + the K-quant effective container a Q4_K_M
-  GGUF loads — the min term rides the same per-tile ``s_a @ m`` hoist
-  as gemm_exact);
+  projection (stage grid: N tiles of wqkv); covers every 4/5-bit
+  serving format: q4_0, the min-plane formats (q4_1 + the K-quant
+  effective containers Q4_K_M/Q5_K_M GGUFs load — the min term rides
+  the same merged epilogue dot as gemm_exact), and the q5 family via
+  the nibble-packed qh2 plane;
 * :func:`attn_tail` — everything after attention: wo projection +
   residual + mlp RMSNorm + quantize + gate/up projection + SiLU*mul +
   re-quantize + down projection + residual, in one call (stage grid:
