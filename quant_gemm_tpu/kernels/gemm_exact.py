@@ -326,11 +326,11 @@ def _expand_bits_int(qh_tile: jax.Array) -> jax.Array:
 def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
             has_min: bool, has_qh: bool, stack_rows: int = 0,
             span: int = 1, prediag: bool = False, qh_mode: str = "qh2",
-            submask: bool = False):
+            submask: bool = False, bundled: bool = False):
     """4/5-bit weights.  Ref order:
 
     packed, d_lo, d_hi, [m_lo, m_hi,] [qh_lo, qh_hi,] qa, da, sa, [sq,]
-    [qd,] out
+    [qd,] out            (bundled: ... qa, scl, [qd,] out)
 
     Weight planes arrive as per-grid-step tiles; the small activation-side
     operands (qa int8 codes, d_a/s_a per-block vectors, sq int32 per-block
@@ -339,6 +339,14 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
     pipeline instead of 6 tiny DMAs per grid step (the tiny fetches cost
     ~2x the whole-kernel DMA floor on vocab-sized N).  The kernel slices
     them at the K offset of the current grid step.
+
+    ``bundled`` (decode M <= 4): the three per-block vectors arrive as ONE
+    plane-major f32 array ``scl`` [3 * nb_p, 8] (rows 0:nb_p = d_a, nb_p:
+    2nb_p = s_a, 2nb_p: = sumq as exact f32) built by a single XLA fusion
+    — the round-5 glue adjudication (scripts/lab_ablate.py) attributed
+    several us/call of the dispatch path to the separate pad/transpose/
+    reduce ops feeding the kernel, and sublane row slices of one resident
+    operand replace three 128-lane-padded operands at the same total VMEM.
     """
     it = iter(refs)
     packed_ref = next(it)
@@ -349,11 +357,17 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
         qh2_ref = next(it)  # nibble-packed h plane, one tile serves both
     elif has_qh:
         qhlo_ref, qhhi_ref = next(it), next(it)
-    qa_ref = next(it)  # [TM, 2*kdim] int8 (full)
-    da_ref = next(it)  # [nb_p, TM] f32 (full)
-    sa_ref = next(it)
+    qa_ref = next(it)  # [TM or 4, 2*kdim] int8 (full)
     legacy_qh = has_qh and qh_mode == "i32"
-    sq_ref = None if legacy_qh else next(it)  # [nb_p, TM] i32 (full)
+    if bundled:
+        scl_ref = next(it)  # [3 * nb_p, 8] f32 (full): d_a / s_a / sumq
+        nb_p = scl_ref.shape[0] // 3
+        da_ref = sa_ref = sq_ref = None
+    else:
+        scl_ref = None
+        da_ref = next(it)  # [nb_p, TM] f32 (full)
+        sa_ref = next(it)
+        sq_ref = None if legacy_qh else next(it)  # [nb_p, TM] i32 (full)
     # [4*nb_p, 128*span], stack4 (rows=4) only
     qd_ref = next(it) if (stack_rows == 4 and prediag) else None
     out_ref = refs[-1]
@@ -408,9 +422,13 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
             # at i32 (|h_dot| <= 32*127 per block)
             qw2 = _expand_bits_int(qh_ref[:]).astype(jnp.int8)
             mult2 = 256 if fixup else 16
-        qa = qa_ref[:, pl.ds(koff * tkp, tkp)]  # [TM, tkp]
-        da = da_ref[pl.ds(koff * tkb, tkb), :]  # [tkb, TM]
-        sa = sa_ref[pl.ds(koff * tkb, tkb), :]
+        qa = qa_ref[:, pl.ds(koff * tkp, tkp)]  # [TM or 4, tkp]
+        if bundled:
+            da = scl_ref[pl.ds(koff * tkb, tkb), :]  # [tkb, 8]
+            sa = scl_ref[pl.ds(nb_p + koff * tkb, tkb), :]
+        else:
+            da = da_ref[pl.ds(koff * tkb, tkb), :]  # [tkb, TM]
+            sa = sa_ref[pl.ds(koff * tkb, tkb), :]
         d = scale_f32(d_ref[:])  # [tkb, tn]
         if fixup:
             # "noshift": keep the x8 hi-plane dot at 16x and rescale the
@@ -431,9 +449,10 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
         # decode shapes (round-4 layout lab: the pure DMA probe streams the
         # same bytes in 43.5 us vs the kernel's 49.4 us median).
         coeff = None
-        if fixup and sq_ref is not None:
+        if fixup and (bundled or sq_ref is not None):
             # 128 * da * sumq_a: exact — |sumq_a| <= 32*127 fits f32
-            sq = sq_ref[pl.ds(koff * tkb, tkb), :]
+            sq = (scl_ref[pl.ds(2 * nb_p + koff * tkb, tkb), :] if bundled
+                  else sq_ref[pl.ds(koff * tkb, tkb), :])
             coeff = 128.0 * (da * sq.astype(jnp.float32))
         if offset:
             t = float(offset * (16 if fixup else 1)) * sa
@@ -449,7 +468,8 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
                 # from the resident da plane (a dedicated [rows*nb, 1]
                 # operand padded to 918 KB of 128-lane VMEM rows and
                 # OOM'd q5_1's operand set)
-                sl = da_ref[pl.ds(koff * tkb + t * gs, gs), 0:stack_rows]
+                src = scl_ref if bundled else da_ref
+                sl = src[pl.ds(koff * tkb + t * gs, gs), 0:stack_rows]
                 return _stacked_da(sl, stack_rows)
             if prediag and stack_rows == 4:
                 qd = qd_ref[pl.ds(koff * tkb * 4, tkb * 4), :]
@@ -510,6 +530,7 @@ def gemm_exact(
     prediag: bool = False,
     qh_mode: str = "qh2",
     submask: bool | None = None,
+    bundle: bool | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Reference-semantics WxA8 integer GEMM, all five weight formats.
@@ -526,12 +547,16 @@ def gemm_exact(
     if interpret is None:
         interpret = _interpret_default()
     assert qh_mode in ("qh2", "hdot", "i32"), f"bad qh_mode {qh_mode!r}"
-    if submask is None:
-        # A/B knob for the on-chip race (bit-identical either way; the
-        # lo-plane mask is traded for one extra stacked dot set)
+    if submask is None or bundle is None:
+        # A/B knobs for the on-chip races (bit-identical either way;
+        # submask trades the lo-plane mask for one extra stacked dot set,
+        # bundle trades 4-6 prep ops for one fused scales operand)
         import os
 
-        submask = os.environ.get("QGT_SUBMASK", "0") == "1"
+        if submask is None:
+            submask = os.environ.get("QGT_SUBMASK", "0") == "1"
+        if bundle is None:
+            bundle = os.environ.get("QGT_BUNDLE", "0") == "1"
     m, k = a_q.qs.shape
     assert k == w.k
     is4 = w.packed_t is not None
@@ -583,27 +608,53 @@ def gemm_exact(
     while np_ % tn:
         tn -= 128
 
-    def padm(x):
+    def padm(x, rows=tm):
         import jax.numpy as _jnp
 
         x = _jnp.asarray(x)
-        pr = tm - x.shape[0]
+        pr = rows - x.shape[0]
         return _jnp.pad(x, ((0, pr), (0, 0))) if pr else x
 
-    qa = pad_activation_k(padm(a_q.qs), k, kdim, is4)
-    da_t = pad_scales_k(padm(a_q.d).astype(jnp.float32), k, kdim, is4).T
-    sa_t = pad_scales_k(padm(a_q.s).astype(jnp.float32), k, kdim, is4).T
     has_qh = w.qh_t is not None
     if qh_mode == "qh2" and getattr(w, "qh2_t", None) is None:
         qh_mode = "hdot"  # qh2 plane not prepared (e.g. prepare_device)
     legacy_qh = has_qh and qh_mode == "i32"
-    if is4 and not legacy_qh:
-        # per-block int32 activation code sums for the x8 hi-plane fixup
-        # (fused by XLA into the quantization pass under jit; tiny: [nb, M])
+    bundled = is4 and not legacy_qh and m <= 4 and bundle
+    scl = None
+    if bundled:
+        # decode M <= 4 bundled prep: qa stays m-native (no row pad at
+        # m == 4) and ONE [3 * nb_p, 8] f32 operand carries d_a / s_a /
+        # sumq plane-major — a single XLA fusion instead of 4-6 separate
+        # pad/transpose/reduce ops per dispatch (round-5 glue
+        # adjudication, scripts/lab_ablate.py / lab_glue)
+        qa = pad_activation_k(padm(a_q.qs, 4), k, kdim, is4)
         sumq = jnp.asarray(a_q.qs, jnp.int32).reshape(m, k // QK, QK).sum(-1)
-        sq_t = pad_scales_k(padm(sumq), k, kdim, is4).T
+        trio = jnp.concatenate([
+            jnp.asarray(a_q.d, jnp.float32),
+            jnp.asarray(a_q.s, jnp.float32),
+            sumq.astype(jnp.float32),  # exact: |sumq| <= 32*127
+        ], axis=0)                                     # [3m, nb]
+        trio = pad_scales_k(trio, k, kdim, is4)        # [3m, nb_p]
+        nb_p = trio.shape[1]
+        scl = jnp.pad(
+            trio.reshape(3, m, nb_p).transpose(0, 2, 1),
+            ((0, 0), (0, 0), (0, 8 - m)),
+        ).reshape(3 * nb_p, 8)
+        da_t = sa_t = sq_t = None
     else:
-        sq_t = None
+        qa = pad_activation_k(padm(a_q.qs), k, kdim, is4)
+        da_t = pad_scales_k(
+            padm(a_q.d).astype(jnp.float32), k, kdim, is4).T
+        sa_t = pad_scales_k(
+            padm(a_q.s).astype(jnp.float32), k, kdim, is4).T
+        if is4 and not legacy_qh:
+            # per-block int32 activation code sums for the x8 hi-plane
+            # fixup (fused by XLA into the quantization pass under jit)
+            sumq = jnp.asarray(a_q.qs, jnp.int32).reshape(
+                m, k // QK, QK).sum(-1)
+            sq_t = pad_scales_k(padm(sumq), k, kdim, is4).T
+        else:
+            sq_t = None
 
     grid = (np_ // tn, nkt)
 
@@ -640,11 +691,15 @@ def gemm_exact(
                 wspec((tkp // 8, tn)),
                 wspec((tkp // 8, tn), off=nkt),
             ]
-        operands += [qa, da_t, sa_t]
-        in_specs += [full_spec(qa), full_spec(da_t), full_spec(sa_t)]
-        if sq_t is not None:
-            operands.append(sq_t)
-            in_specs.append(full_spec(sq_t))
+        if bundled:
+            operands += [qa, scl]
+            in_specs += [full_spec(qa), full_spec(scl)]
+        else:
+            operands += [qa, da_t, sa_t]
+            in_specs += [full_spec(qa), full_spec(da_t), full_spec(sa_t)]
+            if sq_t is not None:
+                operands.append(sq_t)
+                in_specs.append(full_spec(sq_t))
         # stacked dense-scaling epilogue: 4-row stacks at M <= 4 (decode),
         # 8-row stacks at 4 < M <= 8 (the serving batch) — see
         # _scaled_block_sums; unstacked per-block tiles beyond
@@ -668,6 +723,7 @@ def gemm_exact(
             prediag=prediag and stack_rows == 4,
             qh_mode=qh_mode,
             submask=submask,
+            bundled=bundled,
         )
     else:
         operands = [w.qs_t, w.d_t, qa, da_t, sa_t]

@@ -161,6 +161,25 @@ def test_submask_bit_identical(fmt, m):
     np.testing.assert_array_equal(base, sub)
 
 
+@pytest.mark.parametrize("fmt", ["q4_0", "q4_1", "q5_0", "q5_1"])
+@pytest.mark.parametrize("m", [1, 3, 4])
+def test_bundle_bit_identical(fmt, m):
+    """bundle=True (decode M <= 4: m-native qa + ONE fused [3*nb, 8] f32
+    scales operand replacing the separate da/sa/sq pads + transposes) must
+    be BIT-identical to the unbundled dispatch — same kernel math, only
+    the operand layout and XLA prep-op count change."""
+    a = datagen.normal((m, K), seed=23)
+    w = datagen.normal((N, K), seed=24)
+    a_q = numpy_ref.quantize_q8_1(a)
+    wp = prepare(numpy_ref.QUANTIZE[fmt](w))
+    aqd = jax_quant.device_put(a_q)
+    base = np.asarray(gemm_exact(wp, aqd, bundle=False))
+    bun = np.asarray(gemm_exact(wp, aqd, bundle=True))
+    np.testing.assert_array_equal(base, bun)
+    sub = np.asarray(gemm_exact(wp, aqd, bundle=True, submask=True))
+    np.testing.assert_array_equal(base, sub)
+
+
 def test_dispatch_decode_routes_to_exact(data):
     """Decode-regime Q8_1 dispatch must hit the exact int kernel: the output
     matches the integer golden bit-for-bit (the dequant rung would not)."""
