@@ -619,15 +619,16 @@ def gemm_exact(
     if qh_mode == "qh2" and getattr(w, "qh2_t", None) is None:
         qh_mode = "hdot"  # qh2 plane not prepared (e.g. prepare_device)
     legacy_qh = has_qh and qh_mode == "i32"
-    bundled = is4 and not legacy_qh and m <= 4 and bundle
+    bundled = is4 and not legacy_qh and m <= 8 and bundle
     scl = None
     if bundled:
-        # decode M <= 4 bundled prep: qa stays m-native (no row pad at
-        # m == 4) and ONE [3 * nb_p, 8] f32 operand carries d_a / s_a /
-        # sumq plane-major — a single XLA fusion instead of 4-6 separate
-        # pad/transpose/reduce ops per dispatch (round-5 glue
-        # adjudication, scripts/lab_ablate.py / lab_glue)
-        qa = pad_activation_k(padm(a_q.qs, 4), k, kdim, is4)
+        # decode/serving M <= 8 bundled prep: qa stays m-native (no row
+        # pad at m == 4 / m == 8) and ONE [3 * nb_p, 8] f32 operand
+        # carries d_a / s_a / sumq plane-major — a single XLA fusion
+        # instead of 4-6 separate pad/transpose/reduce ops per dispatch
+        # (round-5 glue adjudication, scripts/lab_ablate.py)
+        qa = pad_activation_k(padm(a_q.qs, 4 if m <= 4 else 8),
+                              k, kdim, is4)
         sumq = jnp.asarray(a_q.qs, jnp.int32).reshape(m, k // QK, QK).sum(-1)
         trio = jnp.concatenate([
             jnp.asarray(a_q.d, jnp.float32),

@@ -48,6 +48,8 @@ stage python scripts/bench_serve.py --steps 64 --fast-init --mega on
 stage python scripts/bench_serve.py --steps 64 --fast-init --mega off
 # clean ctx-896 q8 config (12:16 run overlapped pytest tail)
 stage python scripts/bench_serve.py --steps 64 --kv q8 --ctx 896 --fast-init
+# bundled activation prep end-to-end (per-GEMM glue x 4 dispatches/layer)
+stage env QGT_BUNDLE=1 python scripts/bench_serve.py --steps 64 --fast-init --mega on
 # dequant-rung race at the serving batch (dropped from the resilient list)
 stage python scripts/lab_dequant8.py
 echo "addendum complete $(date -u +%H:%M:%S)" | tee -a "$LOG"

@@ -162,12 +162,12 @@ def test_submask_bit_identical(fmt, m):
 
 
 @pytest.mark.parametrize("fmt", ["q4_0", "q4_1", "q5_0", "q5_1"])
-@pytest.mark.parametrize("m", [1, 3, 4])
+@pytest.mark.parametrize("m", [1, 3, 4, 5, 8])
 def test_bundle_bit_identical(fmt, m):
-    """bundle=True (decode M <= 4: m-native qa + ONE fused [3*nb, 8] f32
-    scales operand replacing the separate da/sa/sq pads + transposes) must
-    be BIT-identical to the unbundled dispatch — same kernel math, only
-    the operand layout and XLA prep-op count change."""
+    """bundle=True (decode/serving M <= 8: m-native qa + ONE fused
+    [3*nb, 8] f32 scales operand replacing the separate da/sa/sq pads +
+    transposes) must be BIT-identical to the unbundled dispatch — same
+    kernel math, only the operand layout and XLA prep-op count change."""
     a = datagen.normal((m, K), seed=23)
     w = datagen.normal((N, K), seed=24)
     a_q = numpy_ref.quantize_q8_1(a)
