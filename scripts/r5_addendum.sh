@@ -36,6 +36,7 @@ stage() {
 # q4_1 matrix re-record: its 12:28-12:48 stage overlapped host CPU work
 # (medians 2-3x best across the block = host-stall pollution)
 stage python scripts/bench_suite.py --format q4_1 --out BENCH_SUITE_r05.json --append
+stage python scripts/bench_suite.py --format q4_k --out BENCH_SUITE_r05.json --append
 # headline knob A/B: submask (ablate said -0.5 us) and bundle (fused
 # activation-prep operand — the glue the ablation put at ~3-4 us/call)
 stage python bench.py
