@@ -210,7 +210,7 @@ def _stacked_da(sl: jax.Array, rows: int) -> jax.Array:
 
 
 def _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of=None, span=1, qd=None,
-                       qw2=None, mult2=0, rows=4):
+                       qw2=None, mult2=0, rows=4, c_of=None):
     """``acc += sum_b d[b, :] * (da[b, :] * sumi_b)`` over a plane's blocks.
 
     The shared post-hoist epilogue of the exact kernels (compensation/min
@@ -239,6 +239,14 @@ def _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of=None, span=1, qd=None,
     nib_dot + 16*h_dot (x16 again on the 16x-scaled hi plane).  The i32
     combine touches only the [4gs, TN]-per-dispatch dot results (~1/32 of
     the element count), so the h plane rides the same epilogue for free.
+
+    ``c_of(t)`` (stacked path only) returns dispatch t's stacked per-block
+    compensation terms [rows*gs, 1] (same row layout as ``v_of``): the
+    epilogue becomes ``s = d * (da * sumi + c)`` — the GOLDEN's own
+    per-block parenthesization (ref gemm_reference.h:175-222's
+    ``d_w * (d_a * sumi - 8 * s_a)``) — replacing the per-grid-step f32
+    MXU compensation dot entirely (the ~4 us/kernel the round-5 ablation
+    attributed to the hoisted dots; lab_ablate / QGT_FUSECOMP A/B).
     """
     def _plane_dots(w):
         if v_of is not None:
@@ -260,7 +268,10 @@ def _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of=None, span=1, qd=None,
         gs = 4 * span
         for t, res in enumerate(dots):
             dd = jnp.repeat(d[t * gs:(t + 1) * gs, :], rows, axis=0)
-            s = dd * (v_of(t) * res.astype(jnp.float32))  # [rows*gs, TN]
+            inner = v_of(t) * res.astype(jnp.float32)
+            if c_of is not None:
+                inner = inner + c_of(t)
+            s = dd * inner  # [rows*gs, TN]
             tot = s[0:8, :]
             for h in range(1, rows * gs // 8):
                 tot = tot + s[h * 8:(h + 1) * 8, :]
@@ -326,7 +337,8 @@ def _expand_bits_int(qh_tile: jax.Array) -> jax.Array:
 def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
             has_min: bool, has_qh: bool, stack_rows: int = 0,
             span: int = 1, prediag: bool = False, qh_mode: str = "qh2",
-            submask: bool = False, bundled: bool = False):
+            submask: bool = False, bundled: bool = False,
+            fusecomp: bool = False):
     """4/5-bit weights.  Ref order:
 
     packed, d_lo, d_hi, [m_lo, m_hi,] [qh_lo, qh_hi,] qa, da, sa, [sq,]
@@ -460,6 +472,7 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
         acc = jnp.zeros_like(out_ref)
         v_of = None
         qd = None
+        c_of = None
         if stack_rows:
             gs = 4 * span
 
@@ -471,11 +484,22 @@ def _kernel(*refs, tkb: int, tkp: int, nkt: int, offset: int,
                 src = scl_ref if bundled else da_ref
                 sl = src[pl.ds(koff * tkb + t * gs, gs), 0:stack_rows]
                 return _stacked_da(sl, stack_rows)
+            if fusecomp and coeff is not None and not has_min:
+                # fold the per-block compensation into the stacked dense
+                # epilogue (s = d * (da*sumi + c) — the golden's own
+                # parenthesization) instead of a per-grid-step f32 MXU
+                # dot; see _scaled_block_sums
+                cf = coeff
+                coeff = None
+
+                def c_of(t):  # noqa: E306 — stacked compensation terms
+                    return _stacked_da(
+                        cf[t * gs:(t + 1) * gs, 0:stack_rows], stack_rows)
             if prediag and stack_rows == 4:
                 qd = qd_ref[pl.ds(koff * tkb * 4, tkb * 4), :]
         acc = _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of,
                                  span=span, qd=qd, qw2=qw2, mult2=mult2,
-                                 rows=stack_rows or 4)
+                                 rows=stack_rows or 4, c_of=c_of)
         # hoisted block-linear terms (compensation + min) are returned as
         # (lhs [tkb, TM], rhs [tkb, TN]) pieces and contracted in ONE
         # merged f32 dot per grid step below — see _merged_epilogue_dot
@@ -531,6 +555,7 @@ def gemm_exact(
     qh_mode: str = "qh2",
     submask: bool | None = None,
     bundle: bool | None = None,
+    fusecomp: bool | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Reference-semantics WxA8 integer GEMM, all five weight formats.
@@ -557,6 +582,15 @@ def gemm_exact(
             submask = os.environ.get("QGT_SUBMASK", "0") == "1"
         if bundle is None:
             bundle = os.environ.get("QGT_BUNDLE", "0") == "1"
+    if fusecomp is None:
+        # DEFAULT ON (r5 on-chip race, 4096x4x14336 q4_0, interleaved
+        # medians: fusecomp 49.3/49.9 us = 90-91% of the 819 spec vs the
+        # merged-dot path 51.3/51.4 = 88%; fusecomp+submask 50.5 — the
+        # spare dot set costs more once the epilogue dots are gone, so
+        # submask stays off).  has_min formats fall back automatically.
+        import os
+
+        fusecomp = os.environ.get("QGT_FUSECOMP", "1") == "1"
     m, k = a_q.qs.shape
     assert k == w.k
     is4 = w.packed_t is not None
@@ -725,6 +759,7 @@ def gemm_exact(
             qh_mode=qh_mode,
             submask=submask,
             bundled=bundled,
+            fusecomp=fusecomp,
         )
     else:
         operands = [w.qs_t, w.d_t, qa, da_t, sa_t]
@@ -754,7 +789,8 @@ def gemm_exact(
 
 
 def _kernel_fused(*refs, tkb: int, tkp: int, nkt: int, offset: int,
-                  has_min: bool, stack_rows: int = 0, span: int = 1):
+                  has_min: bool, stack_rows: int = 0, span: int = 1,
+                  fusecomp: bool = False):
     """Fused-quantization exact kernel (4-bit, non-q5 — x8 fast path).
 
     Ref order: packed, d_lo, d_hi, [m_lo, m_hi,] ax, out.  ``ax`` is the
@@ -803,6 +839,7 @@ def _kernel_fused(*refs, tkb: int, tkp: int, nkt: int, offset: int,
             t = float(offset * (16 if fixup else 1)) * sa
             coeff = -t if coeff is None else coeff - t
         v_of = None
+        c_of = None
         if stack_rows:
             gs = 4 * span
 
@@ -810,8 +847,18 @@ def _kernel_fused(*refs, tkb: int, tkp: int, nkt: int, offset: int,
                 return jnp.concatenate(
                     [blocks[t * gs + j][1][:stack_rows, :]
                      for j in range(gs)], axis=0)
+            if fusecomp and coeff is not None and not has_min:
+                # mirror _kernel's fused compensation (golden's own
+                # per-block parenthesization) — bit-identity preserved:
+                # _stacked_da is exact selection of the same f32 values
+                cf = coeff
+                coeff = None
+
+                def c_of(t):  # noqa: E306
+                    return _stacked_da(
+                        cf[t * gs:(t + 1) * gs, 0:stack_rows], stack_rows)
         acc = _scaled_block_sums(qa_cat, qw, tkb, d, da, acc, v_of,
-                                 span=span, rows=stack_rows or 4)
+                                 span=span, rows=stack_rows or 4, c_of=c_of)
         pieces = []
         if coeff is not None:
             pieces.append((coeff, d))
@@ -854,6 +901,7 @@ def gemm_exact_fused(
     tn: int | None = None,
     tkp: int = 512,
     span: int = 1,
+    fusecomp: bool | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Exact WxA8 GEMM with IN-KERNEL Q8_1 activation quantization.
@@ -870,6 +918,10 @@ def gemm_exact_fused(
     """
     if interpret is None:
         interpret = _interpret_default()
+    if fusecomp is None:
+        import os
+
+        fusecomp = os.environ.get("QGT_FUSECOMP", "1") == "1"
     assert w.qh_t is None, "q5 formats: use quantize_q8_1 + gemm_exact"
     m, k = x.shape
     assert k == w.k
@@ -933,6 +985,7 @@ def gemm_exact_fused(
             has_min=has_min,
             stack_rows=4 if m <= 4 else (8 if m <= 8 else 0),
             span=span if tkb % (4 * span) == 0 else 1,
+            fusecomp=fusecomp,
         )
     else:
         operands = [w.qs_t, w.d_t, ax]

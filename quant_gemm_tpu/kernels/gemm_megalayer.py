@@ -74,6 +74,12 @@ from .gemm_pallas import PreparedWeight, _interpret_default, scale_f32
 # serializing them into one grid bought nothing and cost a point of
 # pipelining, so only the qkv megakernel ships enabled.
 ENABLED = True        # master switch (off = no megakernels anywhere)
+
+# Mirrors gemm_exact's QGT_FUSECOMP default (r5 measured win) so the
+# megakernel stays bit-identical to the unfused dispatch it replaces.
+import os as _os  # noqa: E402
+
+_FUSECOMP = _os.environ.get("QGT_FUSECOMP", "1") == "1"
 ENABLE_QKV = True     # norm+quantize+wqkv in one Pallas call (measured win)
 ENABLE_TAIL = False   # post-attention tail megakernel (measured loss)
 
@@ -127,8 +133,20 @@ def _plane(qw, d_tile, qa, da, sa, sq, offset: int, fixup: bool,
     def v_of(t):  # stack8 dense scaling — same ops as gemm_exact at M=8
         return _stacked_da(da[t * 4:(t + 1) * 4, 0:_TM], _TM)
 
+    c_of = None
+    if _FUSECOMP and coeff is not None and m_tile is None:
+        # mirror gemm_exact's fused compensation default (r5): the
+        # per-block terms ride the stacked dense epilogue —
+        # s = d * (da*sumi + c), the golden's own parenthesization —
+        # instead of a merged f32 MXU dot per tile
+        cf = coeff
+        coeff = None
+
+        def c_of(t):
+            return _stacked_da(cf[t * 4:(t + 1) * 4, 0:_TM], _TM)
+
     acc = _scaled_block_sums(qa, qw, tkb, d, da, acc, v_of, span=1,
-                             rows=_TM, qw2=qw2, mult2=mult2)
+                             rows=_TM, qw2=qw2, mult2=mult2, c_of=c_of)
     # hoisted terms returned as pieces; the caller contracts BOTH planes'
     # in one merged f32 dot (_merged_epilogue — same op order as _kernel)
     pieces = []

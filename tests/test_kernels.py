@@ -180,6 +180,29 @@ def test_bundle_bit_identical(fmt, m):
     np.testing.assert_array_equal(base, sub)
 
 
+@pytest.mark.parametrize("fmt", ["q4_0", "q5_0", "q4_1"])
+@pytest.mark.parametrize("m", [1, 4, 8])
+def test_fusecomp_golden_and_fallback(fmt, m):
+    """fusecomp=True (default, r5: the per-block compensation rides the
+    stacked dense epilogue ``s = d*(da*sumi + c)`` — the golden's own
+    parenthesization — instead of a merged f32 MXU dot per grid step)
+    must stay golden-exact; min-plane formats must fall back to the
+    merged-dot path bit-identically (their s_a @ m term has a different
+    rhs plane and keeps the hoisted dot)."""
+    a = datagen.normal((m, K), seed=31)
+    w = datagen.normal((N, K), seed=32)
+    w_q = numpy_ref.QUANTIZE[fmt](w)
+    wp = prepare(w_q)
+    a_q = numpy_ref.quantize_q8_1(a)
+    aqd = jax_quant.device_put(a_q)
+    gold = refg.gemm_wxa8(w_q, a_q)
+    on = np.asarray(gemm_exact(wp, aqd, fusecomp=True))
+    assert ErrorMetrics.compute(on, gold).nmse < 1e-12
+    if fmt == "q4_1":  # has_min -> fusecomp is a no-op
+        off = np.asarray(gemm_exact(wp, aqd, fusecomp=False))
+        np.testing.assert_array_equal(on, off)
+
+
 def test_dispatch_decode_routes_to_exact(data):
     """Decode-regime Q8_1 dispatch must hit the exact int kernel: the output
     matches the integer golden bit-for-bit (the dequant rung would not)."""
