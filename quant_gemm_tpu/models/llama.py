@@ -47,6 +47,14 @@ class LlamaConfig(NamedTuple):
     ring: bool = False  # O(window) ring-buffer KV cache (needs window > 0)
     ring_chunk: int = 256  # max tokens per forward() call in ring mode
     head_dim_override: int = 0  # explicit head_dim (Mistral-Nemo class); 0 = dim/heads
+    # Opt-in: route the down-projection through the W4A16 dequant rung
+    # (float activations, no Q8_1 quantize) instead of the exact W4A8
+    # kernel.  r5 lab_dequant8 (tpu_campaign.log, m=8 medians): w_down is
+    # the ONE serving GEMM where dequant-a16 beats exact (22.8 vs 26.4 us
+    # at N=2048 K=8192) — ~58 us/decode-step on the 1.2B model.  Off by
+    # default: it trades the reference's W4A8 integer parity on that GEMM
+    # for a (slightly more accurate) float-activation path.
+    w_down_a16: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -692,7 +700,9 @@ def forward(
             flat = h.reshape(b * t, cfg.dim)
             gu = _linear(get_w(lyr["wgu"]), flat, act_mode)  # fused gate/up
             ff = silu_mul(gu[:, :d_ff], gu[:, d_ff:])
-            dn = _linear(get_w(lyr["w_down"]), ff, act_mode)
+            dn_mode = ("bf16" if cfg.w_down_a16 and act_mode == "q8_1"
+                       else act_mode)  # opt-in W4A16 down-proj (see cfg)
+            dn = _linear(get_w(lyr["w_down"]), ff, dn_mode)
             x = x + reduce_out(dn).reshape(b, t, cfg.dim)
 
     if k_pending:

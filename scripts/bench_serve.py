@@ -57,6 +57,11 @@ def main():
                     help="override kernels.registry.FUSED_DECODE (in-kernel "
                          "vs standalone Q8_1 activation quantization) for "
                          "the end-to-end A/B")
+    ap.add_argument("--w-down-a16", action="store_true",
+                    help="opt-in W4A16 down-projection (r5 lab_dequant8: "
+                         "the one serving GEMM where the dequant rung "
+                         "beats exact, ~58 us/step; trades W4A8 parity "
+                         "on that GEMM for float activations)")
     ap.add_argument("--mega", choices=["on", "off"], default=None,
                     help="override kernels.gemm_megalayer.ENABLED (whole-"
                          "layer decode megakernels vs the per-GEMM dispatch "
@@ -78,7 +83,10 @@ def main():
         vocab=args.vocab, dim=args.dim, n_layers=args.layers,
         n_heads=args.heads, n_kv_heads=args.heads, d_ff=args.dff,
         max_seq=args.seq, window=args.window, ring=args.ring,
+        w_down_a16=args.w_down_a16,
     )
+    if args.w_down_a16:
+        print("W_DOWN_A16=True", flush=True)
     if args.ring:
         assert args.window, "--ring needs --window"
         print(f"ring cache: {cfg.ring_capacity + cfg.ring_chunk} slots "

@@ -61,6 +61,26 @@ def test_quantized_forward_close_to_float(params, qparams):
     assert agree >= 0.5, agree
 
 
+def test_w_down_a16_opt_in(params, qparams):
+    """cfg.w_down_a16 routes ONLY the down-projection through the W4A16
+    dequant rung (r5 lab_dequant8: the one serving GEMM where dequant
+    beats exact).  Output must stay close to the W4A8 default (only one
+    GEMM's activation quantization changes) and at least as close to the
+    float reference (float activations lose no accuracy)."""
+    cfg16 = CFG._replace(w_down_a16=True)
+    tokens = jnp.asarray(
+        np.arange(12, dtype=np.int32).reshape(2, 6) % CFG.vocab)
+    cache = llama.KVCache.init(CFG, 2)
+    ref, _ = FWD_FLOAT(params, CFG, tokens, cache)
+    base, _ = FWD(qparams, CFG, tokens, cache, act_mode="q8_1")
+    a16, _ = FWD(qparams, cfg16, tokens, cache, act_mode="q8_1")
+    rel = float(jnp.linalg.norm(a16 - base) / jnp.linalg.norm(base))
+    assert 0 < rel < 0.2, rel  # changed, but only by one GEMM's act quant
+    err_base = float(jnp.linalg.norm(base - ref) / jnp.linalg.norm(ref))
+    err_a16 = float(jnp.linalg.norm(a16 - ref) / jnp.linalg.norm(ref))
+    assert err_a16 < err_base * 1.1, (err_a16, err_base)
+
+
 def test_prefill_then_decode_consistency(qparams):
     """Prefill(T)+decode(1) must equal prefill(T+1) on the shared prefix."""
     toks = jnp.asarray([[3, 5, 7, 9, 11, 13]], dtype=jnp.int32)
