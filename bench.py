@@ -104,7 +104,7 @@ def main() -> None:
     import statistics
 
     reps = []
-    for _ in range(7):
+    for _ in range(9):
         signal.alarm(TUNNEL_TIMEOUT_S)  # re-arm: progress, not total time
         r = bm.benchmark_kernel(
             dispatch,
