@@ -261,6 +261,7 @@ class Server:
         cfg: llama.LlamaConfig,
         n_slots: int = 8,
         act_mode: str = "q8_1",
+        prefill_a16: bool = False,
         prefill_bucket: int = 16,
         eos_id: Optional[int] = None,
         cache_qtype: str = "bf16",
@@ -272,6 +273,13 @@ class Server:
         self.cfg = cfg
         self.n_slots = n_slots
         self.act_mode = act_mode
+        # W4A16 prompt processing (bf16 activations, no per-layer Q8_1
+        # quantize) while decode stays on the exact W4A8 path — measured
+        # +34% prefill throughput end-to-end on the 1.2B model (r5,
+        # tpu_campaign.log: 34.6k vs 25.9k tok/s) and mirrors llama.cpp's
+        # own dequant+GEMM strategy above its batch threshold.
+        self.prefill_mode = ("bf16" if prefill_a16 and act_mode == "q8_1"
+                             else act_mode)
         self.bucket = prefill_bucket
         self.eos_id = eos_id
         self.cache_qtype = cache_qtype
@@ -383,7 +391,7 @@ class Server:
             # only advance by the REAL length so the next chunk overwrites it
             c1, last = _prefill_step(
                 self.qparams, self._rope, jnp.asarray(padded), c1,
-                len(part), cfg=self.cfg, act_mode=self.act_mode, t=t,
+                len(part), cfg=self.cfg, act_mode=self.prefill_mode, t=t,
             )
             c1 = c1._replace(pos=jnp.full((1,), off + len(part), jnp.int32))
             off += len(part)

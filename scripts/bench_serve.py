@@ -57,6 +57,9 @@ def main():
                     help="override kernels.registry.FUSED_DECODE (in-kernel "
                          "vs standalone Q8_1 activation quantization) for "
                          "the end-to-end A/B")
+    ap.add_argument("--prefill-a16", action="store_true",
+                    help="run the PREFILL phase in W4A16 (bf16 activations, "
+                         "no per-layer Q8_1 quantize; decode stays W4A8)")
     ap.add_argument("--w-down-a16", action="store_true",
                     help="opt-in W4A16 down-projection (r5 lab_dequant8: "
                          "the one serving GEMM where the dequant rung "
@@ -205,12 +208,14 @@ def main():
     chunk = cfg.ring_chunk if cfg.ring else t
     ptoks = jnp.asarray(rng.integers(1, cfg.vocab, (1, t)), jnp.int32)
 
+    pf_mode = "bf16" if args.prefill_a16 else "q8_1"
+
     @jax.jit
     def prefill(qp, toks):
         c1 = llama.KVCache.init(cfg, 1)
         for i in range(0, t, chunk):  # static unroll; 1 chunk when not ring
             logits, c1 = llama.forward(qp, cfg, toks[:, i : i + chunk], c1,
-                                       act_mode="q8_1", rope_cache=rope)
+                                       act_mode=pf_mode, rope_cache=rope)
         return logits[0, -1]
 
     r = prefill(qparams, ptoks)

@@ -493,6 +493,7 @@ def make_handler(engine: Engine):
 
 
 def build_engine(model_path, *, n_slots=8, cache_qtype="bf16",
+                 prefill_a16=False,
                  prefill_bucket=16, lora_path=None) -> Engine:
     from quant_gemm_tpu.formats.gguf_file import GGUFFile
     from quant_gemm_tpu.models import gguf_loader, serve
@@ -509,6 +510,7 @@ def build_engine(model_path, *, n_slots=8, cache_qtype="bf16",
     srv = serve.Server(qparams, cfg, n_slots=n_slots,
                        cache_qtype=cache_qtype,
                        prefill_bucket=prefill_bucket,
+                       prefill_a16=prefill_a16,
                        eos_id=tok.eos_id)
     return Engine(srv, tok, gf.metadata)
 
@@ -522,6 +524,10 @@ def main():
     ap.add_argument("--kv", default="bf16", choices=["bf16", "q8"])
     ap.add_argument("--lora", default=None, metavar="ADAPTER_GGUF",
                     help="apply a llama.cpp LoRA adapter at runtime")
+    ap.add_argument("--prefill-a16", action="store_true",
+                    help="W4A16 prompt processing (bf16 activations; "
+                         "decode stays exact W4A8) — +34%% prefill "
+                         "throughput measured on-chip (r5)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (interpret-mode kernels)")
     args = ap.parse_args()
@@ -530,7 +536,8 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
     engine = build_engine(args.model, n_slots=args.slots,
-                          cache_qtype=args.kv, lora_path=args.lora)
+                          cache_qtype=args.kv, lora_path=args.lora,
+                          prefill_a16=args.prefill_a16)
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(engine))
     print(f"listening on http://{args.host}:{args.port} "
