@@ -228,6 +228,13 @@ def prepare(w_q, scales_dtype=None, build_qh2: bool = True) -> PreparedWeight:
         )
 
     n, khalf = np.asarray(w_q.packed).shape
+    # The planar layout splits K into lo/hi nibble halves of khalf = K/2
+    # elements; each half must cover whole 32-blocks or the half boundary
+    # lands MID-block and the per-block epilogue silently mixes planes
+    # (caught in the r5 fusecomp adjudication: K=352 diverged from the
+    # golden on the BASE kernel too).  llama dims always satisfy this.
+    assert (khalf % QK) == 0, (
+        f"4/5-bit planar layout needs K % {2 * QK} == 0, got K={2 * khalf}")
     np_pad = round_up(n, 256)
     khalf_p = round_up(khalf, 256)
     packed = padrows(padcols(w_q.packed, khalf_p), np_pad)
