@@ -621,14 +621,24 @@ def forward(
     # (gemm_megalayer.ENABLE_TAIL).
     from ..kernels import gemm_megalayer as _mega
 
-    can_mega = act_mode == "q8_1" and t == 1 and tp_ctx is None
+    # norm_qkv also serves TENSOR-PARALLEL decode: the column-parallel wqkv
+    # shard is self-contained (norm + quantize are replicated work, the
+    # local GEMM needs no collective), so each device runs the megakernel
+    # on its shard under shard_map.  attn_tail stays single-chip only —
+    # its wo/w_down chain crosses the row-parallel psum boundary.
+    can_mega = act_mode == "q8_1" and t == 1
+
+    def _wqkv_local(ly):
+        return ly["wqkv"] if tp_ctx is None else get_w(ly["wqkv"])
+
     use_mega = can_mega and all(
-        _mega.qkv_supported(ly, cfg, b * t) for ly in qparams["layers"])
-    use_mega_tail = can_mega and all(
+        _mega.qkv_supported({**ly, "wqkv": _wqkv_local(ly)}, cfg, b * t)
+        for ly in qparams["layers"])
+    use_mega_tail = can_mega and tp_ctx is None and all(
         _mega.tail_supported(ly, cfg, b * t) for ly in qparams["layers"])
     for li, lyr in enumerate(qparams["layers"]):
         if use_mega:
-            qkv = _mega.norm_qkv(lyr["wqkv"], x.reshape(b * t, cfg.dim),
+            qkv = _mega.norm_qkv(_wqkv_local(lyr), x.reshape(b * t, cfg.dim),
                                  lyr["attn_norm"], cfg.eps)
         else:
             h = rms_norm(x, lyr["attn_norm"], cfg.eps)

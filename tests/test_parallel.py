@@ -173,6 +173,48 @@ def test_tp_serving_matches_single_chip():
     )
 
 
+def test_tp_decode_takes_qkv_megakernel(monkeypatch):
+    """At a mega-eligible dim (%512) the TP decode step must ENGAGE the
+    norm_qkv megakernel per shard (column-parallel wqkv is self-contained
+    — r5 extension of the single-chip default) and still match the
+    single-chip model."""
+    from quant_gemm_tpu.kernels import gemm_megalayer as mega
+    from quant_gemm_tpu.models import llama, llama_tp
+    from quant_gemm_tpu.parallel.sharding import make_mesh
+
+    cfg = llama.LlamaConfig(
+        vocab=64, dim=512, n_layers=2, n_heads=8, n_kv_heads=8, d_ff=1024,
+        max_seq=16,
+    )
+    params = llama.init_params(cfg, seed=6)
+    mesh = make_mesh({"tp": 2})
+    qtp = llama_tp.shard_params_tp(params, cfg, mesh, "q4_0")
+    q1 = llama.quantize_params(params, "q4_0")
+
+    rng = np.random.default_rng(3)
+    toks = jnp.asarray(rng.integers(1, cfg.vocab, (1, 4)), jnp.int32)
+    cache_tp = llama_tp.init_cache_tp(cfg, 1, mesh)
+    cache_1 = llama.KVCache.init(cfg, 1)
+    _, cache_tp = llama_tp.forward_tp(qtp, cfg, toks, cache_tp, mesh)
+    out_1, cache_1 = llama.forward(q1, cfg, toks, cache_1)
+
+    hits = []
+    real = mega.norm_qkv
+
+    def probe(*a, **kw):
+        hits.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(mega, "norm_qkv", probe)
+    nxt = jnp.argmax(out_1[:, -1:], -1).astype(jnp.int32)
+    d_tp, _ = llama_tp.forward_tp(qtp, cfg, nxt, cache_tp, mesh)
+    assert hits, "TP decode step did not engage the qkv megakernel"
+    d_1, _ = llama.forward(q1, cfg, nxt, cache_1)
+    np.testing.assert_allclose(
+        np.asarray(d_tp), np.asarray(d_1), atol=1e-3, rtol=1e-3
+    )
+
+
 def test_health_check_virtual_mesh():
     from quant_gemm_tpu.parallel import health
 
